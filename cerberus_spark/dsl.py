@@ -1,0 +1,258 @@
+"""Schema DSL: parse, expand, validate and hash rule-set schemas.
+
+The user-facing schema language is the reference engine's declarative
+dict-of-rules format, kept verbatim because it is already serializable
+(reference: /root/reference/cerberus/docs/schemas.rst).  This module
+re-derives (from scratch, driver-side pure Python) the compile-time
+transformations the reference applies:
+
+* logical-shortcut expansion  ``anyof_regex: [a, b]`` →
+  ``anyof: [{regex: a}, {regex: b}]``   (reference: schema.py:135-156)
+* deprecated-name rewriting   ``keyschema``→``keysrules``,
+  ``valueschema``→``valuesrules``, ``validator``→``check_with``
+  (reference: schema.py:218-247)
+* recursive expansion into ``schema``/``*of``/``items``/``keysrules``/
+  ``valuesrules`` sub-definitions (reference: schema.py:158-196)
+* registry resolution for by-name schema / rules-set references
+  (reference: schema.py:473-554)
+* schema-of-schemas validation → ``SchemaError`` before any Spark job
+  launches (reference: schema.py:252-283)
+* a canonical, order-stable hash of the expanded schema — the
+  compile-cache key and the checkpoint lineage key
+  (reference analog: utils.py:57-84 ``mapping_to_frozenset``)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Mapping, Sequence
+
+LOGICAL_OPS = ("allof", "anyof", "noneof", "oneof")
+
+#: rules understood by the compiler (validation + normalization).
+VALID_RULES = frozenset(
+    {
+        "allow_unknown", "allowed", "allof", "anyof", "check_with", "coerce",
+        "contains", "default", "default_setter", "dependencies", "empty",
+        "excludes", "forbidden", "items", "keysrules", "max", "maxlength",
+        "meta", "min", "minlength", "noneof", "nullable", "oneof", "purge_unknown",
+        "readonly", "regex", "rename", "rename_handler", "require_all",
+        "required", "schema", "type", "valuesrules",
+    }
+)
+
+NORMALIZATION_RULES = frozenset(
+    {"coerce", "rename", "rename_handler", "purge_unknown", "default",
+     "default_setter"}
+)
+
+#: rule names accepted for backward compatibility with older schemas
+#: (reference: schema.py:218-247).
+DEPRECATED_RENAMES = {
+    "keyschema": "keysrules",
+    "valueschema": "valuesrules",
+    "validator": "check_with",
+}
+
+TYPE_NAMES = frozenset(
+    {"string", "integer", "float", "number", "boolean", "binary", "date",
+     "datetime", "dict", "list", "set", "container"}
+)
+
+
+class SchemaError(Exception):
+    """Raised when a schema is malformed (reference: schema.py:268-283)."""
+
+
+class Registry:
+    """Named store for schemas or rules-sets (reference: schema.py:473-554)."""
+
+    def __init__(self, definitions: Mapping | None = None):
+        self._storage: dict = {}
+        if definitions:
+            self.extend(definitions)
+
+    def add(self, name: str, definition: Mapping) -> None:
+        self._storage[name] = dict(definition)
+
+    def extend(self, definitions: Mapping) -> None:
+        for k, v in dict(definitions).items():
+            self.add(k, v)
+
+    def get(self, name: str, default=None):
+        return self._storage.get(name, default)
+
+    def remove(self, *names: str) -> None:
+        for n in names:
+            self._storage.pop(n, None)
+
+    def clear(self) -> None:
+        self._storage.clear()
+
+    def all(self) -> dict:
+        return dict(self._storage)
+
+
+schema_registry = Registry()
+rules_set_registry = Registry()
+
+
+def _resolve(ref, registry: Registry, kind: str):
+    if isinstance(ref, str):
+        resolved = registry.get(ref)
+        if resolved is None:
+            raise SchemaError(f"unknown {kind} registry reference: {ref!r}")
+        return resolved
+    return ref
+
+
+def expand_rules_set(rules, *, _depth: int = 0) -> dict:
+    """Return a fully-expanded copy of one field's rules-set."""
+    if _depth > 64:
+        raise SchemaError("schema nesting exceeds 64 levels (cycle?)")
+    rules = _resolve(rules, rules_set_registry, "rules-set")
+    if not isinstance(rules, Mapping):
+        raise SchemaError(f"rules-set must be a mapping, got {type(rules).__name__}")
+
+    out: dict = {}
+    for rule, constraint in rules.items():
+        rule = DEPRECATED_RENAMES.get(rule, rule)
+        # logical shortcut: anyof_regex / oneof_type / ...
+        for op in LOGICAL_OPS:
+            prefix = op + "_"
+            if rule.startswith(prefix):
+                base_rule = prefix and rule[len(prefix):]
+                out[op] = [{base_rule: c} for c in constraint]
+                break
+        else:
+            out[rule] = constraint
+
+    # recurse
+    if "schema" in out:
+        sub = out["schema"]
+        sub = _resolve(sub, schema_registry, "schema")
+        if isinstance(sub, Mapping):
+            if _looks_like_rules_set(sub):
+                out["schema"] = expand_rules_set(sub, _depth=_depth + 1)
+            else:
+                out["schema"] = expand_schema(sub, _depth=_depth + 1)
+    for key in ("keysrules", "valuesrules", "allow_unknown"):
+        if isinstance(out.get(key), Mapping):
+            out[key] = expand_rules_set(out[key], _depth=_depth + 1)
+    if "items" in out and isinstance(out["items"], Sequence):
+        out["items"] = [expand_rules_set(i, _depth=_depth + 1) for i in out["items"]]
+    for op in LOGICAL_OPS:
+        if op in out:
+            if not isinstance(out[op], Sequence) or isinstance(out[op], str):
+                raise SchemaError(f"'{op}' constraint must be a list of rules-sets")
+            out[op] = [expand_rules_set(d, _depth=_depth + 1) for d in out[op]]
+    return out
+
+
+def _looks_like_rules_set(mapping: Mapping) -> bool:
+    """Disambiguate `schema`-as-rules-set (list elements) from
+    `schema`-as-field-mapping (dict fields), like the reference does by
+    attempting both interpretations (schema.py:420-436)."""
+    if not mapping:
+        return False
+    return all(isinstance(k, str) and k in VALID_RULES or k in DEPRECATED_RENAMES
+               for k in mapping)
+
+
+def expand_schema(schema, *, _depth: int = 0) -> dict:
+    """Expand a full {field: rules_set} schema (reference: schema.py:122-133)."""
+    schema = _resolve(schema, schema_registry, "schema")
+    if not isinstance(schema, Mapping):
+        raise SchemaError("validation schema must be a mapping")
+    return {
+        field: expand_rules_set(rules, _depth=_depth + 1)
+        for field, rules in schema.items()
+    }
+
+
+def validate_schema(schema: Mapping) -> None:
+    """Schema-of-schemas check: raise SchemaError on unknown rules or
+    malformed constraints before any Spark job launches
+    (reference: schema.py:252-283 + SchemaValidatorMixin checks)."""
+    if not isinstance(schema, Mapping):
+        raise SchemaError("validation schema must be a mapping")
+    for field, rules in schema.items():
+        if not isinstance(rules, Mapping):
+            raise SchemaError(f"schema definition for field '{field}' must be a dict")
+        for rule, constraint in rules.items():
+            if rule not in VALID_RULES:
+                raise SchemaError(f"field '{field}': unknown rule '{rule}'")
+            if rule == "type":
+                names = [constraint] if isinstance(constraint, str) else list(constraint)
+                for n in names:
+                    if n not in TYPE_NAMES:
+                        raise SchemaError(f"field '{field}': unknown type '{n}'")
+            if rule in ("required", "nullable", "readonly", "empty") and not isinstance(
+                constraint, bool
+            ):
+                raise SchemaError(f"field '{field}': '{rule}' must be boolean")
+            if rule in ("minlength", "maxlength") and not isinstance(constraint, int):
+                raise SchemaError(f"field '{field}': '{rule}' must be an integer")
+            if rule == "regex" and not isinstance(constraint, str):
+                raise SchemaError(f"field '{field}': 'regex' must be a string")
+            if rule in LOGICAL_OPS and not isinstance(constraint, Sequence):
+                raise SchemaError(f"field '{field}': '{rule}' must be a list")
+            if rule == "schema":
+                if not isinstance(constraint, Mapping):
+                    raise SchemaError(f"field '{field}': 'schema' must be a mapping")
+                if not _looks_like_rules_set(constraint):
+                    validate_schema(constraint)
+                # else: element rules-set; validated via expand path
+        # recurse logical branches
+        for op in LOGICAL_OPS:
+            if op in rules and isinstance(rules[op], Sequence):
+                for d in rules[op]:
+                    validate_schema({field: d})
+
+
+def _canonicalize(obj):
+    """JSON-stable representation; callables hash by qualified name."""
+    if isinstance(obj, Mapping):
+        return {str(k): _canonicalize(v) for k, v in sorted(obj.items(), key=lambda kv: str(kv[0]))}
+    if isinstance(obj, (list, tuple)):
+        return [_canonicalize(x) for x in obj]
+    if isinstance(obj, (set, frozenset)):
+        return sorted(_canonicalize(x) for x in obj)
+    if callable(obj):
+        return f"<callable:{getattr(obj, '__module__', '?')}.{getattr(obj, '__qualname__', repr(obj))}>"
+    return obj
+
+
+def schema_hash(schema: Mapping) -> str:
+    """Deterministic hash of an (expanded) schema.
+
+    Serves as both the compile-once cache key (reference analog:
+    validator.py:136-140 memo of hashed schemas) and the checkpoint
+    lineage key required by the north rule ("rule-schema hash").
+    """
+    payload = json.dumps(_canonicalize(schema), sort_keys=True, separators=(",", ":"),
+                         default=str)
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
+
+class RuleSetSchema:
+    """A parsed + expanded + validated schema, ready for compilation."""
+
+    def __init__(self, schema: Mapping):
+        self.raw = dict(schema)
+        self.expanded = expand_schema(schema)
+        validate_schema(self.expanded)
+        self.hash = schema_hash(self.expanded)
+
+    def __getitem__(self, field):
+        return self.expanded[field]
+
+    def __iter__(self):
+        return iter(self.expanded)
+
+    def items(self):
+        return self.expanded.items()
+
+    def fields(self):
+        return list(self.expanded)

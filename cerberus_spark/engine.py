@@ -1,0 +1,187 @@
+"""SparkValidator: the user-facing validation engine.
+
+One ``SparkValidator(schema)`` compiles the declarative rule language
+(reference: /root/reference/cerberus/validator.py entry points
+``validate``/``normalized``/``validated``, validator.py:1009-1063) into
+a SINGLE Spark projection that computes, per row:
+
+* normalized column values (coerce/default applied, reference order
+  validator.py:690-710)
+* one ``violations: array<struct>`` column — every failed rule as a
+  violation row (error contract in ``cerberus_spark.errors``)
+* ``passed: boolean`` — ``size(violations) == 0``
+
+Everything is Catalyst Column algebra inside whole-stage codegen; the
+scan is read once, no shuffle is introduced by per-row validation.
+Dataset-level constraints (uniqueness/referential/drift — which the
+reference cannot express) live in ``cerberus_spark.operators.dataset``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from . import errors as E
+from .dsl import NORMALIZATION_RULES as NORM_RULES, RuleSetSchema
+from .operators.compile import (
+    CompileContext,
+    RuleCompiler,
+    Scope,
+    collect_violations,
+    empty_violations,
+    make_violation,
+)
+from .operators.normalize import Normalizer
+
+
+class ValidationResult:
+    """Lazy handles on the three output shapes of one validation pass."""
+
+    def __init__(self, annotated: DataFrame, key_cols: tuple[str, ...]):
+        self.annotated = annotated
+        self.key_cols = key_cols
+
+    @property
+    def violations(self) -> DataFrame:
+        """Exploded violations table, one row per (row key, violation),
+        ordered deterministically like the reference's sorted error list
+        (validator.py:274, errors.py:122-126)."""
+        keys = [F.col(k) for k in self.key_cols]
+        return (
+            self.annotated.select(*keys, F.explode("violations").alias("v"))
+            .select(*keys, "v.*")
+        )
+
+    def violations_sorted(self) -> DataFrame:
+        order = list(self.key_cols) + ["document_path", "schema_path", "code"]
+        return self.violations.orderBy(*order)
+
+    def summary(self, by: list[str] | Column | None = None) -> DataFrame:
+        """Per-group pass/fail summary (partial aggregation map-side; one
+        shuffle on the group key)."""
+        df = self.annotated
+        group = by if by is not None else [F.spark_partition_id().alias("part_id")]
+        if isinstance(group, (str, Column)):
+            group = [group]
+        return df.groupBy(*group).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
+            F.sum(F.size("violations").cast("long")).alias("n_violations"),
+        )
+
+    def counts(self) -> tuple[int, int]:
+        row = self.annotated.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("passed")).cast("long")).alias("f"),
+        ).first()
+        return int(row["n"]), int(row["f"] or 0)
+
+
+class SparkValidator:
+    """Compile a rule schema once; validate any number of DataFrames.
+
+    Parameters mirror the reference's Validator config surface
+    (validator.py:142-191): ``allow_unknown``, ``require_all``,
+    ``update``, ``purge_unknown`` — plus engine-specific knobs
+    (``key_cols``, ``null_semantics``, ``regex_engine``).
+    """
+
+    def __init__(
+        self,
+        schema: Mapping,
+        *,
+        key_cols: tuple[str, ...] = (),
+        allow_unknown: object = True,
+        require_all: bool = False,
+        update: bool = False,
+        purge_unknown: bool = False,
+        null_semantics: str = "absent",
+        regex_engine: str = "auto",
+        check_with: Mapping | None = None,
+        coercers: Mapping | None = None,
+        setters: Mapping | None = None,
+    ):
+        self.schema = RuleSetSchema(schema)
+        self.schema_hash = self.schema.hash
+        self.key_cols = tuple(key_cols)
+        self.allow_unknown = allow_unknown
+        self.purge_unknown = purge_unknown
+        self.ctx = CompileContext(
+            null_semantics=null_semantics,
+            require_all=require_all,
+            allow_unknown=allow_unknown,
+            update=update,
+            regex_engine=regex_engine,
+            check_with_registry=dict(check_with or {}),
+        )
+        self.normalizer = Normalizer(coercers, setters, null_semantics)
+        self.compiler = RuleCompiler(self.ctx)
+
+    # ------------------------------------------------------------------
+
+    def annotate(self, df: DataFrame) -> DataFrame:
+        """df → df + ``violations`` + ``passed`` (single projection)."""
+        colmap = self.normalizer.plan_columns(
+            self.schema.expanded, df.columns,
+            purge_unknown=self.purge_unknown, key_cols=self.key_cols,
+        )
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+        # 1. normalization pass — build normalized value expressions
+        norm_exprs: dict[str, tuple[Column, T.DataType]] = {}
+        norm_violations: list[Column] = []
+        for out_name, in_name in colmap.items():
+            col, dtype = F.col(in_name), dtypes[in_name]
+            rules = self.schema.expanded.get(out_name)
+            if rules and not NORM_RULES.isdisjoint(rules):
+                col, dtype, viol = self.normalizer.normalize_field(
+                    out_name, rules, col, dtype, [out_name], []
+                )
+                norm_violations.append(viol)
+            norm_exprs[out_name] = (col, dtype)
+
+        # 2. validation pass over normalized values
+        scope = Scope(dict(norm_exprs))
+        rule_violations = self.compiler.compile_schema(self.schema, scope)
+
+        # 3. unknown-field handling (reference: validator.py:1065-1078)
+        unknown_violations: list[Column] = []
+        if self.allow_unknown is False:
+            for name, (col, dtype) in norm_exprs.items():
+                if name in self.schema.expanded or name in self.key_cols:
+                    continue
+                unknown_violations.append(
+                    collect_violations([
+                        make_violation(
+                            col.isNotNull(), E.UNKNOWN_FIELD, [name], [name],
+                            rule=None, value=col, value_dtype=dtype,
+                        )
+                    ])
+                )
+        elif isinstance(self.allow_unknown, Mapping):
+            bulk = RuleSetSchema(
+                {n: self.allow_unknown for n, _ in norm_exprs.items()
+                 if n not in self.schema.expanded and n not in self.key_cols}
+            )
+            unknown_violations.append(self.compiler.compile_schema(bulk, scope))
+
+        all_arrays = norm_violations + [rule_violations] + unknown_violations
+        violations = all_arrays[0] if len(all_arrays) == 1 else F.concat(*all_arrays)
+
+        out_cols = [
+            norm_exprs[name][0].alias(name) for name in norm_exprs
+        ]
+        return df.select(
+            *out_cols,
+            violations.alias("violations"),
+            (F.size(violations) == 0).alias("passed"),
+        )
+
+    def validate(self, df: DataFrame) -> ValidationResult:
+        return ValidationResult(self.annotate(df), self.key_cols)
+
+    def normalized(self, df: DataFrame) -> DataFrame:
+        """Normalization only (reference: normalized(), validator.py:666-688)."""
+        return self.annotate(df).drop("violations", "passed")

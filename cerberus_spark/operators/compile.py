@@ -1,0 +1,844 @@
+"""RuleSet → Catalyst Column compiler.
+
+Compiles one validation schema (the reference engine's declarative rule
+language, see ``cerberus_spark.dsl``) into a single Spark ``Column`` of
+type ``array<violation_struct>`` per row — evaluated in ONE projection,
+fully inside whole-stage codegen.  No per-row Python anywhere; custom
+checkers go through vectorized pandas UDFs.
+
+The reference (/root/reference/cerberus/validator.py) interprets rules
+row-at-a-time with an ordered queue and *suppression* semantics
+(priority rules ``nullable, readonly, type, empty`` first —
+validator.py:107,113 — and handlers that drop remaining rules:
+``_drop_remaining_rules`` validator.py:649-662).  This compiler
+reproduces those semantics statically as nested boolean *gates*
+(``F.when`` guards), so the emitted violation SET matches the
+reference's exactly:
+
+* value is NULL        → value-shape rules suppressed
+  (reference drop list at validator.py:1376-1394)
+* ``type`` mismatch    → all later rules suppressed (validator.py:1110-1115
+  break-on-truthy; _validate_type returns True on failure)
+* ``empty`` observed   → allowed/forbidden/items/minlength/maxlength/
+  regex/check_with suppressed (validator.py:1228-1236)
+* ``dependencies`` unmet → all rules queued after it suppressed
+  (validator.py:1194-1200 returns True)
+
+Type checks on fixed-schema DataFrame columns are resolved at COMPILE
+time against ``df.schema`` (a Spark-first win: the reference re-checks
+isinstance per value, validator.py:1528-1560).  Type-quirk parity per
+SURVEY.md §1.2 (bool⊂integer, int⊂float, datetime⊂date, str∉list).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass, field as dc_field
+from typing import Callable
+
+import pandas as pd  # noqa: F401 — needed to resolve pandas_udf type hints
+from pyspark.sql import Column, functions as F, types as T
+
+from .. import errors as E
+from ..dsl import LOGICAL_OPS, NORMALIZATION_RULES, RuleSetSchema, SchemaError
+
+# ---------------------------------------------------------------------------
+# violation construction helpers
+# ---------------------------------------------------------------------------
+
+_NULL_VIOLATION = None  # built lazily (needs an active session for lit)
+
+
+def empty_violations() -> Column:
+    """A typed empty array<violation>."""
+    return F.array().cast(T.ArrayType(E.VIOLATION_STRUCT))
+
+
+def _null_violation() -> Column:
+    return F.lit(None).cast(E.VIOLATION_STRUCT)
+
+
+def stringify(col: Column, dtype: T.DataType | None) -> Column:
+    """Serialize a value column to its string form for the violation row."""
+    if dtype is None:
+        return F.lit(None).cast("string")
+    if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
+        return F.to_json(col)
+    if isinstance(dtype, T.BinaryType):
+        return F.base64(col)
+    return col.cast("string")
+
+
+def _path_col(elems: Sequence) -> Column:
+    """Build an array<string> path Column from static strings / Columns."""
+    cols = [e.cast("string") if isinstance(e, Column) else F.lit(str(e)) for e in elems]
+    if not cols:
+        return F.array().cast(T.ArrayType(T.StringType()))
+    return F.array(*cols)
+
+
+def make_violation(
+    cond: Column,
+    error_def: E.ErrorDefinition,
+    doc_path: Sequence,
+    schema_path: Sequence,
+    *,
+    rule: str | None = None,
+    constraint=None,
+    value: Column | None = None,
+    value_dtype: T.DataType | None = None,
+    info: Column | str | None = None,
+) -> Column:
+    """``F.when(cond, violation_struct)`` — null struct when cond is false/null."""
+    constraint_str = (
+        constraint
+        if isinstance(constraint, Column)
+        else (F.lit(None).cast("string") if constraint is None
+              else F.lit(json.dumps(constraint, default=str)))
+    )
+    info_col = (
+        info if isinstance(info, Column)
+        else (F.lit(None).cast("string") if info is None else F.lit(str(info)))
+    )
+    struct = F.struct(
+        _path_col(doc_path).alias("document_path"),
+        _path_col(schema_path).alias("schema_path"),
+        F.lit(error_def.code).cast("int").alias("code"),
+        F.lit(rule if rule is not None else error_def.rule).cast("string").alias("rule"),
+        constraint_str.cast("string").alias("constraint"),
+        (stringify(value, value_dtype) if value is not None else F.lit(None).cast("string")).alias("value"),
+        info_col.cast("string").alias("info"),
+    )
+    return F.when(cond, struct).otherwise(_null_violation())
+
+
+def collect_violations(candidates: list[Column]) -> Column:
+    """Combine when-guarded violation structs into a compact array."""
+    if not candidates:
+        return empty_violations()
+    return F.filter(F.array(*candidates), lambda x: x.isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# static type checking (SURVEY.md §1.2 quirk-preserving mapping)
+# ---------------------------------------------------------------------------
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOAT_TYPES = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def spark_type_matches(dtype: T.DataType, name: str) -> bool:
+    """Does a Spark column type satisfy a reference type name?
+
+    Quirks preserved (reference: validator.py:118-131):
+    bool passes ``integer`` (bool ⊂ int), int passes ``float``,
+    ``number`` excludes bool, datetime passes ``date`` (subclass),
+    strings are NOT ``list``/``container``.
+    """
+    if name == "string":
+        return isinstance(dtype, T.StringType)
+    if name == "integer":
+        return isinstance(dtype, _INT_TYPES + (T.BooleanType,))
+    if name == "float":
+        return isinstance(dtype, _FLOAT_TYPES + _INT_TYPES)
+    if name == "number":
+        return isinstance(dtype, _FLOAT_TYPES + _INT_TYPES)
+    if name == "boolean":
+        return isinstance(dtype, T.BooleanType)
+    if name == "binary":
+        return isinstance(dtype, T.BinaryType)
+    if name == "date":
+        return isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType))
+    if name == "datetime":
+        return isinstance(dtype, (T.TimestampType, T.TimestampNTZType))
+    if name == "dict":
+        return isinstance(dtype, (T.StructType, T.MapType))
+    if name in ("list", "set"):
+        return isinstance(dtype, T.ArrayType)
+    if name == "container":
+        return isinstance(dtype, (T.ArrayType, T.MapType, T.StructType))
+    raise SchemaError(f"unknown type name '{name}'")
+
+
+def check_type(dtype: T.DataType, constraint) -> bool:
+    names = [constraint] if isinstance(constraint, str) else list(constraint)
+    return any(spark_type_matches(dtype, n) for n in names)
+
+
+def _sized_len(col: Column, dtype: T.DataType) -> Column | None:
+    """len(value) for Sized/Iterable values; None when not length-bearing."""
+    if isinstance(dtype, (T.StringType, T.BinaryType)):
+        return F.length(col)
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        return F.size(col)
+    if isinstance(dtype, T.StructType):
+        return F.lit(len(dtype.fields))
+    return None
+
+
+def _comparable(dtype: T.DataType, constraint) -> bool:
+    """Can `value < constraint` succeed?  The reference silently passes
+    min/max on TypeError (validator.py:1343-1357); we mirror that by
+    skipping the rule at compile time for incomparable pairs."""
+    import datetime as _dt
+
+    numeric = _INT_TYPES + _FLOAT_TYPES + (T.BooleanType,)
+    if isinstance(dtype, numeric):
+        return isinstance(constraint, (int, float)) and not isinstance(constraint, bool) or isinstance(constraint, bool)
+    if isinstance(dtype, T.StringType):
+        return isinstance(constraint, str)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return isinstance(constraint, _dt.datetime)
+    if isinstance(dtype, T.DateType):
+        return isinstance(constraint, _dt.date)
+    return False
+
+
+# Python-only regex constructs that the JVM dialect can't express → the
+# compiler falls back to an exact-parity vectorized pandas UDF using `re`.
+_PY_ONLY_REGEX = re.compile(r"\(\?P[<=]|\\Z|\(\?\(|\\A")
+
+
+def _jvm_regex(pattern: str) -> str:
+    """Reference semantics: re.match + auto-appended '$'
+    (validator.py:1429-1437) → explicitly anchored JVM pattern."""
+    if not pattern.endswith("$"):
+        pattern = pattern + "$"
+    return "^(?:" + pattern + ")"
+
+
+# ---------------------------------------------------------------------------
+# compile context & scopes
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CompileContext:
+    """Driver-side state shared across one schema compilation."""
+
+    # NULL convention (SURVEY.md §1.4): 'absent' — NULL means the key is
+    # missing (required fires, no other rule runs on NULL); 'none' — NULL
+    # means the key is present with value None (nullable fires, required
+    # never does, null-surviving rules still run).  The differential
+    # oracle builds reference documents accordingly.
+    null_semantics: str = "absent"
+    require_all: bool = False
+    allow_unknown: object = False
+    update: bool = False
+    regex_engine: str = "auto"  # 'auto' | 'jvm' | 'python'
+    check_with_registry: dict[str, Callable] = dc_field(default_factory=dict)
+    # fields un-required because they are part of an `excludes` group
+    # (reference: validator.py:1461-1477 `_unrequired_by_excludes`)
+    unrequired_by_excludes: set = dc_field(default_factory=set)
+
+
+class Scope:
+    """Field resolution at one nesting level (top-level row or a struct).
+
+    Mirrors the reference's child-validator chain with document crumbs
+    (validator.py:315-360) — but purely at compile time.
+    """
+
+    def __init__(
+        self,
+        fields: dict[str, tuple[Column, T.DataType]],
+        doc_path: Sequence = (),
+        parent: "Scope | None" = None,
+    ):
+        self.fields = fields
+        self.doc_path = tuple(doc_path)
+        self.parent = parent
+
+    @property
+    def root(self) -> "Scope":
+        s = self
+        while s.parent is not None:
+            s = s.parent
+        return s
+
+    def lookup(self, path: str) -> tuple[Column | None, T.DataType | None]:
+        """Resolve a dependencies dot-path; '^' prefix = from root
+        (reference: _lookup_field validator.py:395-423)."""
+        scope = self
+        if path.startswith("^"):
+            scope = self.root
+            path = path[1:]
+        parts = path.split(".")
+        col, dtype = scope.fields.get(parts[0], (None, None))
+        for p in parts[1:]:
+            if col is None:
+                return None, None
+            if isinstance(dtype, T.StructType):
+                names = {f.name: f.dataType for f in dtype.fields}
+                if p not in names:
+                    return None, None
+                col, dtype = col.getField(p), names[p]
+            elif isinstance(dtype, T.MapType):
+                col, dtype = col.getItem(p), dtype.valueType
+            else:
+                return None, None
+        return col, dtype
+
+
+# ---------------------------------------------------------------------------
+# the compiler
+# ---------------------------------------------------------------------------
+
+
+class RuleCompiler:
+    """Compiles an expanded schema into per-field violation arrays."""
+
+    def __init__(self, ctx: CompileContext):
+        self.ctx = ctx
+
+    # -- top level ---------------------------------------------------------
+
+    def compile_schema(
+        self, schema: RuleSetSchema | Mapping, scope: Scope, schema_path: Sequence = ()
+    ) -> Column:
+        """All violations for one mapping level: per-field rules +
+        required-fields check + unknown-field handling."""
+        expanded = schema.expanded if isinstance(schema, RuleSetSchema) else dict(schema)
+
+        # pre-scan excludes for the required-interplay
+        # (reference: validator.py:1245-1254)
+        for fname, rules in expanded.items():
+            if "excludes" in rules:
+                excluded = rules["excludes"]
+                excluded = [excluded] if isinstance(excluded, str) else list(excluded)
+                if rules.get("required", self.ctx.require_all):
+                    self.ctx.unrequired_by_excludes.add(self._abs(schema_path, fname))
+                    for ex in excluded:
+                        if ex in expanded and rules.get("required", self.ctx.require_all):
+                            self.ctx.unrequired_by_excludes.add(self._abs(schema_path, ex))
+
+        arrays: list[Column] = []
+        for fname, rules in expanded.items():
+            col, dtype = scope.fields.get(fname, (None, None))
+            if col is None:
+                # column absent from the DataFrame entirely: required fields
+                # fail on every row; other rules can never fire.
+                if self._is_required(schema_path, fname, rules):
+                    arrays.append(
+                        collect_violations([
+                            make_violation(
+                                F.lit(True), E.REQUIRED_FIELD,
+                                list(scope.doc_path) + [fname],
+                                list(schema_path) + [fname, "required"],
+                                constraint=True,
+                            )
+                        ])
+                    )
+                continue
+            arrays.append(self.compile_field(fname, rules, col, dtype, scope, schema_path))
+
+        # unknown columns (reference: __validate_unknown_fields
+        # validator.py:1065-1078) — handled by the engine at top level where
+        # the full column set is known; nested struct levels are closed-world
+        # by construction (Spark structs are fixed-schema).
+        if not arrays:
+            return empty_violations()
+        return F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+
+    def _abs(self, schema_path, fname) -> tuple:
+        return tuple(schema_path) + (fname,)
+
+    def _is_required(self, schema_path, fname, rules) -> bool:
+        if self.ctx.update:
+            return False
+        req = rules.get("required", self.ctx.require_all)
+        return bool(req) and self._abs(schema_path, fname) not in self.ctx.unrequired_by_excludes
+
+    # -- one field -----------------------------------------------------------
+
+    def compile_field(
+        self,
+        fname: str,
+        rules: Mapping,
+        value: Column,
+        dtype: T.DataType,
+        scope: Scope,
+        schema_path: Sequence,
+    ) -> Column:
+        doc_path = list(scope.doc_path) + [fname]
+        spath = list(schema_path) + [fname]
+        return self.compile_rules(
+            rules, value, dtype, doc_path, spath, scope, field_name=fname
+        )
+
+    def compile_rules(
+        self,
+        rules: Mapping,
+        value: Column,
+        dtype: T.DataType,
+        doc_path: Sequence,
+        spath: Sequence,
+        scope: Scope,
+        field_name: str | None = None,
+    ) -> Column:
+        """Compile one rules-set applied to one value expression.
+
+        ``doc_path`` elements may be Columns (dynamic list indices).
+        ``spath`` is the static schema path ending at the field name.
+        """
+        ctx = self.ctx
+        out: list[Column] = []
+        nested_arrays: list[Column] = []
+
+        present = value.isNotNull()
+        is_null = value.isNull()
+        nullable = bool(rules.get("nullable", False))
+        required = self._is_required(tuple(spath[:-1]), spath[-1], rules)
+
+        # --- existence / nullability (missing := NULL convention, SURVEY §1.4)
+        if ctx.null_semantics == "absent":
+            if required:
+                out.append(
+                    make_violation(
+                        is_null, E.REQUIRED_FIELD, doc_path, list(spath) + ["required"],
+                        constraint=rules.get("required", True),
+                    )
+                )
+        else:  # 'none': the key is always present; nullable is the mandatory
+            # check run on every field (validator.py:107,1371-1394)
+            if not nullable:
+                out.append(
+                    make_violation(
+                        is_null, E.NOT_NULLABLE, doc_path, list(spath) + ["nullable"],
+                        constraint=False,
+                    )
+                )
+
+        # --- readonly (validation-phase part; purge is a normalization op)
+        if rules.get("readonly"):
+            out.append(
+                make_violation(
+                    present, E.READONLY_FIELD, doc_path, list(spath) + ["readonly"],
+                    constraint=True,
+                )
+            )
+            return collect_violations(out)  # suppresses everything else
+
+        # --- type (static, compile-time — validator.py:1528-1560)
+        type_ok = True
+        if "type" in rules:
+            type_ok = check_type(dtype, rules["type"])
+            if not type_ok:
+                out.append(
+                    make_violation(
+                        present, E.BAD_TYPE, doc_path, list(spath) + ["type"],
+                        constraint=rules["type"], value=value, value_dtype=dtype,
+                    )
+                )
+
+        # value-shape rules run only on non-null values of the right type
+        value_gate = present & F.lit(type_ok)
+        # rules NOT suppressed by a null value (validator.py:1376-1394 drop
+        # list omits dependencies/excludes/check_with/contains) still die on
+        # a type break for non-null values.  Under 'absent' semantics a NULL
+        # field is missing entirely, so no rule runs on it at all
+        # (validator.py:1035-1042 iterates document fields only).
+        if ctx.null_semantics == "absent":
+            null_surviving_gate = value_gate
+        else:
+            null_surviving_gate = is_null | F.lit(type_ok)
+
+        # --- empty gate (validator.py:1225-1238)
+        gate7 = value_gate
+        if "empty" in rules:
+            ln = _sized_len(value, dtype)
+            if ln is not None:
+                is_empty = ln == 0
+                gate7 = value_gate & ~is_empty
+                if not rules["empty"]:
+                    out.append(
+                        make_violation(
+                            value_gate & is_empty, E.EMPTY_NOT_ALLOWED,
+                            doc_path, list(spath) + ["empty"], constraint=False,
+                        )
+                    )
+
+        # --- iterate remaining rules in schema-dict order, maintaining the
+        # dependencies-break gate (validator.py:1107-1117,1194-1200)
+        deps_gate: Column = F.lit(True)
+
+        for rule, constraint in rules.items():
+            if rule in (
+                "nullable", "readonly", "type", "empty", "required", "meta",
+                "allow_unknown", "require_all",
+            ) or rule in NORMALIZATION_RULES:
+                continue
+            g_value = value_gate & deps_gate
+            g7 = gate7 & deps_gate
+            g_null_ok = null_surviving_gate & deps_gate
+
+            if rule == "allowed":
+                out.append(self._c_allowed(constraint, value, dtype, g7, doc_path, spath))
+            elif rule == "forbidden":
+                out.append(self._c_forbidden(constraint, value, dtype, g7, doc_path, spath))
+            elif rule == "contains":
+                out.append(self._c_contains(constraint, value, dtype, g_null_ok & present, doc_path, spath))
+            elif rule == "regex":
+                v = self._c_regex(constraint, value, dtype, g7, doc_path, spath)
+                if v is not None:
+                    out.append(v)
+            elif rule in ("min", "max"):
+                v = self._c_minmax(rule, constraint, value, dtype, g_value, doc_path, spath)
+                if v is not None:
+                    out.append(v)
+            elif rule in ("minlength", "maxlength"):
+                v = self._c_length(rule, constraint, value, dtype, g7, doc_path, spath)
+                if v is not None:
+                    out.append(v)
+            elif rule == "items":
+                arr = self._c_items(constraint, value, dtype, g7, doc_path, spath, scope)
+                out.extend(arr[0])
+                nested_arrays.extend(arr[1])
+            elif rule == "schema":
+                nested_arrays.append(
+                    self._c_schema(constraint, value, dtype, g_value, doc_path, spath, scope)
+                )
+            elif rule == "keysrules":
+                nested_arrays.append(
+                    self._c_keysrules(constraint, value, dtype, g_value, doc_path, spath, scope)
+                )
+            elif rule == "valuesrules":
+                nested_arrays.append(
+                    self._c_valuesrules(constraint, value, dtype, g_value, doc_path, spath, scope)
+                )
+            elif rule in LOGICAL_OPS:
+                out.append(
+                    self._c_logical(rule, constraint, rules, value, dtype, g_value,
+                                    doc_path, spath, scope)
+                )
+            elif rule == "dependencies":
+                dep_violation, dep_ok = self._c_dependencies(
+                    constraint, value, g_null_ok, doc_path, spath, scope
+                )
+                out.extend(dep_violation)
+                deps_gate = deps_gate & dep_ok
+            elif rule == "excludes":
+                out.append(self._c_excludes(constraint, value, g_null_ok & present, doc_path, spath, scope))
+            elif rule == "check_with":
+                out.extend(self._c_check_with(constraint, value, dtype, g7, doc_path, spath))
+            else:  # pragma: no cover — dsl.validate_schema blocks unknown rules
+                raise SchemaError(f"rule '{rule}' not supported by the compiler")
+
+        base = collect_violations([c for c in out if c is not None])
+        for arr in nested_arrays:
+            base = F.concat(base, arr)
+        return base
+
+    # -- individual rules ---------------------------------------------------
+
+    def _c_allowed(self, allowed, value, dtype, gate, doc_path, spath):
+        """reference: validator.py:1128-1136"""
+        spath2 = list(spath) + ["allowed"]
+        if isinstance(dtype, T.ArrayType):
+            offenders = F.filter(
+                value, lambda x: x.isNull() | ~F.coalesce(x.isin(*allowed), F.lit(False))
+            )
+            return make_violation(
+                gate & (F.size(offenders) > 0), E.UNALLOWED_VALUES, doc_path, spath2,
+                constraint=list(allowed), value=value, value_dtype=dtype,
+                info=F.to_json(offenders),
+            )
+        return make_violation(
+            gate & ~F.coalesce(value.isin(*allowed), F.lit(False)),
+            E.UNALLOWED_VALUE, doc_path, spath2,
+            constraint=list(allowed), value=value, value_dtype=dtype,
+            info=stringify(value, dtype),
+        )
+
+    def _c_forbidden(self, forbidden, value, dtype, gate, doc_path, spath):
+        """reference: validator.py:1262-1270"""
+        spath2 = list(spath) + ["forbidden"]
+        if isinstance(dtype, T.ArrayType):
+            offenders = F.array_distinct(
+                F.filter(value, lambda x: F.coalesce(x.isin(*forbidden), F.lit(False)))
+            )
+            return make_violation(
+                gate & (F.size(offenders) > 0), E.FORBIDDEN_VALUES, doc_path, spath2,
+                constraint=list(forbidden), value=value, value_dtype=dtype,
+                info=F.to_json(offenders),
+            )
+        return make_violation(
+            gate & F.coalesce(value.isin(*forbidden), F.lit(False)),
+            E.FORBIDDEN_VALUE, doc_path, spath2,
+            constraint=list(forbidden), value=value, value_dtype=dtype,
+            info=stringify(value, dtype),
+        )
+
+    def _c_contains(self, expected, value, dtype, gate, doc_path, spath):
+        """reference: validator.py:1166-1180 (array/map columns)"""
+        spath2 = list(spath) + ["contains"]
+        if isinstance(expected, str) or not isinstance(expected, Sequence):
+            expected = [expected]
+        expected = list(dict.fromkeys(expected))  # set semantics, stable order
+        if isinstance(dtype, T.MapType):
+            value = F.map_keys(value)
+            dtype = T.ArrayType(dtype.keyType)
+        if not isinstance(dtype, T.ArrayType):
+            return make_violation(F.lit(False), E.MISSING_MEMBERS, doc_path, spath2)
+        missing = F.array_except(
+            F.array(*[F.lit(e) for e in expected]).cast(dtype), value
+        )
+        return make_violation(
+            gate & (F.size(missing) > 0), E.MISSING_MEMBERS, doc_path, spath2,
+            constraint=expected, value=value, value_dtype=dtype,
+            info=F.to_json(missing),
+        )
+
+    def _c_regex(self, pattern, value, dtype, gate, doc_path, spath):
+        """reference: validator.py:1429-1437 — strings only, auto-'$'."""
+        if not isinstance(dtype, T.StringType):
+            return None  # non-strings pass silently
+        spath2 = list(spath) + ["regex"]
+        use_python = self.ctx.regex_engine == "python" or (
+            self.ctx.regex_engine == "auto" and _PY_ONLY_REGEX.search(pattern)
+        )
+        if use_python:
+            pat = pattern if pattern.endswith("$") else pattern + "$"
+
+            @F.pandas_udf(T.BooleanType())
+            def _re_match(s: pd.Series) -> pd.Series:
+                rx = re.compile(pat)
+                return s.map(lambda v: v is not None and rx.match(v) is not None)
+
+            mismatch = ~_re_match(value)
+        else:
+            mismatch = ~value.rlike(_jvm_regex(pattern))
+        return make_violation(
+            gate & mismatch, E.REGEX_MISMATCH, doc_path, spath2,
+            constraint=pattern, value=value, value_dtype=dtype,
+        )
+
+    def _c_minmax(self, rule, constraint, value, dtype, gate, doc_path, spath):
+        """reference: validator.py:1343-1357 — TypeError passes silently,
+        mirrored as a compile-time comparability check."""
+        if not _comparable(dtype, constraint):
+            return None
+        cond = (value < F.lit(constraint)) if rule == "min" else (value > F.lit(constraint))
+        edef = E.MIN_VALUE if rule == "min" else E.MAX_VALUE
+        return make_violation(
+            gate & cond, edef, doc_path, list(spath) + [rule],
+            constraint=constraint, value=value, value_dtype=dtype,
+        )
+
+    def _c_length(self, rule, constraint, value, dtype, gate, doc_path, spath):
+        """reference: validator.py:1359-1369 — Iterables only."""
+        ln = _sized_len(value, dtype)
+        if ln is None or isinstance(dtype, T.StructType):
+            return None
+        cond = (ln < constraint) if rule == "minlength" else (ln > constraint)
+        edef = E.MIN_LENGTH if rule == "minlength" else E.MAX_LENGTH
+        return make_violation(
+            gate & cond, edef, doc_path, list(spath) + [rule],
+            constraint=constraint, value=value, value_dtype=dtype,
+            info=ln.cast("string"),
+        )
+
+    def _c_items(self, items, value, dtype, gate, doc_path, spath, scope):
+        """reference: validator.py:1272-1290 — positional element rules."""
+        spath2 = list(spath) + ["items"]
+        direct = [
+            make_violation(
+                gate & (F.size(value) != len(items)), E.ITEMS_LENGTH, doc_path, spath2,
+                constraint=len(items),
+                info=F.size(value).cast("string"),
+            )
+        ]
+        nested = []
+        if isinstance(dtype, T.ArrayType):
+            elem_dt = dtype.elementType
+            size_ok = gate & (F.size(value) == len(items))
+            for i, sub in enumerate(items):
+                arr = self.compile_rules(
+                    sub, value.getItem(i), elem_dt,
+                    list(doc_path) + [str(i)], spath2 + [str(i)], scope,
+                )
+                nested.append(F.when(size_ok, arr).otherwise(empty_violations()))
+        return direct, nested
+
+    def _c_schema(self, sub, value, dtype, gate, doc_path, spath, scope):
+        """reference: validator.py:1479-1526 — nested mapping or per-element
+        rules-set; child leaves carry full paths."""
+        spath2 = list(spath) + ["schema"]
+        if isinstance(dtype, T.StructType):
+            child_fields = {
+                f.name: (value.getField(f.name), f.dataType) for f in dtype.fields
+            }
+            child = Scope(child_fields, doc_path, parent=scope)
+            arr = self.compile_schema(sub, child, spath2)
+            return F.when(gate, arr).otherwise(empty_violations())
+        if isinstance(dtype, T.MapType):
+            # fixed-key subschema over a dynamic map: access declared keys
+            child_fields = {
+                k: (value.getItem(k), dtype.valueType) for k in sub
+            }
+            child = Scope(child_fields, doc_path, parent=scope)
+            arr = self.compile_schema(sub, child, spath2)
+            return F.when(gate, arr).otherwise(empty_violations())
+        if isinstance(dtype, T.ArrayType):
+            elem_dt = dtype.elementType
+            per_elem = F.transform(
+                value,
+                lambda x, i: self.compile_rules(
+                    sub, x, elem_dt, list(doc_path) + [i], spath2, scope
+                ),
+            )
+            return F.when(gate, F.flatten(per_elem)).otherwise(empty_violations())
+        # wrong shape for a schema rule
+        return collect_violations([
+            make_violation(gate, E.BAD_TYPE_FOR_SCHEMA, doc_path, spath2)
+        ])
+
+    def _c_keysrules(self, sub, value, dtype, gate, doc_path, spath, scope):
+        """reference: validator.py:1396-1410 — per-key leaf errors."""
+        spath2 = list(spath) + ["keysrules"]
+        if not isinstance(dtype, T.MapType):
+            return empty_violations()
+        per_key = F.transform(
+            F.map_keys(value),
+            lambda k: self.compile_rules(
+                sub, k, dtype.keyType, list(doc_path) + [k], spath2, scope
+            ),
+        )
+        return F.when(gate, F.flatten(per_key)).otherwise(empty_violations())
+
+    def _c_valuesrules(self, sub, value, dtype, gate, doc_path, spath, scope):
+        """reference: validator.py:1562-1578 — per-entry leaf errors."""
+        spath2 = list(spath) + ["valuesrules"]
+        if not isinstance(dtype, T.MapType):
+            return empty_violations()
+        per_val = F.transform(
+            F.map_entries(value),
+            lambda e: self.compile_rules(
+                sub, e.getField("value"), dtype.valueType,
+                list(doc_path) + [e.getField("key")], spath2, scope,
+            ),
+        )
+        return F.when(gate, F.flatten(per_val)).otherwise(empty_violations())
+
+    def _c_logical(self, op, definitions, outer_rules, value, dtype, gate,
+                   doc_path, spath, scope):
+        """reference: __validate_logical validator.py:1292-1341 — boolean
+        algebra over sub-rules-set predicates; oneof = exactly-one count."""
+        spath2 = list(spath) + [op]
+        valid_flags = []
+        for i, definition in enumerate(definitions):
+            d = dict(definition)
+            # children inherit 'type' from the outer rules (validator.py:1302-1304)
+            if "type" not in d and "type" in outer_rules:
+                d["type"] = outer_rules["type"]
+            sub_arr = self.compile_rules(
+                d, value, dtype, doc_path, spath2 + [str(i)], scope
+            )
+            valid_flags.append((F.size(sub_arr) == 0).cast("int"))
+        valids = sum(valid_flags[1:], valid_flags[0]) if valid_flags else F.lit(0)
+        n = len(definitions)
+        if op == "anyof":
+            cond, edef = valids < 1, E.ANYOF
+        elif op == "allof":
+            cond, edef = valids < n, E.ALLOF
+        elif op == "noneof":
+            cond, edef = valids > 0, E.NONEOF
+        else:  # oneof
+            cond, edef = valids != 1, E.ONEOF
+        return make_violation(
+            gate & cond, edef, doc_path, spath2,
+            constraint=[dict(d) for d in definitions],
+            value=value, value_dtype=dtype,
+            info=valids.cast("string"),
+        )
+
+    def _c_dependencies(self, deps, value, gate, doc_path, spath, scope):
+        """reference: validator.py:1182-1223.  Returns (violations, ok_gate);
+        rules AFTER dependencies in the rules-set are suppressed when the
+        dependency check fails (validator.py:1194-1200)."""
+        spath2 = list(spath) + ["dependencies"]
+        out = []
+        ok = F.lit(True)
+        if isinstance(deps, Mapping):
+            # mapping form: each dep field's value ∈ allowed values
+            unmet_parts = []
+            info_parts = []
+            for dep_name, dep_values in deps.items():
+                if isinstance(dep_values, str) or not isinstance(dep_values, Sequence):
+                    dep_values = [dep_values]
+                col, _dt = scope.lookup(dep_name)
+                if col is None:
+                    unmet_parts.append(F.lit(True))
+                    info_parts.append(F.lit(f"{dep_name}=<missing>"))
+                else:
+                    bad = ~F.coalesce(col.isin(*dep_values), F.lit(False))
+                    unmet_parts.append(bad)
+                    info_parts.append(
+                        F.when(bad, F.concat(F.lit(dep_name + "="), F.coalesce(col.cast("string"), F.lit("None"))))
+                    )
+            any_unmet = unmet_parts[0]
+            for p in unmet_parts[1:]:
+                any_unmet = any_unmet | p
+            info = F.concat_ws(",", *[F.coalesce(p, F.lit("")) for p in info_parts])
+            out.append(
+                make_violation(
+                    gate & any_unmet, E.DEPENDENCIES_FIELD_VALUE, doc_path, spath2,
+                    constraint={k: v for k, v in deps.items()}, info=info,
+                )
+            )
+            ok = ~F.coalesce(gate & any_unmet, F.lit(False))
+        else:
+            if isinstance(deps, str):
+                deps = [deps]
+            for dep in deps:
+                col, _dt = scope.lookup(dep)
+                missing = F.lit(True) if col is None else col.isNull()
+                out.append(
+                    make_violation(
+                        gate & missing, E.DEPENDENCIES_FIELD, doc_path, spath2,
+                        constraint=list(deps), info=str(dep),
+                    )
+                )
+                ok = ok & ~F.coalesce(gate & missing, F.lit(False))
+        return out, ok
+
+    def _c_excludes(self, excluded, value, gate, doc_path, spath, scope):
+        """reference: validator.py:1240-1260 — error when this field and any
+        excluded field are both present (present := not NULL)."""
+        if isinstance(excluded, str):
+            excluded = [excluded]
+        any_present = F.lit(False)
+        for ex in excluded:
+            col, _dt = scope.lookup(ex)
+            if col is not None:
+                any_present = any_present | col.isNotNull()
+        exclusion_str = ", ".join(f"'{x}'" for x in excluded)
+        return make_violation(
+            gate & any_present, E.EXCLUDES_FIELD, doc_path, list(spath) + ["excludes"],
+            constraint=list(excluded), info=exclusion_str,
+        )
+
+    def _c_check_with(self, checks, value, dtype, gate, doc_path, spath):
+        """reference: validator.py:1138-1164 — named checkers resolved from a
+        registry of vectorized (Column-level or pandas-UDF) checkers."""
+        if isinstance(checks, str) or callable(checks):
+            checks = [checks]
+        out = []
+        for chk in checks:
+            name = chk if isinstance(chk, str) else getattr(chk, "__name__", "checker")
+            fn = self.ctx.check_with_registry.get(name) if isinstance(chk, str) else chk
+            if fn is None:
+                raise SchemaError(f"check_with: no registered checker named '{name}'")
+            ok_col = fn(value, dtype)  # must return a boolean Column, vectorized
+            out.append(
+                make_violation(
+                    gate & ~F.coalesce(ok_col, F.lit(True)), E.CUSTOM,
+                    doc_path, list(spath) + ["check_with"],
+                    rule="check_with", constraint=name,
+                    value=value, value_dtype=dtype,
+                    info=f"check '{name}' failed",
+                )
+            )
+        return out
