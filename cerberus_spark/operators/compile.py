@@ -229,9 +229,6 @@ class CompileContext:
     update: bool = False
     regex_engine: str = "auto"  # 'auto' | 'jvm' | 'python'
     check_with_registry: dict[str, Callable] = dc_field(default_factory=dict)
-    # fields un-required because they are part of an `excludes` group
-    # (reference: validator.py:1461-1477 `_unrequired_by_excludes`)
-    unrequired_by_excludes: set = dc_field(default_factory=set)
 
 
 class Scope:
@@ -302,19 +299,52 @@ class RuleCompiler:
         required-fields check + unknown-field handling."""
         expanded = schema.expanded if isinstance(schema, RuleSetSchema) else dict(schema)
 
-        # pre-scan excludes for the required-interplay
-        # (reference: validator.py:1245-1254)
+        # excludes ↔ required interplay (reference: validator.py:1245-1254,
+        # 1461-1477).  A required field f loses its required error exactly
+        # when some *present* required field g declares `excludes: [... f]`
+        # (g present ⇒ its excludes handler ran ⇒ f was added to
+        # _unrequired_by_excludes).  Compile as a per-field OR-of-presence
+        # guard; under 'none' semantics the group instead needs ≥1 non-null
+        # member (the xor support block at validator.py:1473-1477).
+        unrequire_guard: dict[str, list[Column]] = {}
+        excl_group: set[str] = set()
         for fname, rules in expanded.items():
-            if "excludes" in rules:
-                excluded = rules["excludes"]
-                excluded = [excluded] if isinstance(excluded, str) else list(excluded)
-                if rules.get("required", self.ctx.require_all):
-                    self.ctx.unrequired_by_excludes.add(self._abs(schema_path, fname))
-                    for ex in excluded:
-                        if ex in expanded and rules.get("required", self.ctx.require_all):
-                            self.ctx.unrequired_by_excludes.add(self._abs(schema_path, ex))
+            if "excludes" not in rules:
+                continue
+            f_required = rules.get("required", self.ctx.require_all) is True
+            if not f_required:
+                continue
+            excluded = rules["excludes"]
+            excluded = [excluded] if isinstance(excluded, str) else list(excluded)
+            f_col, _ = scope.fields.get(fname, (None, None))
+            excl_group.add(fname)
+            if f_col is not None:
+                unrequire_guard.setdefault(fname, []).append(f_col.isNotNull())
+                for ex in excluded:
+                    if ex in expanded:
+                        unrequire_guard.setdefault(ex, []).append(f_col.isNotNull())
+                        excl_group.add(ex)
 
         arrays: list[Column] = []
+
+        if self.ctx.null_semantics == "none" and excl_group and not self.ctx.update:
+            # at least one member of the exclusion group must be non-null
+            members = [
+                (u, scope.fields.get(u, (None, None))[0]) for u in sorted(excl_group)
+            ]
+            all_null = F.lit(True)
+            for _u, c in members:
+                all_null = all_null & (F.lit(True) if c is None else c.isNull())
+            arrays.append(
+                collect_violations([
+                    make_violation(
+                        all_null, E.REQUIRED_FIELD,
+                        list(scope.doc_path) + [u],
+                        list(schema_path) + [u, "required"], constraint=True,
+                    )
+                    for u, _c in members
+                ])
+            )
         for fname, rules in expanded.items():
             col, dtype = scope.fields.get(fname, (None, None))
             if col is None:
@@ -332,7 +362,12 @@ class RuleCompiler:
                         ])
                     )
                 continue
-            arrays.append(self.compile_field(fname, rules, col, dtype, scope, schema_path))
+            arrays.append(
+                self.compile_field(
+                    fname, rules, col, dtype, scope, schema_path,
+                    unrequire=unrequire_guard.get(fname),
+                )
+            )
 
         # unknown columns (reference: __validate_unknown_fields
         # validator.py:1065-1078) — handled by the engine at top level where
@@ -348,8 +383,8 @@ class RuleCompiler:
     def _is_required(self, schema_path, fname, rules) -> bool:
         if self.ctx.update:
             return False
-        req = rules.get("required", self.ctx.require_all)
-        return bool(req) and self._abs(schema_path, fname) not in self.ctx.unrequired_by_excludes
+        # strict `is True` check mirrors validator.py:1450-1455
+        return rules.get("required", self.ctx.require_all) is True
 
     # -- one field -----------------------------------------------------------
 
@@ -361,11 +396,13 @@ class RuleCompiler:
         dtype: T.DataType,
         scope: Scope,
         schema_path: Sequence,
+        unrequire: list[Column] | None = None,
     ) -> Column:
         doc_path = list(scope.doc_path) + [fname]
         spath = list(schema_path) + [fname]
         return self.compile_rules(
-            rules, value, dtype, doc_path, spath, scope, field_name=fname
+            rules, value, dtype, doc_path, spath, scope, field_name=fname,
+            unrequire=unrequire,
         )
 
     def compile_rules(
@@ -377,6 +414,7 @@ class RuleCompiler:
         spath: Sequence,
         scope: Scope,
         field_name: str | None = None,
+        unrequire: list[Column] | None = None,
     ) -> Column:
         """Compile one rules-set applied to one value expression.
 
@@ -395,9 +433,12 @@ class RuleCompiler:
         # --- existence / nullability (missing := NULL convention, SURVEY §1.4)
         if ctx.null_semantics == "absent":
             if required:
+                req_cond = is_null
+                for guard in unrequire or ():
+                    req_cond = req_cond & ~guard
                 out.append(
                     make_violation(
-                        is_null, E.REQUIRED_FIELD, doc_path, list(spath) + ["required"],
+                        req_cond, E.REQUIRED_FIELD, doc_path, list(spath) + ["required"],
                         constraint=rules.get("required", True),
                     )
                 )
