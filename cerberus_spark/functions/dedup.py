@@ -1,0 +1,229 @@
+"""Deduplication at training-data scale.
+
+* exact         — hash-groupBy on a normalized-text fingerprint
+* MinHash + LSH — shingle → minhash signature → banded bucket join;
+                  candidates verified by true shingle Jaccard
+* SimHash       — 64-bit near-dup signature (vectorized pandas UDF)
+* n-gram Jaccard — exact similarity for candidate verification
+
+Scale notes: every stage is shuffle-bounded by design.  MinHash
+signatures are pure Column algebra (xxhash64 per permutation, array_min
+over shingles) — no Python.  The LSH band explode multiplies rows by
+#bands only (not #shingles); the bucket join groups by (band, hash),
+and only bucket members are pairwise-verified, so the quadratic step is
+confined to buckets (AQE skew-join splits pathological buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
+
+from .text import normalized_text, words, fingerprint
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of identical (normalized) texts: returns
+    (fingerprint, n, keep_id, dup_ids) for groups of size > 1."""
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_col).alias("keep_id"),
+        F.sort_array(F.collect_list(id_col)).alias("all_ids"),
+    )
+    return groups.filter(F.col("n") > 1).select(
+        "fp", "n", "keep_id",
+        F.filter(F.col("all_ids"), lambda x: x != F.col("keep_id")).alias("dup_ids"),
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per normalized text — the
+    classic exact-dedup pass (one shuffle on the 64-bit fingerprint)."""
+    w = W.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text (array<string>).
+    Texts shorter than k words yield their full word-join as one shingle."""
+    w = words(text)
+    n = F.size(w)
+    grams = F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    return grams
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.8, k: int = 3) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via LSH candidates
+    (never a full cross join)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, k=k)
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_perm: int = 32, k: int = 3) -> Column:
+    """num_perm-wide MinHash signature: permutation i is simulated by
+    xxhash64(shingle, i); min over shingles.  Pure Column algebra."""
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_perm: int = 32, bands: int = 8, k: int = 3) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH.
+
+    rows-per-band = num_perm/bands; two docs collide when any band's
+    sub-signature hashes equal.  Explode = ×bands rows; the groupBy is
+    on (band, band_hash) — bounded fan-out, skew handled by AQE."""
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_perm, k).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("_sig").getItem(b * rows_per_band + r).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bhash")
+    buckets = banded.groupBy("band", "bhash").agg(
+        F.sort_array(F.collect_list("_id")).alias("ids")
+    ).filter(F.size("ids") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as id_a, y as id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    return pairs
+
+
+def minhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str,
+                             threshold: float = 0.8, **lsh_kw) -> DataFrame:
+    """Verified near-dup pairs with their Jaccard (the dedup decision
+    input: keep min(id) per connected component — one union-find pass
+    on the pair list, which is tiny relative to the corpus)."""
+    return ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — bit-parallel numpy)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (vectorized per Arrow batch).
+
+    Word hashes use blake2b (process-stable — Python's builtin hash()
+    is salted per process and would make signatures nondeterministic
+    across executors)."""
+    import hashlib
+
+    def word_hash(w: str) -> np.uint64:
+        return np.uint64(
+            int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+        )
+
+    out = np.zeros(len(text), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(text):
+        if not t:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for w in str(t).lower().split():
+            bits = (word_hash(w) >> shifts) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        sig = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
+    (single-probe blocking), verify Hamming ≤ max_hamming in-bucket."""
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig"))
+    sig = sig.withColumn("_block", F.shiftrightunsigned("_sig", 64 - prefix_bits))
+    a = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "_block")
+    b = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "_block")
+    return (
+        a.join(b, "_block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+* brute-force cosine top-k — exact baseline: dot product as
+  ``F.zip_with`` + ``F.aggregate`` (pure Column algebra, codegen), rank
+  via window or global sort-limit
+* LSH-bucketed ANN — random-hyperplane signatures (seeded, driver-side
+  numpy) → bucket equi-join → in-bucket exact rerank: the scale path;
+  touches only colliding buckets instead of the full corpus
+* IVF-style variant — k-means-lite centroids (seeded sample, driver
+  numpy) → assign via broadcast centroid matrix → probe nearest nprobe
+  cells only
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _lit_vec(q) -> Column:
+    return F.array(*[F.lit(float(x)) for x in q])
+
+
+def brute_force_topk(df: DataFrame, emb_col: str, query, k: int = 10,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact cosine top-k for ONE query vector: full scan + global
+    top-k (Spark's orderBy+limit is a per-partition partial top-k then
+    a driver merge — no full sort materialization)."""
+    q = _lit_vec(query)
+    return (
+        df.select(F.col(id_col), cosine(F.col(emb_col), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def brute_force_topk_multi(df: DataFrame, emb_col: str, queries: DataFrame,
+                           k: int = 10, id_col: str = "doc_id",
+                           qid_col: str = "query_id", qemb_col: str = "q_emb") -> DataFrame:
+    """Top-k per query: broadcast the (small) query set, score every
+    (row, query) pair, rank with a window partitioned by query."""
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col), F.col(id_col),
+        cosine(F.col(emb_col), F.col(qemb_col)).alias("score"),
+    )
+    w = W.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, n_bits: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_bucket(emb: Column, planes: np.ndarray) -> Column:
+    """Pack sign(emb·plane_i) bits into an integer bucket id.
+    The plane matrix is embedded as literals (small: n_bits × dim)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        bit = (dot(emb, _lit_vec(plane)) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_topk(df: DataFrame, emb_col: str, query, k: int = 10,
+             id_col: str = "doc_id", n_bits: int = 12, seed: int = 42,
+             dim: int | None = None, multiprobe: int = 0) -> DataFrame:
+    """ANN top-k: probe the query's LSH bucket (plus ``multiprobe``
+    single-bit-flip neighbors), exact-rerank only in-bucket.
+
+    At 100 TB the bucketed table is precomputed+partitioned by bucket;
+    here the bucket column folds into the same scan."""
+    q = np.asarray(query, dtype=float)
+    planes = hyperplanes(dim or len(q), n_bits, seed)
+    qbits = (planes @ q > 0).astype(int)
+    qbucket = int(sum(b << i for i, b in enumerate(qbits)))
+    probes = [qbucket]
+    for flip in range(min(multiprobe, n_bits)):
+        probes.append(qbucket ^ (1 << flip))
+    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(emb_col), planes))
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    return brute_force_topk(cand, emb_col, query, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(df: DataFrame, emb_col: str, n_cells: int = 16,
+                    sample: int = 2048, iters: int = 5, seed: int = 42) -> np.ndarray:
+    """k-means-lite on a seeded driver-side sample (the coarse quantizer
+    codebook is tiny and broadcast; training cost is O(sample))."""
+    rows = df.select(emb_col).limit(sample).collect()
+    X = np.asarray([r[0] for r in rows], dtype=float)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(0)
+    return cent
+
+
+def ivf_cell(emb: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid cell id (argmin of L2 distance, Column algebra)."""
+    best_cell = F.lit(0)
+    best_d = F.lit(float("inf"))
+    for i, c in enumerate(centroids):
+        d = F.aggregate(
+            F.zip_with(emb, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        cond = d < best_d
+        best_cell = F.when(cond, F.lit(i)).otherwise(best_cell)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return best_cell
+
+
+def ivf_topk(df: DataFrame, emb_col: str, query, centroids: np.ndarray,
+             k: int = 10, id_col: str = "doc_id", nprobe: int = 2) -> DataFrame:
+    """Probe the nprobe nearest cells, exact-rerank inside them."""
+    q = np.asarray(query, dtype=float)
+    d = ((centroids - q) ** 2).sum(1)
+    cells = [int(i) for i in d.argsort()[:nprobe]]
+    cand = df.withColumn("_cell", ivf_cell(F.col(emb_col), centroids)).filter(
+        F.col("_cell").isin(cells)
+    )
+    return brute_force_topk(cand, emb_col, query, k, id_col)

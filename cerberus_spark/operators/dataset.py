@@ -1,0 +1,277 @@
+"""Dataset-level constraints the reference cannot express (SURVEY.md §2.5).
+
+The reference engine validates one document at a time
+(/root/reference/cerberus/validator.py:1009-1049) — it has no notion of
+uniqueness, referential integrity, column statistics, or distribution
+drift.  These operators add them Spark-first:
+
+* uniqueness        — salted two-stage groupBy (hot-key skew defused)
+* referential       — broadcast (or AQE-chosen) LEFT ANTI join
+* ordering          — per-partition window (lag) monotonicity check
+* column stats      — one aggregation pass: null rate, HLL distinct,
+                      min/max, approximate quantiles (all map-side
+                      partial-agg + mergeable sketches)
+* drift             — categorical/histogram frequency profiles compared
+                      by KL divergence and PSI against a baseline
+
+All violation outputs share the violation-row contract
+(cerberus_spark.errors.VIOLATION_STRUCT) keyed by the caller's key
+columns, so they union cleanly with per-row rule violations.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .. import errors as E
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _violation_struct(code_def: E.ErrorDefinition, doc_path: Column, schema_path: list,
+                      constraint: str, value: Column, info: Column | None = None) -> Column:
+    return F.struct(
+        doc_path.alias("document_path"),
+        F.array(*[F.lit(p) for p in schema_path]).alias("schema_path"),
+        F.lit(code_def.code).cast("int").alias("code"),
+        F.lit(code_def.rule).cast("string").alias("rule"),
+        F.lit(constraint).cast("string").alias("constraint"),
+        value.cast("string").alias("value"),
+        (info if info is not None else F.lit(None)).cast("string").alias("info"),
+    )
+
+
+def salted_counts(df: DataFrame, keys: list[str], n_salt: int = 16) -> DataFrame:
+    """Two-stage count per key: stage 1 aggregates (keys, salt) so a hot
+    key's rows spread over ``n_salt`` reducers; stage 2 merges the
+    partials.  (North-rule skew handling; on top of Spark's own map-side
+    partial aggregation, this bounds reducer fan-in for pathological
+    keys.)  Returns (keys..., n)."""
+    salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salt))
+    stage1 = (
+        df.select(*keys, salt.alias("_salt"))
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return stage1.groupBy(*keys).agg(F.sum("_partial").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# uniqueness
+# ---------------------------------------------------------------------------
+
+
+def uniqueness_violations(df: DataFrame, keys: list[str], n_salt: int = 16) -> DataFrame:
+    """One violation row per row participating in a duplicated key.
+
+    NOT_UNIQUE (0x101).  Returns (keys..., + violation fields)."""
+    dupes = salted_counts(df, keys, n_salt).filter(F.col("n") > 1)
+    joined = df.select(*keys).join(F.broadcast(dupes), keys, "inner")
+    key_json = F.to_json(F.struct(*[F.col(k) for k in keys]))
+    v = _violation_struct(
+        E.NOT_UNIQUE,
+        F.array(*[F.lit(k) for k in keys]),
+        ["__dataset__", "unique"],
+        ",".join(keys),
+        key_json,
+        F.col("n").cast("string"),
+    )
+    return joined.select(*keys, v.alias("v")).select(*keys, "v.*")
+
+
+def distinct_violating_keys(df: DataFrame, keys: list[str], n_salt: int = 16) -> DataFrame:
+    """(keys..., n) for keys appearing more than once — the compact form."""
+    return salted_counts(df, keys, n_salt).filter(F.col("n") > 1)
+
+
+# ---------------------------------------------------------------------------
+# referential integrity
+# ---------------------------------------------------------------------------
+
+
+def referential_violations(
+    df: DataFrame,
+    dim: DataFrame,
+    fk: str,
+    pk: str | None = None,
+    keys: list[str] | None = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Rows of ``df`` whose ``fk`` has no match in ``dim.pk`` →
+    ORPHAN_REFERENCE (0x102) violation rows.
+
+    Uses LEFT ANTI join; the dim side is distinct-projected first and
+    broadcast when small (at 100 TB scale set broadcast_dim=False and
+    let AQE pick broadcast/sort-merge from runtime stats)."""
+    pk = pk or fk
+    keys = keys or [fk]
+    dim_keys = dim.select(F.col(pk).alias(fk)).distinct()
+    if broadcast_dim:
+        dim_keys = F.broadcast(dim_keys)
+    orphans = df.select(*dict.fromkeys(keys + [fk])).join(dim_keys, fk, "left_anti")
+    v = _violation_struct(
+        E.ORPHAN_REFERENCE,
+        F.array(F.lit(fk)),
+        ["__dataset__", "referential"],
+        f"{fk} -> {pk}",
+        F.col(fk),
+    )
+    return orphans.select(*keys, v.alias("v")).select(*keys, "v.*")
+
+
+# ---------------------------------------------------------------------------
+# ordering (per-conversation monotonicity)
+# ---------------------------------------------------------------------------
+
+
+def ordering_violations(
+    df: DataFrame,
+    partition_by: str,
+    order_by: str,
+    ts_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Turns whose ``ts`` regresses vs the previous turn (by
+    ``order_by``) within a conversation → ORDERING_VIOLATION (0x103).
+
+    Window shuffle partitions by ``partition_by`` — the explicit
+    repartition the north rule asks for; AQE handles long-tail skew."""
+    from pyspark.sql import Window as W
+
+    keys = keys or [partition_by, order_by]
+    w = W.partitionBy(partition_by).orderBy(order_by)
+    narrow = df.select(*dict.fromkeys(keys + [partition_by, order_by, ts_col]))
+    lagged = narrow.repartition(partition_by).select(
+        *keys, F.col(ts_col), F.lag(ts_col).over(w).alias("_prev_ts")
+    )
+    bad = lagged.filter(F.col("_prev_ts").isNotNull() & (F.col(ts_col) < F.col("_prev_ts")))
+    v = _violation_struct(
+        E.ORDERING_VIOLATION,
+        F.array(F.lit(ts_col)),
+        ["__dataset__", "ordering"],
+        f"{ts_col} monotone per {partition_by} (by {order_by})",
+        F.col(ts_col),
+        F.col("_prev_ts").cast("string"),
+    )
+    return bad.select(*keys, v.alias("v")).select(*keys, "v.*")
+
+
+# ---------------------------------------------------------------------------
+# column statistics
+# ---------------------------------------------------------------------------
+
+
+def column_stats(df: DataFrame, columns: list[str] | None = None,
+                 quantiles: tuple = (0.25, 0.5, 0.75, 0.95)) -> DataFrame:
+    """One aggregation pass → long-format stats table:
+    (column, null_rate, n_distinct, min, max, quantiles array).
+
+    Everything is partial-aggregatable JVM-side: avg(isnull),
+    approx_count_distinct (HLL++), min/max, percentile_approx."""
+    columns = columns or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    for c in columns:
+        aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__null_rate"))
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__n_distinct"))
+        aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+        if dtypes.get(c) in numeric:
+            aggs.append(
+                F.percentile_approx(c, list(quantiles)).alias(f"{c}__quantiles")
+            )
+    row = df.agg(*aggs).first().asDict()
+    spark = df.sparkSession
+    out = []
+    for c in columns:
+        out.append(
+            {
+                "column": c,
+                "null_rate": float(row[f"{c}__null_rate"] or 0.0),
+                "n_distinct": int(row[f"{c}__n_distinct"] or 0),
+                "min": row[f"{c}__min"],
+                "max": row[f"{c}__max"],
+                "quantiles": [float(q) for q in row.get(f"{c}__quantiles") or []],
+            }
+        )
+    return spark.createDataFrame(
+        out,
+        "column string, null_rate double, n_distinct long, min string, "
+        "max string, quantiles array<double>",
+    )
+
+
+# ---------------------------------------------------------------------------
+# drift detection (KL divergence + PSI vs a checkpointed baseline)
+# ---------------------------------------------------------------------------
+
+
+def categorical_profile(df: DataFrame, expr: Column | str, key: str) -> DataFrame:
+    """Frequency profile (key, bucket, freq) for a categorical expression
+    — one shuffle over few distinct buckets; freq normalized to 1."""
+    col = F.col(expr) if isinstance(expr, str) else expr
+    counts = df.groupBy(col.cast("string").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n")).first()[0] or 1
+    return counts.select(
+        F.lit(key).alias("key"),
+        F.coalesce(F.col("bucket"), F.lit("<null>")).alias("bucket"),
+        (F.col("n") / F.lit(float(total))).alias("freq"),
+    )
+
+
+def length_histogram_profile(df: DataFrame, col: str, key: str,
+                             bucket_width: int = 100, n_buckets: int = 20) -> DataFrame:
+    """Text-length histogram profile with a capped bucket count."""
+    bucket = F.least(
+        F.floor(F.coalesce(F.length(F.col(col)), F.lit(-1)) / bucket_width),
+        F.lit(n_buckets - 1),
+    ).cast("string")
+    return categorical_profile(df, bucket, key)
+
+
+def drift_metrics(current: DataFrame, baseline: DataFrame, eps: float = 1e-6) -> list[dict]:
+    """KL(current‖baseline) and PSI per profile key.  Both inputs are
+    small aggregated profiles (key, bucket, freq); the math runs
+    driver-side on collected rows (SURVEY.md §2.5)."""
+    cur = {(r["key"], r["bucket"]): r["freq"] for r in current.collect()}
+    base = {(r["key"], r["bucket"]): r["freq"] for r in baseline.collect()}
+    keys = sorted({k for k, _ in cur} | {k for k, _ in base})
+    out = []
+    for key in keys:
+        buckets = sorted(
+            {b for (k, b) in cur if k == key} | {b for (k, b) in base if k == key}
+        )
+        kl = psi = 0.0
+        for b in buckets:
+            p = max(cur.get((key, b), 0.0), eps)
+            q = max(base.get((key, b), 0.0), eps)
+            kl += p * math.log(p / q)
+            psi += (p - q) * math.log(p / q)
+        out.append({"key": key, "kl": kl, "psi": psi})
+    return out
+
+
+def drift_violations(spark, metrics: list[dict], psi_threshold: float = 0.2) -> DataFrame:
+    """DRIFT_DETECTED (0x104) rows for profile keys whose PSI exceeds
+    the threshold (industry convention: 0.1 moderate, 0.2 major)."""
+    rows = [
+        {
+            "document_path": [m["key"]],
+            "schema_path": ["__dataset__", "drift"],
+            "code": E.DRIFT_DETECTED.code,
+            "rule": E.DRIFT_DETECTED.rule,
+            "constraint": f"psi<{psi_threshold}",
+            "value": f"psi={m['psi']:.6f}",
+            "info": f"kl={m['kl']:.6f}",
+        }
+        for m in metrics
+        if m["psi"] > psi_threshold
+    ]
+    return spark.createDataFrame(rows, E.VIOLATION_STRUCT) if rows else spark.createDataFrame([], E.VIOLATION_STRUCT)

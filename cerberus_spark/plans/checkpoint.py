@@ -1,0 +1,98 @@
+"""Resumable validation runs: per-partition checkpoint + lineage.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics".  Each validation run partitions the input by a
+stable hash of the conversation id, records one checkpoint row per
+finished partition —
+
+    checkpoint(part_id int, snapshot_id string, rule_schema_hash string,
+               predicate_set string, status string, n_turns long,
+               n_failed long, n_violations long, finished_ts timestamp)
+
+— and a restart skips partitions already 'done' for the SAME lineage
+(snapshot_id + rule_schema_hash + predicate_set).  A changed schema or
+changed input invalidates the old rows by construction (lineage
+mismatch), which is exactly the reference's schema-hash cache idea
+(validator.py:136-140, utils.py:57-84) promoted to a durable table.
+
+Storage is a parquet append-dir here (works against any filesystem);
+swap to an Iceberg table transparently when its catalog is configured.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CHECKPOINT_SCHEMA = (
+    "part_id int, snapshot_id string, rule_schema_hash string, "
+    "predicate_set string, status string, n_turns long, n_failed long, "
+    "n_violations long, finished_ts timestamp"
+)
+
+
+def part_id_col(conv_col: str = "conv_id", n_parts: int = 64):
+    """Stable partition id: pmod(xxhash64(conv_id), n_parts).
+
+    Hash-bucketing by conversation keeps all turns of one conversation
+    in one partition (so per-partition pass/fail is conversation-complete)
+    and matches an Iceberg `bucket(conv_id, n)` partition spec."""
+    return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_parts)).cast("int")
+
+
+def snapshot_id(df: DataFrame) -> str:
+    """Lineage id of the input: Iceberg snapshot when available, else a
+    hash of the sorted input-file list."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    if not files:
+        return "in-memory"
+    return hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+
+    def done_partitions(self, snapshot: str, schema_hash: str,
+                        predicate_set: str = "") -> list[int]:
+        rows = (
+            self.read()
+            .filter(
+                (F.col("status") == "done")
+                & (F.col("snapshot_id") == snapshot)
+                & (F.col("rule_schema_hash") == schema_hash)
+                & (F.col("predicate_set") == predicate_set)
+            )
+            .select("part_id")
+            .distinct()
+            .collect()
+        )
+        return sorted(r.part_id for r in rows)
+
+    def commit(self, per_part_summary: DataFrame, snapshot: str, schema_hash: str,
+               predicate_set: str = "") -> None:
+        """Append 'done' rows from a summary df (part_id, n_rows, n_failed,
+        n_violations)."""
+        out = per_part_summary.select(
+            F.col("part_id").cast("int"),
+            F.lit(snapshot).alias("snapshot_id"),
+            F.lit(schema_hash).alias("rule_schema_hash"),
+            F.lit(predicate_set).alias("predicate_set"),
+            F.lit("done").alias("status"),
+            F.col("n_rows").cast("long").alias("n_turns"),
+            F.col("n_failed").cast("long"),
+            F.col("n_violations").cast("long"),
+            F.current_timestamp().alias("finished_ts"),
+        )
+        out.write.mode("append").parquet(self.path)

@@ -1,0 +1,182 @@
+"""The full validation pass: per-turn rules + dataset constraints +
+checkpointed, resumable writes.  This is the job `spark-submit` runs.
+
+One pass over the transcripts table computes (north star):
+
+1. per-turn rule violations + normalized columns  (single projection)
+2. per-partition pass/fail summary                (one groupBy)
+3. uniqueness of (conv_id, turn_idx)              (salted two-stage agg)
+4. referential conv_id ⋉ conversations            (broadcast anti join)
+5. ts-ordering per conversation                   (window after
+                                                   repartition(conv_id))
+6. role/tool frequency + text-length drift vs a checkpointed baseline
+   (KL + PSI on small aggregated profiles)
+7. checkpoint commit with lineage (snapshot, rule-schema hash) so a
+   killed job restarts only unvalidated partitions
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .engine import SparkValidator
+from .operators import dataset as D
+from .plans.checkpoint import CheckpointStore, part_id_col, snapshot_id
+
+
+@dataclass
+class RunConfig:
+    out_dir: str
+    n_parts: int = 64
+    key_cols: tuple = ("conv_id", "turn_idx")
+    conv_col: str = "conv_id"
+    order_col: str = "turn_idx"
+    ts_col: str = "ts"
+    psi_threshold: float = 0.2
+    write_annotated: bool = False
+    resume: bool = True
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class RunReport:
+    n_turns: int
+    n_failed: int
+    n_rule_violations: int
+    n_unique_violations: int
+    n_orphan_violations: int
+    n_ordering_violations: int
+    drift: list
+    skipped_partitions: int
+
+
+class ValidationRun:
+    def __init__(self, schema: dict, config: RunConfig, **validator_kw):
+        self.validator = SparkValidator(schema, key_cols=config.key_cols, **validator_kw)
+        self.config = config
+
+    # ------------------------------------------------------------------
+
+    def execute(self, df: DataFrame, conversations: DataFrame | None = None) -> RunReport:
+        cfg = self.config
+        spark = df.sparkSession
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        store = CheckpointStore(spark, os.path.join(cfg.out_dir, "checkpoint"))
+        snap = snapshot_id(df)
+        shash = self.validator.schema_hash
+
+        # -- resume: prune already-validated partitions -------------------
+        df = df.withColumn("part_id", part_id_col(cfg.conv_col, cfg.n_parts))
+        skipped = 0
+        if cfg.resume:
+            done = store.done_partitions(snap, shash)
+            if done:
+                skipped = len(done)
+                df = df.filter(~F.col("part_id").isin(done))
+
+        # -- 1. per-turn validation (single projection) --------------------
+        annotated = self.validator.annotate(df)
+        annotated.persist()
+        try:
+            keys = list(cfg.key_cols)
+
+            # -- 2. rule violations + per-partition summary ----------------
+            viol = annotated.select(
+                *keys, "part_id", F.explode("violations").alias("v")
+            ).select(*keys, "part_id", "v.*")
+            viol.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "violations"))
+
+            summary = annotated.groupBy("part_id").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
+                F.sum(F.size("violations").cast("long")).alias("n_violations"),
+            )
+            summary.persist()
+            summary.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "summary"))
+
+            if cfg.write_annotated:
+                annotated.write.mode("overwrite").partitionBy("part_id").parquet(
+                    os.path.join(cfg.out_dir, "annotated")
+                )
+
+            # -- 3..5 dataset-level checks ---------------------------------
+            uniq = D.uniqueness_violations(annotated, keys)
+            orphans = (
+                D.referential_violations(
+                    annotated, conversations, cfg.conv_col, keys=keys
+                )
+                if conversations is not None
+                else None
+            )
+            ordering = D.ordering_violations(
+                annotated, cfg.conv_col, cfg.order_col, cfg.ts_col, keys=keys
+            )
+            ds_viol = uniq
+            for extra in (orphans, ordering):
+                if extra is not None:
+                    ds_viol = ds_viol.unionByName(extra)
+            ds_viol.write.mode("overwrite").parquet(
+                os.path.join(cfg.out_dir, "dataset_violations")
+            )
+
+            # -- 6. drift vs checkpointed baseline -------------------------
+            profiles = (
+                D.categorical_profile(annotated, "role", "role")
+                .unionByName(D.categorical_profile(annotated, "tool", "tool"))
+                .unionByName(D.length_histogram_profile(annotated, "text", "text_len"))
+            )
+            baseline_path = os.path.join(cfg.out_dir, "baseline_stats")
+            drift = []
+            if os.path.exists(baseline_path):
+                baseline = spark.read.parquet(baseline_path)
+                drift = D.drift_metrics(profiles, baseline)
+            else:
+                profiles.write.mode("overwrite").parquet(baseline_path)
+
+            # -- 7. checkpoint commit --------------------------------------
+            store.commit(summary, snap, shash)
+
+            totals = summary.agg(
+                F.sum("n_rows"), F.sum("n_failed"), F.sum("n_violations")
+            ).first()
+            n_uniq = D.distinct_violating_keys(annotated, keys).count()
+            n_orph = orphans.count() if orphans is not None else 0
+            n_ord = ordering.count()
+            return RunReport(
+                n_turns=int(totals[0] or 0),
+                n_failed=int(totals[1] or 0),
+                n_rule_violations=int(totals[2] or 0),
+                n_unique_violations=int(n_uniq),
+                n_orphan_violations=int(n_orph),
+                n_ordering_violations=int(n_ord),
+                drift=drift,
+                skipped_partitions=skipped,
+            )
+        finally:
+            annotated.unpersist()
+
+
+def main():  # pragma: no cover — spark-submit entry point
+    """spark-submit --py-files cerberus_spark.zip -m cerberus_spark.run"""
+    import argparse
+
+    from .sources.transcripts import TURN_SCHEMA, load
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--n-parts", type=int, default=64)
+    args = p.parse_args()
+
+    spark = SparkSession.builder.appName("cerberus_spark.run").getOrCreate()
+    t, c = load(spark, args.data_dir)
+    run = ValidationRun(TURN_SCHEMA, RunConfig(out_dir=args.out_dir, n_parts=args.n_parts))
+    report = run.execute(t, c)
+    print(report)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

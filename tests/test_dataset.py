@@ -1,0 +1,105 @@
+"""Dataset-level constraint operators + the full checkpointed run."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.operators import dataset as D
+from cerberus_spark.run import RunConfig, ValidationRun
+from cerberus_spark.sources.transcripts import TURN_SCHEMA, synthesize
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    t, c = synthesize(5000, seed=42)
+    return spark.createDataFrame(t), spark.createDataFrame(c)
+
+
+def test_uniqueness(spark, data):
+    t, _ = data
+    dupes = D.distinct_violating_keys(t, ["conv_id", "turn_idx"])
+    expected = (
+        t.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes.count() == expected > 0
+    rows = D.uniqueness_violations(t, ["conv_id", "turn_idx"])
+    n_rows_in_dup_keys = (
+        t.join(t.groupBy("conv_id", "turn_idx").count().filter("count > 1")
+               .select("conv_id", "turn_idx"), ["conv_id", "turn_idx"]).count()
+    )
+    assert rows.count() == n_rows_in_dup_keys
+    assert rows.first().code == 0x101
+
+
+def test_referential(spark, data):
+    t, c = data
+    orphans = D.referential_violations(t, c, "conv_id", keys=["conv_id", "turn_idx"])
+    expected = t.join(c.select("conv_id"), "conv_id", "left_anti").count()
+    assert orphans.count() == expected > 0
+    assert orphans.first().code == 0x102
+
+
+def test_ordering(spark, data):
+    t, _ = data
+    bad = D.ordering_violations(t, "conv_id", "turn_idx", "ts",
+                                keys=["conv_id", "turn_idx"])
+    assert bad.count() > 0
+    assert bad.first().code == 0x103
+
+
+def test_column_stats(spark, data):
+    t, _ = data
+    stats = {r["column"]: r.asDict() for r in D.column_stats(t).collect()}
+    assert 0 < stats["text"]["null_rate"] < 0.05
+    assert stats["turn_idx"]["null_rate"] == 0.0
+    assert stats["role"]["n_distinct"] >= 4
+    assert len(stats["turn_idx"]["quantiles"]) == 4
+
+
+def test_drift(spark):
+    t1, _ = synthesize(3000, seed=42, drift=False)
+    t2, _ = synthesize(3000, seed=42, drift=True)
+    df1, df2 = spark.createDataFrame(t1), spark.createDataFrame(t2)
+    p1 = D.categorical_profile(df1, "role", "role").unionByName(
+        D.length_histogram_profile(df1, "text", "text_len"))
+    p2 = D.categorical_profile(df2, "role", "role").unionByName(
+        D.length_histogram_profile(df2, "text", "text_len"))
+    same = D.drift_metrics(p1, p1)
+    assert all(abs(m["psi"]) < 1e-9 for m in same)
+    moved = {m["key"]: m for m in D.drift_metrics(p2, p1)}
+    assert moved["text_len"]["psi"] > 0.2  # drift split doubled text length
+    assert moved["role"]["psi"] > 0.01
+
+
+def test_full_run_and_resume(spark, data):
+    t, c = data
+    out = tempfile.mkdtemp(prefix="cerbrun_")
+    try:
+        cfg = RunConfig(out_dir=out, n_parts=8)
+        run = ValidationRun(TURN_SCHEMA, cfg)
+        r1 = run.execute(t, c)
+        assert r1.n_turns == 5000
+        assert r1.n_failed > 0
+        assert r1.skipped_partitions == 0
+        assert r1.n_unique_violations > 0
+        assert r1.n_orphan_violations > 0
+        assert r1.n_ordering_violations > 0
+
+        viols = spark.read.parquet(out + "/violations")
+        assert viols.count() == r1.n_rule_violations
+
+        # resume: everything already validated → all partitions skipped
+        r2 = ValidationRun(TURN_SCHEMA, cfg).execute(t, c)
+        assert r2.skipped_partitions == 8
+        assert r2.n_turns == 0
+
+        # changed schema hash → full revalidation
+        schema2 = dict(TURN_SCHEMA)
+        schema2["role"] = {"type": "string", "allowed": ["system", "user"]}
+        r3 = ValidationRun(schema2, cfg).execute(t, c)
+        assert r3.skipped_partitions == 0
+        assert r3.n_turns == 5000
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
