@@ -1,38 +1,404 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship validation query on sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` carries the DuckDB-equivalent SQL for the
+SQL-expressible ones (identical column names/types both sides).
+Cerberus-rule parity itself is additionally proven by the differential
+oracle tests (tests/test_differential_oracle.py) against the reference.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cerberus_spark import SparkValidator
+from cerberus_spark.functions import dedup, multimodal, similarity, text
+from cerberus_spark.operators import dataset as D
+
+# ---------------------------------------------------------------------------
+# rule-set applied to the `events` table (drives the validation queries)
+# ---------------------------------------------------------------------------
+
+EVENTS_RULES = {
+    "event_id": {"type": "integer", "required": True, "min": 0},
+    "user_id": {"type": "integer", "required": True, "min": 0, "max": 120},
+    "event_type": {"type": "string", "required": True,
+                   "allowed": ["click", "view", "purchase", "signup"]},
+    "value": {"type": "float", "min": 0.5, "max": 400.0},
+    "props": {"type": "string", "regex": r"\{\"k\": [0-9]{2}\}"},
+    "ts": {"type": "datetime", "required": True},
+}
+
+_DOC_LANGS = {
+    "en": text.STOPWORDS["en"],
+    "de": text.STOPWORDS["de"],
+    "fr": text.STOPWORDS["fr"],
+}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_validate_events_violations(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    res = SparkValidator(EVENTS_RULES, key_cols=("event_id",)).validate(ev)
+    return res.violations.select(
+        "event_id",
+        F.element_at("document_path", 1).alias("field"),
+        F.col("code").cast("int").alias("code"),
+        "rule",
+    )
+
+
+def q_validate_events_summary(spark, sf_dir):
+    return (
+        q_validate_events_violations(spark, sf_dir)
+        .groupBy("field", "rule", "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_uniqueness_lineitem(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return D.distinct_violating_keys(li, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", F.col("n").cast("long").alias("n")
+    )
+
+
+def q_referential_orphans_orders(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    orphans = D.referential_violations(
+        orders, customer, fk="o_custkey", pk="c_custkey",
+        keys=["o_orderkey", "o_custkey"],
+    )
+    return orphans.select("o_orderkey", "o_custkey", F.col("code").cast("int").alias("code"))
+
+
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def q_stats_profile_lineitem(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STATS_COLS:
+        aggs += [
+            F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__nr"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    r = li.agg(*aggs).first()
+    rows = [
+        (c, float(r[f"{c}__nr"]), int(r[f"{c}__nd"]),
+         float(r[f"{c}__min"]), float(r[f"{c}__max"]))
+        for c in _STATS_COLS
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, null_rate double, n_distinct long, min_v double, max_v double"
+    )
+
+
+def q_ordering_events(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    bad = D.ordering_violations(ev, "user_id", "event_id", "ts",
+                                keys=["user_id", "event_id"])
+    return bad.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def q_drift_event_type_profile(spark, sf_dir):
+    """Frequency profile of event_type in the first vs second half of the
+    stream (split at max(event_id)/2) — the drift-detector input, with
+    bit-exact ratios so the DuckDB oracle matches exactly."""
+    ev = _read(spark, sf_dir, "events")
+    mid = ev.agg(F.max("event_id")).first()[0] // 2
+    counts = ev.groupBy("event_type").agg(
+        F.sum((F.col("event_id") <= mid).cast("long")).alias("n_first"),
+        F.sum((F.col("event_id") > mid).cast("long")).alias("n_second"),
+    )
+    totals = counts.agg(F.sum("n_first"), F.sum("n_second")).first()
+    t1, t2 = int(totals[0]), int(totals[1])
+    return counts.select(
+        "event_type",
+        (F.col("n_first") / F.lit(t1)).alias("p"),
+        (F.col("n_second") / F.lit(t2)).alias("q"),
+    )
+
+
+def q_dedup_exact_props(spark, sf_dir):
+    """Exact dedup groups over the events.props payload column."""
+    ev = _read(spark, sf_dir, "events")
+    groups = dedup.exact_duplicates(ev, "props", "event_id")
+    return groups.select(
+        F.col("keep_id").alias("keep_id"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def q_lang_id_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(text.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_token_stats_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tok"),
+        text.bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+    )
+
+
+def q_quality_documents(spark, sf_dir):
+    """Quality-signal columns (exact ratios; no float rounding risk)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.round(text.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+        F.round(text.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+def q_topk_embeddings_cosine(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = similarity.brute_force_topk(emb, "embedding", qvec, k=10, id_col="vec_id")
+    return top.select("vec_id", F.round("score", 4).alias("score"))
+
+
+# -- rows-only (not expressible in ANSI SQL / DuckDB) ------------------------
+
+
+def q_flagship_transcripts(spark, sf_dir):
+    """Full per-turn rule validation over the deterministic synthetic
+    transcripts (the north-star workload); violation rows keyed by
+    (conv_id, turn_idx)."""
+    from cerberus_spark.sources.transcripts import TURN_SCHEMA, synthesize
+
+    t, _ = synthesize(5000, seed=42)
+    df = spark.createDataFrame(t)
+    res = SparkValidator(TURN_SCHEMA, key_cols=("conv_id", "turn_idx")).validate(df)
+    return res.violations.select(
+        "conv_id", "turn_idx",
+        F.element_at("document_path", 1).alias("field"),
+        F.col("code").cast("int").alias("code"), "rule",
+    )
+
+
+def q_minhash_candidates_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, "doc_id", "text", num_perm=32, bands=16)
+
+
+def q_simhash_near_dups_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=8)
+
+
+def q_lsh_topk_embeddings(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = similarity.lsh_topk(emb, "embedding", qvec, k=10, id_col="vec_id",
+                              n_bits=8, multiprobe=4)
+    return top.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def q_multimodal_features_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").limit(50).select(
+        "doc_id", F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload")
+    )
+    feats = multimodal.extract_features(docs, "doc_id", "payload", fake=True)
+    return feats.select("doc_id", F.size("features").alias("n_features"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: compiled rule validation."""
+    return q_validate_events_violations(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_events_violations": q_validate_events_violations,
+        "validate_events_summary": q_validate_events_summary,
+        "uniqueness_lineitem": q_uniqueness_lineitem,
+        "referential_orphans_orders": q_referential_orphans_orders,
+        "stats_profile_lineitem": q_stats_profile_lineitem,
+        "ordering_events": q_ordering_events,
+        "drift_event_type_profile": q_drift_event_type_profile,
+        "dedup_exact_props": q_dedup_exact_props,
+        "lang_id_documents": q_lang_id_documents,
+        "token_stats_documents": q_token_stats_documents,
+        "quality_documents": q_quality_documents,
+        "topk_embeddings_cosine": q_topk_embeddings_cosine,
+        # rows-only (non-SQL-expressible)
+        "flagship_transcripts": q_flagship_transcripts,
+        "minhash_candidates_documents": q_minhash_candidates_documents,
+        "simhash_near_dups_documents": q_simhash_near_dups_documents,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "multimodal_features_documents": q_multimodal_features_documents,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in _DOC_LANGS.items()}
+
+_EVENTS_VIOLATIONS_SQL = """
+SELECT event_id, 'user_id' AS field, 67 AS code, 'max' AS rule
+  FROM events WHERE user_id IS NOT NULL AND user_id > 120
+UNION ALL
+SELECT event_id, 'event_type', 68, 'allowed' FROM events
+ WHERE event_type IS NOT NULL
+   AND event_type NOT IN ('click','view','purchase','signup')
+UNION ALL
+SELECT event_id, 'value', 66, 'min' FROM events
+ WHERE value IS NOT NULL AND value < 0.5
+UNION ALL
+SELECT event_id, 'value', 67, 'max' FROM events
+ WHERE value IS NOT NULL AND value > 400.0
+UNION ALL
+SELECT event_id, 'props', 65, 'regex' FROM events
+ WHERE props IS NOT NULL AND NOT regexp_matches(props, '^(?:\\{{"k": [0-9]{{2}}\\}}$)')
+UNION ALL
+SELECT event_id, 'user_id', 2, 'required' FROM events WHERE user_id IS NULL
+UNION ALL
+SELECT event_id, 'event_type', 2, 'required' FROM events WHERE event_type IS NULL
+UNION ALL
+SELECT event_id, 'ts', 2, 'required' FROM events WHERE ts IS NULL
+UNION ALL
+SELECT event_id, 'event_id', 66, 'min' FROM events
+ WHERE event_id IS NOT NULL AND event_id < 0
+UNION ALL
+SELECT event_id, 'user_id', 66, 'min' FROM events
+ WHERE user_id IS NOT NULL AND user_id < 0
+""".format()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_events_violations": _EVENTS_VIOLATIONS_SQL,
+        "validate_events_summary": (
+            "SELECT field, rule, code, count(*) AS n FROM ("
+            + _EVENTS_VIOLATIONS_SQL
+            + ") GROUP BY field, rule, code"
+        ),
+        "uniqueness_lineitem": """
+            SELECT l_orderkey, l_linenumber, count(*) AS n
+            FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+        """,
+        "referential_orphans_orders": """
+            SELECT o_orderkey, o_custkey, 258 AS code FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        """,
+        "stats_profile_lineitem": """
+            SELECT 'l_quantity' AS col_name,
+                   avg(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END)::DOUBLE AS null_rate,
+                   count(DISTINCT l_quantity) AS n_distinct,
+                   min(l_quantity)::DOUBLE AS min_v, max(l_quantity)::DOUBLE AS max_v FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   avg(CASE WHEN l_extendedprice IS NULL THEN 1.0 ELSE 0.0 END)::DOUBLE,
+                   count(DISTINCT l_extendedprice),
+                   min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE FROM lineitem
+            UNION ALL
+            SELECT 'l_discount',
+                   avg(CASE WHEN l_discount IS NULL THEN 1.0 ELSE 0.0 END)::DOUBLE,
+                   count(DISTINCT l_discount),
+                   min(l_discount)::DOUBLE, max(l_discount)::DOUBLE FROM lineitem
+        """,
+        "ordering_events": """
+            SELECT user_id, count(*) AS n FROM (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+                FROM events
+            ) WHERE prev_ts IS NOT NULL AND ts < prev_ts
+            GROUP BY user_id
+        """,
+        "drift_event_type_profile": """
+            WITH mid AS (SELECT max(event_id) // 2 AS m FROM events),
+            counts AS (
+                SELECT event_type,
+                       sum(CASE WHEN event_id <= (SELECT m FROM mid) THEN 1 ELSE 0 END) AS n_first,
+                       sum(CASE WHEN event_id > (SELECT m FROM mid) THEN 1 ELSE 0 END) AS n_second
+                FROM events GROUP BY event_type
+            ), totals AS (SELECT sum(n_first) AS t1, sum(n_second) AS t2 FROM counts)
+            SELECT event_type,
+                   n_first / (SELECT t1 FROM totals) AS p,
+                   n_second / (SELECT t2 FROM totals) AS q
+            FROM counts
+        """,
+        "dedup_exact_props": """
+            SELECT min(event_id) AS keep_id, count(*) AS n
+            FROM events
+            GROUP BY trim(regexp_replace(lower(coalesce(props, '')), '\\s+', ' ', 'g'))
+            HAVING count(*) > 1
+        """,
+        "lang_id_documents": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                   x -> length(x) > 0) AS ws
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       len(list_filter(ws, x -> list_contains([{_SW['en']}], x))) AS en,
+                       len(list_filter(ws, x -> list_contains([{_SW['de']}], x))) AS de,
+                       len(list_filter(ws, x -> list_contains([{_SW['fr']}], x))) AS fr
+                FROM w
+            )
+            SELECT CASE WHEN fr > de AND fr > en AND fr > 0 THEN 'fr'
+                        WHEN de > en AND de > 0 THEN 'de'
+                        WHEN en > 0 THEN 'en'
+                        ELSE 'und' END AS lang_pred,
+                   count(*) AS n
+            FROM s GROUP BY 1
+        """,
+        "token_stats_documents": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                   x -> length(x) > 0))::BIGINT AS n_tok,
+                   len(regexp_extract_all(coalesce(text, ''),
+                                          '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe
+            FROM documents
+        """,
+        "quality_documents": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                   x -> length(x) > 0))::BIGINT AS n_tok,
+                   round(CASE WHEN length(coalesce(text, '')) > 0
+                              THEN length(regexp_replace(coalesce(text, ''), '[^a-zA-Z]', '', 'g'))
+                                   / length(coalesce(text, ''))
+                              ELSE 0.0 END, 6) AS alpha_ratio,
+                   round(CASE WHEN length(coalesce(text, '')) > 0
+                              THEN length(regexp_replace(coalesce(text, ''), '[^!-/:-@\\[-`{-~]', '', 'g'))
+                                   / length(coalesce(text, ''))
+                              ELSE 0.0 END, 6) AS punct_ratio
+            FROM documents
+        """,
+        "topk_embeddings_cosine": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS score
+            FROM embeddings e
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id
+            LIMIT 10
+        """,
+    }

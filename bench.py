@@ -1,0 +1,119 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship workload is the north-rule full validation pass (per-turn
+rules + uniqueness + referential + ordering + drift + checkpoint write)
+over the deterministic synthetic transcripts at the matching scale
+(sf0.1 → 600k turns).  `value` is its wall-clock; the JSON also carries
+`turns_per_sec`.  Run scripts/scaling_bench.py for the N-vs-4N
+efficiency evidence (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+_SF_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000, "sf1": 6_000_000}
+
+
+def sf_of(path: str) -> str:
+    base = os.path.basename(path.rstrip("/"))
+    return base if base.startswith("sf") else "sf0.1"
+
+
+def main() -> None:
+    sf = sf_of(SF_DIR)
+    n_rows = _SF_ROWS.get(sf, 600_000)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("cerberus_spark_bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from cerberus_spark.run import RunConfig, ValidationRun
+    from cerberus_spark.sources.transcripts import TURN_SCHEMA, ensure_dataset, load
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    data_dir = os.path.join(repo, ".data", f"transcripts_{sf}")
+    ensure_dataset(data_dir, n_rows, seed=42)
+
+    timings: dict[str, float] = {}
+
+    # -- flagship: full validation pass (north-rule workload) --------------
+    t_df, c_df = load(spark, data_dir)
+    # warm-up pass on a slice (JIT/codegen/IO caches)
+    warm_out = tempfile.mkdtemp(prefix="cerb_warm_")
+    ValidationRun(TURN_SCHEMA, RunConfig(out_dir=warm_out, n_parts=8, resume=False)).execute(
+        t_df.limit(20_000), c_df
+    )
+    shutil.rmtree(warm_out, ignore_errors=True)
+
+    out_dir = tempfile.mkdtemp(prefix="cerb_bench_")
+    t0 = time.time()
+    report = ValidationRun(
+        TURN_SCHEMA, RunConfig(out_dir=out_dir, n_parts=int(CPUS) * 2, resume=False)
+    ).execute(t_df, c_df)
+    full_pass = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    timings["validate_full_pass"] = round(full_pass, 3)
+
+    # -- supporting headline queries over the driver testdata --------------
+    heads = [
+        "validate_events_violations",
+        "uniqueness_lineitem",
+        "stats_profile_lineitem",
+        "token_stats_documents",
+        "topk_embeddings_cosine",
+        "minhash_candidates_documents",
+    ]
+    qs = entrymod.queries()
+    for name in heads:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "validated_turns_per_sec_full_pass",
+        "value": round(report.n_turns / full_pass, 1) if full_pass > 0 else 0,
+        "unit": "turns/sec",
+        "queries": timings,
+        "sf": sf,
+        "detail": {
+            "n_turns": report.n_turns,
+            "n_failed": report.n_failed,
+            "n_rule_violations": report.n_rule_violations,
+            "n_unique_violations": report.n_unique_violations,
+            "n_orphan_violations": report.n_orphan_violations,
+            "n_ordering_violations": report.n_ordering_violations,
+            "full_pass_sec": round(full_pass, 3),
+            "cpus": int(CPUS),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

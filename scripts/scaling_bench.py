@@ -1,0 +1,68 @@
+"""Scaling-efficiency evidence for the north rule: run the SAME full
+validation pass at N and 4N parallelism (local[8] vs local[32]), fresh
+JVM each, identical sf0.1 input, and write BENCH/BASELINE.md.
+
+efficiency = (throughput(4N) / throughput(N)) / 4   — target ≥ 0.8
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_at(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n, four_n = 8, 32
+    r_n = run_at(n)
+    r_4n = run_at(four_n)
+    thr_n = r_n["value"]
+    thr_4n = r_4n["value"]
+    eff = (thr_4n / thr_n) / (four_n / n) if thr_n else 0.0
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — scaling evidence (north rule)
+
+Same job (full validation pass: per-turn rules + uniqueness +
+referential + ordering + drift + checkpoint write) over the identical
+deterministic sf0.1 transcripts input (600k turns, seed=42, one hot
+conversation), fresh SparkSession per run, one warm-up pass each.
+
+| parallelism | turns/sec | wall (s) | failed turns |
+|---|---|---|---|
+| local[{n}] (N) | {thr_n} | {r_n['detail']['full_pass_sec']} | {r_n['detail']['n_failed']} |
+| local[{four_n}] (4N) | {thr_4n} | {r_4n['detail']['full_pass_sec']} | {r_4n['detail']['n_failed']} |
+
+**Scaling efficiency (thr_4N / thr_N) / 4 = {eff:.3f}**  (target ≥ 0.8)
+
+Failed-turn counts identical at both levels: {r_n['detail']['n_failed'] == r_4n['detail']['n_failed']}.
+
+Reference single-core baseline (BASELINE.md): ~2,200 turns/s for the
+flat transcript rule-set alone (no uniqueness/referential/drift).
+
+Raw bench JSON:
+
+```json
+{json.dumps(r_n)}
+{json.dumps(r_4n)}
+```
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
