@@ -152,10 +152,13 @@ class SparkValidator:
             for name, (col, dtype) in norm_exprs.items():
                 if name in self.schema.expanded or name in self.key_cols:
                     continue
+                # reference: UNKNOWN_FIELD carries an EMPTY schema_path
+                # (validator.py:289-291 appends (field, rule) only for
+                # other codes)
                 unknown_violations.append(
                     collect_violations([
                         make_violation(
-                            col.isNotNull(), E.UNKNOWN_FIELD, [name], [name],
+                            col.isNotNull(), E.UNKNOWN_FIELD, [name], [],
                             rule=None, value=col, value_dtype=dtype,
                         )
                     ])
@@ -165,7 +168,11 @@ class SparkValidator:
                 {n: self.allow_unknown for n, _ in norm_exprs.items()
                  if n not in self.schema.expanded and n not in self.key_cols}
             )
-            unknown_violations.append(self.compiler.compile_schema(bulk, scope))
+            # reference: bulk-validated unknowns get a '__allow_unknown__'
+            # schema crumb at the top level (validator.py:1071-1074)
+            unknown_violations.append(
+                self.compiler.compile_schema(bulk, scope, ["__allow_unknown__"])
+            )
 
         all_arrays = norm_violations + [rule_violations] + unknown_violations
         violations = all_arrays[0] if len(all_arrays) == 1 else F.concat(*all_arrays)

@@ -105,14 +105,35 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_signature(text: Column, num_perm: int = 32, k: int = 3) -> Column:
     """num_perm-wide MinHash signature: permutation i is simulated by
-    xxhash64(shingle, i); min over shingles.  Pure Column algebra."""
+    xxhash64(shingle, i); min over shingles.  Pure Column algebra.
+
+    Built as ONE ``transform(sequence(...))`` expression — a Python loop
+    of per-permutation columns would clone the whole shingle
+    subexpression num_perm times (projection collapse does not CSE it),
+    exploding codegen size and analysis time."""
     sh = shingles(text, k)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
     )
+
+
+def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
+                         num_perm: int = 32, k: int = 3) -> DataFrame:
+    """(id, _h0.._hN) MinHash signature via explode → per-permutation
+    min aggregation — the scalable shape: shingles materialize exactly
+    once, xxhash64 runs num_perm× per shingle (the irreducible work),
+    map-side partial min keeps the single shuffle tiny.  (An array-of-
+    lambdas formulation re-evaluates the shingle array per permutation
+    per row — measured 4-5× slower.)"""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -123,32 +144,21 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     sub-signature hashes equal.  Explode = ×bands rows; the groupBy is
     on (band, band_hash) — bounded fan-out, skew handled by AQE."""
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_perm, k).alias("_sig"),
-    )
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("_sig").getItem(b * rows_per_band + r).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
+    sig = minhash_signature_df(df, id_col, text_col, num_perm, k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bhash"),
             )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bhash")
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("_id", F.explode(band_structs).alias("bb")).select(
+        "_id", "bb.band", "bb.bhash"
+    )
     buckets = banded.groupBy("band", "bhash").agg(
         F.sort_array(F.collect_list("_id")).alias("ids")
     ).filter(F.size("ids") > 1)
