@@ -24,7 +24,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from . import errors as E
-from .dsl import NORMALIZATION_RULES as NORM_RULES, RuleSetSchema
+from .dsl import RuleSetSchema
 from .operators.compile import (
     CompileContext,
     RuleCompiler,
@@ -33,7 +33,7 @@ from .operators.compile import (
     empty_violations,
     make_violation,
 )
-from .operators.normalize import Normalizer
+from .operators.normalize import Normalizer, has_normalization
 
 
 class ValidationResult:
@@ -97,6 +97,8 @@ class SparkValidator:
         require_all: bool = False,
         update: bool = False,
         purge_unknown: bool = False,
+        purge_readonly: bool = False,
+        rename_handler=None,
         null_semantics: str = "absent",
         regex_engine: str = "auto",
         check_with: Mapping | None = None,
@@ -108,6 +110,8 @@ class SparkValidator:
         self.key_cols = tuple(key_cols)
         self.allow_unknown = allow_unknown
         self.purge_unknown = purge_unknown
+        self.purge_readonly = purge_readonly
+        self.rename_handler = rename_handler
         self.ctx = CompileContext(
             null_semantics=null_semantics,
             require_all=require_all,
@@ -125,7 +129,8 @@ class SparkValidator:
         """df → df + ``violations`` + ``passed`` (single projection)."""
         colmap = self.normalizer.plan_columns(
             self.schema.expanded, df.columns,
-            purge_unknown=self.purge_unknown, key_cols=self.key_cols,
+            purge_unknown=self.purge_unknown, purge_readonly=self.purge_readonly,
+            key_cols=self.key_cols, rename_handler=self.rename_handler,
         )
         dtypes = {f.name: f.dataType for f in df.schema.fields}
 
@@ -135,7 +140,7 @@ class SparkValidator:
         for out_name, in_name in colmap.items():
             col, dtype = F.col(in_name), dtypes[in_name]
             rules = self.schema.expanded.get(out_name)
-            if rules and not NORM_RULES.isdisjoint(rules):
+            if rules and has_normalization(rules):
                 col, dtype, viol = self.normalizer.normalize_field(
                     out_name, rules, col, dtype, [out_name], []
                 )

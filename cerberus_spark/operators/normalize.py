@@ -30,8 +30,25 @@ from typing import Callable
 from pyspark.sql import Column, functions as F, types as T
 
 from .. import errors as E
-from ..dsl import SchemaError
+from ..dsl import (
+    NORMALIZATION_RULES as NORM_KEYS,
+    SchemaError,
+    _looks_like_rules_set as _looks_like_rules,
+)
 from .compile import make_violation, collect_violations, empty_violations, stringify
+
+
+def has_normalization(rules: Mapping) -> bool:
+    """Does this rules-set (or any nested sub-schema) carry
+    normalization work?"""
+    if not NORM_KEYS.isdisjoint(rules):
+        return True
+    sub = rules.get("schema")
+    if isinstance(sub, Mapping):
+        if _looks_like_rules(sub):
+            return has_normalization(sub)
+        return any(isinstance(r, Mapping) and has_normalization(r) for r in sub.values())
+    return False
 
 # ---------------------------------------------------------------------------
 # coercer registry — named, vectorized coercers (reference: named coercers
@@ -106,21 +123,31 @@ class Normalizer:
     # -- compile-time column-set operations ---------------------------------
 
     def plan_columns(self, schema: Mapping, input_cols: list[str],
-                     *, purge_unknown: bool = False, key_cols: tuple = ()) -> dict[str, str]:
+                     *, purge_unknown: bool = False, purge_readonly: bool = False,
+                     key_cols: tuple = (),
+                     rename_handler=None) -> dict[str, str]:
         """Resolve rename/purge into an {output_name: input_name} map.
 
-        reference: rename validator.py:900-918, purge_unknown 893-898,
+        reference: rename validator.py:900-918, rename_handler 920-937
+        (applied to unknown fields), purge_unknown 893-898,
         purge_readonly 887-891 — all compile-time for fixed columns.
         """
         renames = {}
+        readonly_fields = set()
         for fname, rules in schema.items():
             if "rename" in rules:
                 renames[fname] = rules["rename"]
+            if rules.get("readonly"):
+                readonly_fields.add(fname)
         out: dict[str, str] = {}
         known_targets = set(schema) | set(key_cols)
         for col in input_cols:
             target = renames.get(col, col)
+            if target not in known_targets and rename_handler is not None:
+                target = rename_handler(target)
             if purge_unknown and target not in known_targets:
+                continue
+            if purge_readonly and target in readonly_fields:
                 continue
             out[target] = col
         return out
@@ -132,7 +159,8 @@ class Normalizer:
         doc_path: list, spath: list,
     ) -> tuple[Column, T.DataType, Column]:
         """Returns (normalized value, output dtype, violations array)."""
-        violations = []
+        violations = []          # when-guarded violation structs
+        nested_arrays = []       # array<violation> columns from recursion
         original, original_dtype = value, dtype
 
         # coerce chain (reference: validator.py:712-767)
@@ -188,5 +216,55 @@ class Normalizer:
             if computed is not None:
                 value = F.coalesce(value, computed.cast(dtype))
 
+        # container normalization (reference: validator.py:769-885 recurses
+        # into dict/list values) — rebuild struct / transform array elements
+        # with the sub-schema's defaults+coercions applied
+        if "schema" in rules:
+            sub = rules["schema"]
+            if isinstance(dtype, T.StructType) and isinstance(sub, Mapping) \
+                    and not _looks_like_rules(sub):
+                new_fields, sub_types = [], []
+                for f in dtype.fields:
+                    sv, sdt = value.getField(f.name), f.dataType
+                    srules = sub.get(f.name)
+                    if srules and not NORM_KEYS.isdisjoint(srules):
+                        sv, sdt, v2 = self.normalize_field(
+                            f.name, srules, sv, sdt, doc_path + [f.name],
+                            spath + [fname, "schema"],
+                        )
+                        # nested violations only apply when the parent exists
+                        nested_arrays.append(
+                            F.when(original.isNotNull(), v2).otherwise(empty_violations())
+                        )
+                    new_fields.append(sv.alias(f.name))
+                    sub_types.append(T.StructField(f.name, sdt, True))
+                value = F.when(original.isNotNull(), F.struct(*new_fields))
+                dtype = T.StructType(sub_types)
+            elif isinstance(dtype, T.ArrayType) and isinstance(sub, Mapping) \
+                    and _looks_like_rules(sub) and "coerce" in sub:
+                elem_dt = dtype.elementType
+                chain = sub["coerce"]
+                chain = [chain] if isinstance(chain, str) or callable(chain) else list(chain)
+                fns = []
+                for c in chain:
+                    fn = self.coercers.get(c) if isinstance(c, str) else c
+                    if fn is None:
+                        raise SchemaError(f"coerce: no registered coercer named '{c}'")
+                    fns.append(fn)
+                new_elem_dt = elem_dt
+                for fn in fns:
+                    _, new_elem_dt = fn(F.lit(None).cast(new_elem_dt), new_elem_dt)
+
+                def _apply(x, fns=fns, dt=elem_dt):
+                    d = dt
+                    for fn in fns:
+                        x, d = fn(x, d)
+                    return x
+
+                value = F.transform(value, _apply)
+                dtype = T.ArrayType(new_elem_dt)
+
         arr = collect_violations(violations) if violations else empty_violations()
+        for nested in nested_arrays:
+            arr = F.concat(arr, nested)
         return value, dtype, arr

@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import errors as E
 from .engine import SparkValidator
 from .operators import dataset as D
 from .plans.checkpoint import CheckpointStore, part_id_col, snapshot_id
@@ -121,6 +122,13 @@ class ValidationRun:
             ds_viol.write.mode("overwrite").parquet(
                 os.path.join(cfg.out_dir, "dataset_violations")
             )
+            # count per check from the written files — never re-execute
+            # the uniqueness/join/window DAGs just for the report
+            ds_counts = {
+                int(r["code"]): int(r["n"])
+                for r in spark.read.parquet(os.path.join(cfg.out_dir, "dataset_violations"))
+                .groupBy("code").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
 
             # -- 6. drift vs checkpointed baseline -------------------------
             profiles = (
@@ -142,16 +150,13 @@ class ValidationRun:
             totals = summary.agg(
                 F.sum("n_rows"), F.sum("n_failed"), F.sum("n_violations")
             ).first()
-            n_uniq = D.distinct_violating_keys(annotated, keys).count()
-            n_orph = orphans.count() if orphans is not None else 0
-            n_ord = ordering.count()
             return RunReport(
                 n_turns=int(totals[0] or 0),
                 n_failed=int(totals[1] or 0),
                 n_rule_violations=int(totals[2] or 0),
-                n_unique_violations=int(n_uniq),
-                n_orphan_violations=int(n_orph),
-                n_ordering_violations=int(n_ord),
+                n_unique_violations=ds_counts.get(E.NOT_UNIQUE.code, 0),
+                n_orphan_violations=ds_counts.get(E.ORPHAN_REFERENCE.code, 0),
+                n_ordering_violations=ds_counts.get(E.ORDERING_VIOLATION.code, 0),
                 drift=drift,
                 skipped_partitions=skipped,
             )

@@ -187,3 +187,46 @@ def test_default_setter(spark):
     df = spark.createDataFrame([(None, 2, 3), (10, 1, 1)], "total int, a int, b int")
     got = [r.total for r in v.normalized(df).collect()]
     assert got == [5, 10]
+
+
+@pytest.mark.skipif(cerberus is None, reason="reference not importable")
+def test_nested_normalization_default(spark):
+    """FIXTURES.md §4: default inside a nested dict schema."""
+    schema = {
+        "meta": {"type": "dict", "schema": {
+            "lang": {"type": "string", "allowed": ["en", "de", "fr"], "default": "en"},
+            "score": {"type": "float", "coerce": "to_float"},
+        }},
+    }
+    rows = [((None, "3.5"),), (("de", None),), (None,)]
+    df = spark.createDataFrame(rows, "meta struct<lang:string, score:string>")
+    v = SparkValidator(schema)
+    got = [r.asDict(recursive=True) for r in v.normalized(df).collect()]
+    assert got[0]["meta"] == {"lang": "en", "score": 3.5}
+    assert got[1]["meta"] == {"lang": "de", "score": None}
+    assert got[2]["meta"] is None
+
+    # differential: reference normalized() agrees on the nested defaults
+    ref_schema = {
+        "meta": {"type": "dict", "schema": {
+            "lang": {"type": "string", "allowed": ["en", "de", "fr"], "default": "en"},
+            "score": {"type": "float", "coerce": float},
+        }},
+    }
+    from cerberus_spark.oracle import reference_validate
+    docs = [{"meta": {"score": "3.5"}}, {"meta": {"lang": "de"}}, {}]
+    _, ref_norm = reference_validate(docs, ref_schema)
+    assert ref_norm[0]["meta"] == {"lang": "en", "score": 3.5}
+    assert ref_norm[1]["meta"] == {"lang": "de"}  # reference leaves score absent
+
+
+def test_rename_handler_and_purge_readonly(spark):
+    v = SparkValidator(
+        {"keep": {"type": "integer"}, "secret": {"type": "string", "readonly": True}},
+        purge_readonly=True,
+        rename_handler=lambda n: n.upper(),
+        allow_unknown=True,
+    )
+    df = spark.createDataFrame([(1, "x", "s")], "keep int, stray string, secret string")
+    out = v.normalized(df)
+    assert sorted(out.columns) == ["STRAY", "keep"]
