@@ -34,7 +34,11 @@ def sf_of(path: str) -> str:
 
 def main() -> None:
     sf = sf_of(SF_DIR)
-    n_rows = _SF_ROWS.get(sf, 600_000)
+    # the transcripts workload scale can be overridden independently of the
+    # testdata dir (scripts/scaling_bench.py uses sf1 = 6M turns so the
+    # full pass is compute-bound rather than fixed-overhead-bound)
+    tsf = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_SF", sf)
+    n_rows = _SF_ROWS.get(tsf, 600_000)
 
     from pyspark.sql import SparkSession
 
@@ -43,6 +47,10 @@ def main() -> None:
         .appName("cerberus_spark_bench")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
+        # sf0.1 input is one ~100MB parquet file; split it finer so the
+        # scan parallelizes across all cores instead of 1-2 tasks
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -56,7 +64,7 @@ def main() -> None:
     from cerberus_spark.sources.transcripts import TURN_SCHEMA, ensure_dataset, load
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    data_dir = os.path.join(repo, ".data", f"transcripts_{sf}")
+    data_dir = os.path.join(repo, ".data", f"transcripts_{tsf}")
     ensure_dataset(data_dir, n_rows, seed=42)
 
     timings: dict[str, float] = {}
@@ -80,7 +88,7 @@ def main() -> None:
     timings["validate_full_pass"] = round(full_pass, 3)
 
     # -- supporting headline queries over the driver testdata --------------
-    heads = [
+    heads = [] if os.environ.get("SPARK_GRAFT_ONLY_FULL") else [
         "validate_events_violations",
         "uniqueness_lineitem",
         "stats_profile_lineitem",
@@ -101,6 +109,7 @@ def main() -> None:
         "unit": "turns/sec",
         "queries": timings,
         "sf": sf,
+        "transcripts_sf": tsf,
         "detail": {
             "n_turns": report.n_turns,
             "n_failed": report.n_failed,

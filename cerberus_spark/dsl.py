@@ -122,7 +122,7 @@ def expand_rules_set(rules, *, _depth: int = 0) -> dict:
         for op in LOGICAL_OPS:
             prefix = op + "_"
             if rule.startswith(prefix):
-                base_rule = prefix and rule[len(prefix):]
+                base_rule = rule[len(prefix):]
                 out[op] = [{base_rule: c} for c in constraint]
                 break
         else:

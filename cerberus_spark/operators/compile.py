@@ -186,7 +186,7 @@ def _comparable(dtype: T.DataType, constraint) -> bool:
 
     numeric = _INT_TYPES + _FLOAT_TYPES + (T.BooleanType,)
     if isinstance(dtype, numeric):
-        return isinstance(constraint, (int, float)) and not isinstance(constraint, bool) or isinstance(constraint, bool)
+        return isinstance(constraint, (int, float))  # bool ⊂ int: comparable
     if isinstance(dtype, T.StringType):
         return isinstance(constraint, str)
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):

@@ -214,15 +214,19 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
 def categorical_profile(df: DataFrame, expr: Column | str, key: str) -> DataFrame:
     """Frequency profile (key, bucket, freq) for a categorical expression
     — one shuffle over few distinct buckets; freq normalized to 1."""
+    from pyspark.sql import Window as W
+
     col = F.col(expr) if isinstance(expr, str) else expr
     counts = df.groupBy(col.cast("string").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    total = counts.agg(F.sum("n")).first()[0] or 1
+    # total via an all-partition window over the (tiny) aggregated counts —
+    # no extra action/collect; post-agg cardinality is a handful of buckets
+    total = F.sum("n").over(W.partitionBy())
     return counts.select(
         F.lit(key).alias("key"),
         F.coalesce(F.col("bucket"), F.lit("<null>")).alias("bucket"),
-        (F.col("n") / F.lit(float(total))).alias("freq"),
+        (F.col("n") / total).alias("freq"),
     )
 
 

@@ -17,6 +17,7 @@ One pass over the transcripts table computes (north star):
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -68,12 +69,19 @@ class ValidationRun:
         store = CheckpointStore(spark, os.path.join(cfg.out_dir, "checkpoint"))
         snap = snapshot_id(df)
         shash = self.validator.schema_hash
+        # lineage: the predicate set identifies WHAT this run checks, so a
+        # config change (e.g. different key columns) invalidates resume state
+        predicate_set = json.dumps(
+            {"keys": list(cfg.key_cols), "conv": cfg.conv_col,
+             "order": cfg.order_col, "ts": cfg.ts_col, "n_parts": cfg.n_parts},
+            sort_keys=True,
+        )
 
         # -- resume: prune already-validated partitions -------------------
         df = df.withColumn("part_id", part_id_col(cfg.conv_col, cfg.n_parts))
         skipped = 0
         if cfg.resume:
-            done = store.done_partitions(snap, shash)
+            done = store.done_partitions(snap, shash, predicate_set)
             if done:
                 skipped = len(done)
                 df = df.filter(~F.col("part_id").isin(done))
@@ -145,7 +153,7 @@ class ValidationRun:
                 profiles.write.mode("overwrite").parquet(baseline_path)
 
             # -- 7. checkpoint commit --------------------------------------
-            store.commit(summary, snap, shash)
+            store.commit(summary, snap, shash, predicate_set)
 
             totals = summary.agg(
                 F.sum("n_rows"), F.sum("n_failed"), F.sum("n_violations")

@@ -143,7 +143,10 @@ def write_dataset(out_dir: str, n_rows: int, seed: int = 42, drift: bool = False
     """Write transcripts.parquet + conversations.parquet under out_dir."""
     os.makedirs(out_dir, exist_ok=True)
     t, c = synthesize(n_rows, seed=seed, drift=drift)
-    t.to_parquet(os.path.join(out_dir, "transcripts.parquet"), index=False)
+    # small row groups keep the single file splittable across scan tasks
+    # (one giant row group would serialize the whole scan onto one core)
+    t.to_parquet(os.path.join(out_dir, "transcripts.parquet"), index=False,
+                 row_group_size=50_000)
     c.to_parquet(os.path.join(out_dir, "conversations.parquet"), index=False)
     return out_dir
 

@@ -14,8 +14,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: transcripts scale for the scaling evidence: 6M turns (sf1) so the pass
+#: is compute-bound; at sf0.1 (600k turns, ~5MB parquet) wall-clock is
+#: fixed overhead and no parallelism level can help
+SCALE_SF = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_SF", "sf1")
+
+
 def run_at(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
+               SPARK_GRAFT_TRANSCRIPTS_SF=SCALE_SF, SPARK_GRAFT_ONLY_FULL="1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
@@ -37,8 +44,15 @@ def main():
 
 Same job (full validation pass: per-turn rules + uniqueness +
 referential + ordering + drift + checkpoint write) over the identical
-deterministic sf0.1 transcripts input (600k turns, seed=42, one hot
+deterministic {SCALE_SF} transcripts input (seed=42, one hot
 conversation), fresh SparkSession per run, one warm-up pass each.
+
+Scale note: the engine validates the whole sf0.1 input (600k turns,
+~5 MB parquet) in ~1-2 s of actual compute — wall-clock there is pure
+fixed overhead (JVM startup amortization, job scheduling, file
+commits), identical at any core count.  The scaling evidence therefore
+uses {SCALE_SF} (6M turns) where the pass is compute-bound; per-round
+BENCH_r*.json still reports the sf0.1 contract numbers.
 
 | parallelism | turns/sec | wall (s) | failed turns |
 |---|---|---|---|

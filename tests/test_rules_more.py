@@ -230,3 +230,31 @@ def test_rename_handler_and_purge_readonly(spark):
     df = spark.createDataFrame([(1, "x", "s")], "keep int, stray string, secret string")
     out = v.normalized(df)
     assert sorted(out.columns) == ["STRAY", "keep"]
+
+
+@pytest.mark.skipif(cerberus is None, reason="reference not importable")
+def test_dependencies_sequence_and_dotpath(spark):
+    schema = {
+        "b": {"type": "integer", "dependencies": ["a"]},
+        "c": {"type": "integer", "dependencies": ["nested.x", "a"]},
+        "a": {"type": "integer"},
+        "nested": {"type": "dict", "schema": {"x": {"type": "integer"}}},
+    }
+    rows = [
+        (1, 2, 3, (7,)),
+        (None, 2, 3, (7,)),      # b,c dep on a -> missing
+        (1, 2, 3, None),         # c dep on nested.x -> missing
+        (1, None, None, (None,)),
+    ]
+    df = spark.createDataFrame(rows, "a int, b int, c int, nested struct<x:int>")
+    a, d = _run(spark, df, schema)
+    _assert_parity(spark, a, d, schema)
+
+
+@pytest.mark.skipif(cerberus is None, reason="reference not importable")
+def test_require_all(spark):
+    schema = {"a": {"type": "integer"}, "b": {"type": "string"}}
+    rows = [(1, "x"), (None, "y"), (2, None)]
+    df = spark.createDataFrame(rows, "a int, b string")
+    a, d = _run(spark, df, schema, require_all=True)
+    _assert_parity(spark, a, d, schema, require_all=True)
