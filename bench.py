@@ -51,6 +51,8 @@ def main() -> None:
         # scan parallelizes across all cores instead of 1-2 tasks
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # keep AQE from coalescing bench-scale shuffles onto 2-3 cores
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

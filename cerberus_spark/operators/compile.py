@@ -91,7 +91,15 @@ def make_violation(
     value_dtype: T.DataType | None = None,
     info: Column | str | None = None,
 ) -> Column:
-    """``F.when(cond, violation_struct)`` — null struct when cond is false/null."""
+    """A violation FRAGMENT: ``CASE WHEN cond THEN array(struct) ELSE
+    array() END``.
+
+    Fragments compose by pure ``concat`` — deliberately NO higher-order
+    function (no ``filter``/``exists`` lambda): HOFs are CodegenFallback
+    expressions, and one in the projection interprets its entire child
+    subtree per row — measured ~30× slower on the flat transcript
+    rule-set.  This shape keeps the whole per-row validation inside
+    whole-stage codegen."""
     constraint_str = (
         constraint
         if isinstance(constraint, Column)
@@ -111,14 +119,16 @@ def make_violation(
         (stringify(value, value_dtype) if value is not None else F.lit(None).cast("string")).alias("value"),
         info_col.cast("string").alias("info"),
     )
-    return F.when(cond, struct).otherwise(_null_violation())
+    return F.when(cond, F.array(struct)).otherwise(empty_violations())
 
 
-def collect_violations(candidates: list[Column]) -> Column:
-    """Combine when-guarded violation structs into a compact array."""
-    if not candidates:
+def collect_violations(fragments: list[Column]) -> Column:
+    """Concatenate violation-array fragments (each 0-or-1 element)."""
+    if not fragments:
         return empty_violations()
-    return F.filter(F.array(*candidates), lambda x: x.isNotNull())
+    if len(fragments) == 1:
+        return fragments[0]
+    return F.concat(*fragments)
 
 
 # ---------------------------------------------------------------------------

@@ -240,6 +240,9 @@ class Normalizer:
                     sub_types.append(T.StructField(f.name, sdt, True))
                 value = F.when(original.isNotNull(), F.struct(*new_fields))
                 dtype = T.StructType(sub_types)
+            elif isinstance(dtype, T.MapType) and isinstance(sub, Mapping) \
+                    and not _looks_like_rules(sub):
+                pass  # dynamic-map fixed-key normalization: not supported yet
             elif isinstance(dtype, T.ArrayType) and isinstance(sub, Mapping) \
                     and _looks_like_rules(sub) and "coerce" in sub:
                 elem_dt = dtype.elementType
@@ -263,6 +266,30 @@ class Normalizer:
 
                 value = F.transform(value, _apply)
                 dtype = T.ArrayType(new_elem_dt)
+
+        # valuesrules coercion over dynamic maps (reference: container
+        # normalization validator.py:769-885) via transform_values
+        if "valuesrules" in rules and isinstance(dtype, T.MapType) \
+                and isinstance(rules["valuesrules"], Mapping) \
+                and "coerce" in rules["valuesrules"]:
+            chain = rules["valuesrules"]["coerce"]
+            chain = [chain] if isinstance(chain, str) or callable(chain) else list(chain)
+            fns = [self.coercers.get(c) if isinstance(c, str) else c for c in chain]
+            if any(fn is None for fn in fns):
+                raise SchemaError(f"coerce: unknown coercer in {chain}")
+            vdt = dtype.valueType
+            new_vdt = vdt
+            for fn in fns:
+                _, new_vdt = fn(F.lit(None).cast(new_vdt), new_vdt)
+
+            def _vapply(k, x, fns=fns, dt=vdt):
+                d = dt
+                for fn in fns:
+                    x, d = fn(x, d)
+                return x
+
+            value = F.transform_values(value, _vapply)
+            dtype = T.MapType(dtype.keyType, new_vdt)
 
         arr = collect_violations(violations) if violations else empty_violations()
         for nested in nested_arrays:

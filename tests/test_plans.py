@@ -1,0 +1,37 @@
+"""Physical-plan assertions: the engine's scale promises hold."""
+
+from pyspark.sql import functions as F
+
+from cerberus_spark import SparkValidator
+from cerberus_spark.plans.explain import assert_shuffle_free, plan_report
+from cerberus_spark.sources.transcripts import TURN_SCHEMA, synthesize
+
+
+def test_validation_is_shuffle_free_codegen(spark, tmp_path):
+    t, _ = synthesize(1000, seed=42)
+    src = str(tmp_path / "t")
+    spark.createDataFrame(t).write.parquet(src)
+    df = spark.read.parquet(src)
+    annotated = SparkValidator(TURN_SCHEMA).annotate(df)
+    assert_shuffle_free(annotated)
+    rep = plan_report(annotated)
+    assert rep["whole_stage_codegen"]
+    assert not rep["python_workers"]  # no pandas UDFs in the flat rule-set
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    t, _ = synthesize(1000, seed=42)
+    src = str(tmp_path / "t2")
+    spark.createDataFrame(t).write.parquet(src)
+    df = spark.read.parquet(src).filter(F.col("role") == "user").select("conv_id", "role")
+    rep = plan_report(df)
+    assert rep["pushed_filters"]
+
+
+def test_referential_broadcasts(spark):
+    from cerberus_spark.operators.dataset import referential_violations
+
+    t, c = synthesize(1000, seed=42)
+    df, dim = spark.createDataFrame(t), spark.createDataFrame(c)
+    orphans = referential_violations(df, dim, "conv_id", keys=["conv_id", "turn_idx"])
+    assert plan_report(orphans)["broadcast_joins"] >= 1 or "BroadcastNestedLoop" not in str(orphans)

@@ -258,3 +258,15 @@ def test_require_all(spark):
     df = spark.createDataFrame(rows, "a int, b string")
     a, d = _run(spark, df, schema, require_all=True)
     _assert_parity(spark, a, d, schema, require_all=True)
+
+
+def test_map_valuesrules_coercion(spark):
+    v = SparkValidator(
+        {"tags": {"type": "dict",
+                  "valuesrules": {"type": "string", "coerce": "strip"}}}
+    )
+    df = spark.createDataFrame(
+        [({"a": "  x  ", "b": "y"},)], "tags map<string,string>"
+    )
+    got = v.normalized(df).first().tags
+    assert got == {"a": "x", "b": "y"}
