@@ -122,11 +122,24 @@ class SparkValidator:
         )
         self.normalizer = Normalizer(coercers, setters, null_semantics)
         self.compiler = RuleCompiler(self.ctx)
+        # compile-once memo per input schema (reference analog: the
+        # schema-validation cache, validator.py:136-140) — the Column
+        # trees are immutable and reusable across same-shaped DataFrames
+        self._compiled: dict[str, list[Column]] = {}
 
     # ------------------------------------------------------------------
 
     def annotate(self, df: DataFrame) -> DataFrame:
         """df → df + ``violations`` + ``passed`` (single projection)."""
+        cache_key = df.schema.json()
+        cached = self._compiled.get(cache_key)
+        if cached is not None:
+            return df.select(*cached)
+        exprs = self._build_select(df)
+        self._compiled[cache_key] = exprs
+        return df.select(*exprs)
+
+    def _build_select(self, df: DataFrame) -> list[Column]:
         colmap = self.normalizer.plan_columns(
             self.schema.expanded, df.columns,
             purge_unknown=self.purge_unknown, purge_readonly=self.purge_readonly,
@@ -185,11 +198,11 @@ class SparkValidator:
         out_cols = [
             norm_exprs[name][0].alias(name) for name in norm_exprs
         ]
-        return df.select(
+        return [
             *out_cols,
             violations.alias("violations"),
             (F.size(violations) == 0).alias("passed"),
-        )
+        ]
 
     def validate(self, df: DataFrame) -> ValidationResult:
         return ValidationResult(self.annotate(df), self.key_cols)

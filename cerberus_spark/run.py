@@ -40,6 +40,14 @@ class RunConfig:
     psi_threshold: float = 0.2
     write_annotated: bool = False
     resume: bool = True
+    # Caching the annotated frame is a pessimization here: materializing
+    # 6M+ rows of array<struct> into the object cache measured ~25x the
+    # cost of recomputing the codegen projection from the columnar scan,
+    # and a cached plan defeats column pruning for the narrow dataset
+    # checks (uniqueness needs 2 columns, ordering 3).  Set True only
+    # when the input scan itself is the expensive part AND executors
+    # have cache headroom.
+    persist: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -88,7 +96,8 @@ class ValidationRun:
 
         # -- 1. per-turn validation (single projection) --------------------
         annotated = self.validator.annotate(df)
-        annotated.persist()
+        if cfg.persist:
+            annotated.persist()
         try:
             keys = list(cfg.key_cols)
 
@@ -169,7 +178,8 @@ class ValidationRun:
                 skipped_partitions=skipped,
             )
         finally:
-            annotated.unpersist()
+            if cfg.persist:
+                annotated.unpersist()
 
 
 def main():  # pragma: no cover — spark-submit entry point

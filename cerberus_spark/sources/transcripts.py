@@ -53,14 +53,17 @@ def synthesize(n_rows: int, seed: int = 42, drift: bool = False) -> tuple[pd.Dat
     hot_rows = max(1, int(n_rows * 0.05))
     remaining = n_rows - hot_rows
     lengths = rng.multinomial(remaining, np.ones(n_convs - 1) / (n_convs - 1))
+    # fully vectorized (np.repeat/cumsum) — a per-conversation Python loop
+    # is O(n_convs) array allocations and unusable at 60M+ rows
     conv_of_row = np.concatenate(
-        [np.zeros(hot_rows, dtype=np.int64)]
-        + [np.full(l, i + 1, dtype=np.int64) for i, l in enumerate(lengths)]
+        [np.zeros(hot_rows, dtype=np.int64),
+         np.repeat(np.arange(1, n_convs, dtype=np.int64), lengths)]
     )[:n_rows]
 
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    idx_within = np.arange(remaining, dtype=np.int64) - np.repeat(starts, lengths)
     turn_idx = np.concatenate(
-        [np.arange(hot_rows, dtype=np.int64)]
-        + [np.arange(l, dtype=np.int64) for l in lengths]
+        [np.arange(hot_rows, dtype=np.int64), idx_within]
     )[:n_rows].astype(np.int32)
 
     n = len(conv_of_row)

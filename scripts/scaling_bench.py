@@ -17,7 +17,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: transcripts scale for the scaling evidence: 6M turns (sf1) so the pass
 #: is compute-bound; at sf0.1 (600k turns, ~5MB parquet) wall-clock is
 #: fixed overhead and no parallelism level can help
-SCALE_SF = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_SF", "sf1")
+SCALE_SF = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_SF", "sf10")
 
 
 def run_at(cpus: int) -> dict:

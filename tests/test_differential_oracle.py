@@ -162,3 +162,35 @@ def test_normalization_parity(spark):
     for g, r in zip(got, ref_norm):
         for k, rv in (r or {}).items():
             assert g[k] == rv, (g, r)
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark):
+    """North-star check: per-turn normalized text equality vs the
+    reference under stable (conv_id, turn_idx) ordering."""
+    if cerberus is None:
+        pytest.skip("reference not importable")
+    schema = dict(TURN_SCHEMA)
+    schema["text"] = {**TURN_SCHEMA["text"], "coerce": "strip"}
+    t, _ = synthesize(1500, seed=7)
+    t["text"] = t["text"].map(lambda s: None if s is None else "  " + s + " ")
+    df = spark.createDataFrame(t)
+    v = SparkValidator(schema, key_cols=("conv_id", "turn_idx"))
+    got = (
+        v.normalized(df)
+        .orderBy("conv_id", "turn_idx", "ts")
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+
+    ref_schema = {**schema, "text": {**TURN_SCHEMA["text"], "coerce": str.strip}}
+    from cerberus_spark.oracle import reference_validate
+
+    rows = t.sort_values(["conv_id", "turn_idx", "ts"]).to_dict("records")
+    docs = [row_to_doc({k: None if v != v else v for k, v in r.items()}
+                       if any(x != x for x in r.values()) else r, ref_schema)
+            for r in rows]
+    # row_to_doc drops NaN/None; pandas NaN needs the guard above
+    _, ref_norm = reference_validate(docs, ref_schema)
+    assert len(got) == len(ref_norm)
+    for g, r in zip(got, ref_norm):
+        assert g.text == (r or {}).get("text"), (g.conv_id, g.turn_idx, g.text, r)

@@ -270,3 +270,28 @@ def test_map_valuesrules_coercion(spark):
     )
     got = v.normalized(df).first().tags
     assert got == {"a": "x", "b": "y"}
+
+
+@pytest.mark.skipif(cerberus is None, reason="reference not importable")
+def test_error_tree_matches_reference_handler(spark):
+    """error_tree() output vs the reference BasicErrorHandler dict for
+    message-bearing leaf errors."""
+    schema = {
+        "role": {"type": "string", "allowed": ["a", "b"]},
+        "n": {"type": "integer", "min": 0, "max": 10},
+        "s": {"type": "string", "minlength": 2},
+    }
+    row = {"role": "z", "n": -1, "s": "x"}
+    df = spark.createDataFrame([tuple(row.values())], "role string, n int, s string")
+    from cerberus_spark.errors import error_tree
+
+    v_rows = [r.asDict() for r in
+              SparkValidator(schema).validate(df).violations.collect()]
+    got = error_tree(v_rows)
+
+    ref = cerberus.Validator(schema, allow_unknown=True)
+    ref.validate(dict(row))
+    expected = ref.errors
+    assert set(got) == set(expected)
+    for field in expected:
+        assert got[field] == expected[field], (field, got[field], expected[field])
