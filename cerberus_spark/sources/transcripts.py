@@ -76,33 +76,36 @@ def synthesize(n_rows: int, seed: int = 42, drift: bool = False) -> tuple[pd.Dat
     neg = (u >= 0.01) & (u < 0.02)
     turn_idx = np.where(neg, -turn_idx - 1, turn_idx)
 
-    # roles: cycle system→user→assistant/tool; ~5% bogus
+    # roles via integer codes + a small-pool fancy index — string np.where
+    # chains allocate multi-GB unicode temporaries at 10^7+ rows
     role_pick = rng.random(n)
-    role = np.where(
-        turn_idx % 4 == 0, "system",
-        np.where(turn_idx % 2 == 1, "user",
-                 np.where(role_pick < (0.3 if drift else 0.6), "assistant", "tool")),
-    ).astype(object)
+    role_code = np.where(
+        turn_idx % 4 == 0, 0,
+        np.where(turn_idx % 2 == 1, 1,
+                 np.where(role_pick < (0.3 if drift else 0.6), 2, 3)),
+    )
     bogus = (u >= 0.02) & (u < 0.07)
-    role[bogus] = "bogus"
+    role_code[bogus] = 4
+    role = np.array(["system", "user", "assistant", "tool", "bogus"],
+                    dtype=object)[role_code]
 
     # text: lorem pool sample; drift shifts length distribution up
     pool = _lorem_pool(rng)
+    if drift:
+        pool = np.array([t + " " + t for t in pool], dtype=object)
     text_ix = rng.integers(0, len(pool), n)
     text = pool[text_ix].copy()
-    if drift:
-        text = np.array([t + " " + t for t in text], dtype=object)
     null_text = (u >= 0.07) & (u < 0.075)
     text[null_text] = None
 
     # tool: set when role ∈ {assistant, tool}; ~1% set when role=user
-    tool = np.where(
-        np.isin(role.astype(str), ("assistant", "tool")),
-        TOOLS[rng.integers(0, len(TOOLS), n)],
-        None,
-    ).astype(object)
-    dep_viol = (u >= 0.075) & (u < 0.085) & (role.astype(str) == "user")
-    tool[dep_viol] = TOOLS[rng.integers(0, len(TOOLS), int(dep_viol.sum()))]
+    tool_pool = np.concatenate([TOOLS.astype(object), np.array([None], dtype=object)])
+    tool_ix = np.where((role_code == 2) | (role_code == 3),
+                       rng.integers(0, len(TOOLS), n), len(TOOLS))
+    dep_viol = (u >= 0.075) & (u < 0.085) & (role_code == 1)
+    dep_draw = rng.integers(0, len(TOOLS), int(dep_viol.sum()))
+    tool_ix[dep_viol] = dep_draw
+    tool = tool_pool[tool_ix]
 
     # ts: monotone per conversation (base + turn offset); ~0.5% out of order
     base = np.datetime64("2024-01-01T00:00:00") + conv_of_row * np.timedelta64(3600, "s")
