@@ -38,11 +38,14 @@ class ErrorDefinition:
 
     @property
     def is_group_error(self) -> bool:
+        """Bulk-validation errors carry the 0x80 bit (errors.py:179-181)."""
         return bool(self.code & ERROR_GROUP.code)
 
     @property
     def is_logic_error(self) -> bool:
-        return bool(self.code & LOGICAL.code and not self.code & ERROR_GROUP.code)
+        """*of-rule errors carry the 0x10 bit — LOGICAL - ERROR_GROUP
+        (errors.py:183-188); note logic errors are ALSO group errors."""
+        return bool(self.code & (LOGICAL.code - ERROR_GROUP.code))
 
 
 # -- custom ---------------------------------------------------------------

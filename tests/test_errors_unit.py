@@ -1,0 +1,63 @@
+"""Error-contract unit tests — pure Python, verifies verbatim parity of
+codes and message strings against the reference package."""
+
+import sys
+
+import pytest
+
+from cerberus_spark import errors as E
+
+sys.path.insert(0, "/root/reference")
+try:
+    from cerberus import errors as ref_errors
+except Exception:  # pragma: no cover
+    ref_errors = None
+
+pytestmark = pytest.mark.skipif(ref_errors is None, reason="reference not importable")
+
+
+REF_DEFS = [
+    "CUSTOM", "REQUIRED_FIELD", "UNKNOWN_FIELD", "DEPENDENCIES_FIELD",
+    "DEPENDENCIES_FIELD_VALUE", "EXCLUDES_FIELD", "EMPTY_NOT_ALLOWED",
+    "NOT_NULLABLE", "BAD_TYPE", "BAD_TYPE_FOR_SCHEMA", "ITEMS_LENGTH",
+    "MIN_LENGTH", "MAX_LENGTH", "REGEX_MISMATCH", "MIN_VALUE", "MAX_VALUE",
+    "UNALLOWED_VALUE", "UNALLOWED_VALUES", "FORBIDDEN_VALUE",
+    "FORBIDDEN_VALUES", "MISSING_MEMBERS", "NORMALIZATION", "COERCION_FAILED",
+    "RENAMING_FAILED", "READONLY_FIELD", "SETTING_DEFAULT_FAILED",
+    "ERROR_GROUP", "MAPPING_SCHEMA", "SEQUENCE_SCHEMA", "KEYSRULES",
+    "VALUESRULES", "BAD_ITEMS", "LOGICAL", "NONEOF", "ONEOF", "ANYOF", "ALLOF",
+]
+
+
+def test_codes_match_reference_bit_for_bit():
+    for name in REF_DEFS:
+        ours = getattr(E, name)
+        theirs = getattr(ref_errors, name)
+        assert ours.code == theirs.code, name
+        assert ours.rule == theirs.rule, name
+
+
+def test_message_table_verbatim():
+    ref_msgs = ref_errors.BasicErrorHandler.messages
+    for code, msg in ref_msgs.items():
+        assert E.MESSAGES.get(code) == msg, hex(code)
+
+
+def test_group_and_logic_flags():
+    import datetime as _dt
+
+    assert E.MAPPING_SCHEMA.is_group_error
+    assert E.BAD_ITEMS.is_group_error
+    assert not E.MIN_VALUE.is_group_error
+    assert E.ANYOF.is_logic_error and E.ANYOF.is_group_error  # both bits set
+    # parity with a live reference error object
+    v = ref_errors.ValidationError((), (), E.ANYOF.code, "anyof", None, None, ([],))
+    assert E.ANYOF.is_group_error == v.is_group_error
+    assert E.ANYOF.is_logic_error == v.is_logic_error
+
+
+def test_format_message_placeholders():
+    assert E.format_message(0x02) == "required field"
+    assert E.format_message(0x42, constraint=5) == "min value is 5"
+    assert E.format_message(0x44, value="z") == "unallowed value z"
+    assert E.format_message(0x26, info=(2, 3)) == "length of list should be 2, it is 3"
