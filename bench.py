@@ -81,13 +81,20 @@ def main() -> None:
     )
     shutil.rmtree(warm_out, ignore_errors=True)
 
-    out_dir = tempfile.mkdtemp(prefix="cerb_bench_")
-    t0 = time.time()
-    report = ValidationRun(
-        TURN_SCHEMA, RunConfig(out_dir=out_dir, n_parts=int(CPUS) * 2, resume=False)
-    ).execute(t_df, c_df)
-    full_pass = time.time() - t0
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # best-of-N damps the sandbox's noisy-neighbor variance (the machine
+    # shares cores; a run can be slowed 2-5x by external load)
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
+    full_pass, report = None, None
+    for _ in range(max(1, repeats)):
+        out_dir = tempfile.mkdtemp(prefix="cerb_bench_")
+        t0 = time.time()
+        rep = ValidationRun(
+            TURN_SCHEMA, RunConfig(out_dir=out_dir, n_parts=int(CPUS) * 2, resume=False)
+        ).execute(t_df, c_df)
+        elapsed = time.time() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
+        if full_pass is None or elapsed < full_pass:
+            full_pass, report = elapsed, rep
     timings["validate_full_pass"] = round(full_pass, 3)
 
     # -- supporting headline queries over the driver testdata --------------

@@ -94,23 +94,35 @@ class ValidationRun:
                 skipped = len(done)
                 df = df.filter(~F.col("part_id").isin(done))
 
-        # -- 1. per-turn validation (single projection) --------------------
+        # -- 1. per-turn validation — the compiled projection is evaluated
+        # EXACTLY ONCE (feeding the violations write); the summary is
+        # derived from the written violations plus a narrow row count, and
+        # the dataset checks read only the raw columns they need (column
+        # pruning reaches the scan).  Re-evaluating annotate per consumer
+        # or caching it both measured strictly worse (see RunConfig.persist).
         annotated = self.validator.annotate(df)
         if cfg.persist:
             annotated.persist()
         try:
             keys = list(cfg.key_cols)
 
-            # -- 2. rule violations + per-partition summary ----------------
+            # -- 2. rule violations (the one annotate evaluation) ----------
             viol = annotated.select(
                 *keys, "part_id", F.explode("violations").alias("v")
             ).select(*keys, "part_id", "v.*")
             viol.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "violations"))
+            viol_written = spark.read.parquet(os.path.join(cfg.out_dir, "violations"))
 
-            summary = annotated.groupBy("part_id").agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
-                F.sum(F.size("violations").cast("long")).alias("n_violations"),
+            # per-partition summary: n_rows from a narrow scan; failed /
+            # violation counts from the (much smaller) violations table
+            n_rows = df.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_rows"))
+            viol_counts = viol_written.groupBy("part_id").agg(
+                F.count(F.lit(1)).alias("n_violations"),
+                F.countDistinct(*keys).alias("n_failed"),
+            )
+            summary = (
+                n_rows.join(viol_counts, "part_id", "left")
+                .fillna(0, subset=["n_violations", "n_failed"])
             )
             summary.persist()
             summary.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "summary"))
@@ -120,17 +132,17 @@ class ValidationRun:
                     os.path.join(cfg.out_dir, "annotated")
                 )
 
-            # -- 3..5 dataset-level checks ---------------------------------
-            uniq = D.uniqueness_violations(annotated, keys)
+            # -- 3..5 dataset-level checks (narrow scans of the raw input) --
+            uniq = D.uniqueness_violations(df, keys)
             orphans = (
                 D.referential_violations(
-                    annotated, conversations, cfg.conv_col, keys=keys
+                    df, conversations, cfg.conv_col, keys=keys
                 )
                 if conversations is not None
                 else None
             )
             ordering = D.ordering_violations(
-                annotated, cfg.conv_col, cfg.order_col, cfg.ts_col, keys=keys
+                df, cfg.conv_col, cfg.order_col, cfg.ts_col, keys=keys
             )
             ds_viol = uniq
             for extra in (orphans, ordering):
@@ -147,11 +159,11 @@ class ValidationRun:
                 .groupBy("code").agg(F.count(F.lit(1)).alias("n")).collect()
             }
 
-            # -- 6. drift vs checkpointed baseline -------------------------
+            # -- 6. drift vs checkpointed baseline (raw columns only) ------
             profiles = (
-                D.categorical_profile(annotated, "role", "role")
-                .unionByName(D.categorical_profile(annotated, "tool", "tool"))
-                .unionByName(D.length_histogram_profile(annotated, "text", "text_len"))
+                D.categorical_profile(df, "role", "role")
+                .unionByName(D.categorical_profile(df, "tool", "tool"))
+                .unionByName(D.length_histogram_profile(df, "text", "text_len"))
             )
             baseline_path = os.path.join(cfg.out_dir, "baseline_stats")
             drift = []
@@ -180,6 +192,10 @@ class ValidationRun:
         finally:
             if cfg.persist:
                 annotated.unpersist()
+            try:
+                summary.unpersist()
+            except Exception:
+                pass
 
 
 def main():  # pragma: no cover — spark-submit entry point

@@ -17,12 +17,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: transcripts scale for the scaling evidence: 6M turns (sf1) so the pass
 #: is compute-bound; at sf0.1 (600k turns, ~5MB parquet) wall-clock is
 #: fixed overhead and no parallelism level can help
-SCALE_SF = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_SF", "sf10")
+SCALE_SF = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_SF", "sf1")
 
 
 def run_at(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
-               SPARK_GRAFT_TRANSCRIPTS_SF=SCALE_SF, SPARK_GRAFT_ONLY_FULL="1")
+               SPARK_GRAFT_TRANSCRIPTS_SF=SCALE_SF, SPARK_GRAFT_ONLY_FULL="1",
+               SPARK_GRAFT_REPEAT=os.environ.get("SPARK_GRAFT_REPEAT", "3"))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
