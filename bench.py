@@ -97,6 +97,21 @@ def main() -> None:
             full_pass, report = elapsed, rep
     timings["validate_full_pass"] = round(full_pass, 3)
 
+    # compute-phase throughput: the parallelizable core (compiled
+    # validation projection + aggregate) without sinks/orchestration —
+    # isolates what actually scales with executors
+    from pyspark.sql import functions as FF
+    validator = ValidationRun(TURN_SCHEMA, RunConfig(out_dir="/tmp/_unused")).validator
+    compute = None
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        validator.annotate(t_df).agg(
+            FF.sum((~FF.col("passed")).cast("long"))
+        ).collect()
+        e = time.time() - t0
+        compute = e if compute is None or e < compute else compute
+    timings["validate_compute_phase"] = round(compute, 3)
+
     # -- supporting headline queries over the driver testdata --------------
     heads = [] if os.environ.get("SPARK_GRAFT_ONLY_FULL") else [
         "validate_events_violations",

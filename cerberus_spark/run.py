@@ -111,18 +111,15 @@ class ValidationRun:
                 *keys, "part_id", F.explode("violations").alias("v")
             ).select(*keys, "part_id", "v.*")
             viol.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "violations"))
-            viol_written = spark.read.parquet(os.path.join(cfg.out_dir, "violations"))
 
-            # per-partition summary: n_rows from a narrow scan; failed /
-            # violation counts from the (much smaller) violations table
-            n_rows = df.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_rows"))
-            viol_counts = viol_written.groupBy("part_id").agg(
-                F.count(F.lit(1)).alias("n_violations"),
-                F.countDistinct(*keys).alias("n_failed"),
-            )
-            summary = (
-                n_rows.join(viol_counts, "part_id", "left")
-                .fillna(0, subset=["n_violations", "n_failed"])
+            # per-partition summary: the second (and last) evaluation of the
+            # projection — failed ROWS cannot be recovered from the
+            # violations table alone because (conv_id, turn_idx) keys are
+            # not unique (that's what the uniqueness check finds)
+            summary = annotated.groupBy("part_id").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
+                F.sum(F.size("violations").cast("long")).alias("n_violations"),
             )
             summary.persist()
             summary.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "summary"))
