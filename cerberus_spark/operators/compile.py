@@ -446,9 +446,16 @@ class RuleCompiler:
                 req_cond = is_null
                 for guard in unrequire or ():
                     req_cond = req_cond & ~guard
+                # reference quirk: when required comes from require_all (no
+                # explicit rule), schema_path is the literal string
+                # '__require_all__' (validator.py:300-304)
+                req_spath = (
+                    list(spath) + ["required"] if "required" in rules
+                    else ["__require_all__"]
+                )
                 out.append(
                     make_violation(
-                        req_cond, E.REQUIRED_FIELD, doc_path, list(spath) + ["required"],
+                        req_cond, E.REQUIRED_FIELD, doc_path, req_spath,
                         constraint=rules.get("required", True),
                     )
                 )

@@ -43,11 +43,15 @@ def has_normalization(rules: Mapping) -> bool:
     normalization work?"""
     if not NORM_KEYS.isdisjoint(rules):
         return True
-    sub = rules.get("schema")
-    if isinstance(sub, Mapping):
-        if _looks_like_rules(sub):
-            return has_normalization(sub)
-        return any(isinstance(r, Mapping) and has_normalization(r) for r in sub.values())
+    for key in ("schema", "keysrules", "valuesrules"):
+        sub = rules.get(key)
+        if isinstance(sub, Mapping):
+            if _looks_like_rules(sub):
+                if has_normalization(sub):
+                    return True
+            elif any(isinstance(r, Mapping) and has_normalization(r)
+                     for r in sub.values()):
+                return True
     return False
 
 # ---------------------------------------------------------------------------

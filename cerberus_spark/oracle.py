@@ -63,10 +63,16 @@ def flatten_reference_errors(errs) -> list[tuple]:
     out = []
     for e in errs:
         if e.code in _LOGICAL_CODES or not e.is_group_error:
+            # require_all required errors carry the literal STRING
+            # '__require_all__' as schema_path (validator.py:300-304)
+            spath = (
+                (e.schema_path,) if isinstance(e.schema_path, str)
+                else tuple(str(p) for p in e.schema_path)
+            )
             out.append(
                 (
                     tuple(str(p) for p in e.document_path),
-                    tuple(str(p) for p in e.schema_path),
+                    spath,
                     int(e.code),
                     e.rule,
                 )
