@@ -262,9 +262,11 @@ class Normalizer:
                 for fn in fns:
                     _, new_elem_dt = fn(F.lit(None).cast(new_elem_dt), new_elem_dt)
 
-                def _apply(x, fns=fns, dt=elem_dt):
-                    d = dt
-                    for fn in fns:
+                _a_fns, _a_dt = list(fns), elem_dt
+
+                def _apply(x):
+                    d = _a_dt
+                    for fn in _a_fns:
                         x, d = fn(x, d)
                     return x
 
@@ -286,9 +288,11 @@ class Normalizer:
             for fn in fns:
                 _, new_vdt = fn(F.lit(None).cast(new_vdt), new_vdt)
 
-            def _vapply(k, x, fns=fns, dt=vdt):
-                d = dt
-                for fn in fns:
+            _v_fns, _v_dt = list(fns), vdt
+
+            def _vapply(k, x):
+                d = _v_dt
+                for fn in _v_fns:
                     x, d = fn(x, d)
                 return x
 

@@ -295,3 +295,11 @@ def test_error_tree_matches_reference_handler(spark):
     assert set(got) == set(expected)
     for field in expected:
         assert got[field] == expected[field], (field, got[field], expected[field])
+
+
+def test_array_element_coercion(spark):
+    v = SparkValidator(
+        {"xs": {"type": "list", "schema": {"type": "string", "coerce": "strip"}}}
+    )
+    df = spark.createDataFrame([([" a ", "b "],)], "xs array<string>")
+    assert v.normalized(df).first().xs == ["a", "b"]
