@@ -28,18 +28,32 @@ from .text import normalized_text, words, fingerprint
 # ---------------------------------------------------------------------------
 
 
-def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str,
+                     max_ids: int = 1000) -> DataFrame:
     """Groups of identical (normalized) texts: returns
-    (fingerprint, n, keep_id, dup_ids) for groups of size > 1."""
-    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
-    groups = fp.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(id_col).alias("keep_id"),
-        F.sort_array(F.collect_list(id_col)).alias("all_ids"),
+    (fingerprint, n, keep_id, dup_ids) for groups of size > 1.
+
+    Memory-bounded at scale: a pathological fingerprint (e.g. every
+    empty text hashing identically) must not collect millions of ids
+    into one aggregation buffer.  Ids are ranked per group by a window
+    (spillable external sort) and only the first ``max_ids`` enter the
+    collect_list (``when`` yields NULL past the cap; collect_list skips
+    NULLs), so the agg buffer is bounded by ``max_ids``.  ``n`` is
+    always the TRUE group size — ``size(dup_ids) < n - 1`` marks a
+    truncated group, so nothing is dropped silently."""
+    fp = df.select(F.col(id_col).alias("_id"), fingerprint(F.col(text_col)).alias("fp"))
+    w = W.partitionBy("fp").orderBy("_id")
+    ranked = fp.withColumn("_rn", F.row_number().over(w))
+    groups = ranked.groupBy("fp").agg(
+        F.max("_rn").alias("n"),
+        F.min("_id").alias("keep_id"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rn") <= max_ids, F.col("_id")))
+        ).alias("all_ids"),
     )
     return groups.filter(F.col("n") > 1).select(
         "fp", "n", "keep_id",
-        F.filter(F.col("all_ids"), lambda x: x != F.col("keep_id")).alias("dup_ids"),
+        F.array_remove(F.col("all_ids"), F.col("keep_id")).alias("dup_ids"),
     )
 
 
@@ -137,12 +151,24 @@ def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
-                           num_perm: int = 32, bands: int = 8, k: int = 3) -> DataFrame:
+                           num_perm: int = 32, bands: int = 8, k: int = 3,
+                           bucket_cap: int = 200) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH.
 
     rows-per-band = num_perm/bands; two docs collide when any band's
     sub-signature hashes equal.  Explode = ×bands rows; the groupBy is
-    on (band, band_hash) — bounded fan-out, skew handled by AQE."""
+    on (band, band_hash) — bounded fan-out, skew handled by AQE.
+
+    Degenerate buckets (e.g. a corpus slice of identical short texts
+    hashing every band equally) are capped at ``bucket_cap`` members:
+    a window ranks members per bucket (spillable sort — no unbounded
+    agg buffer) and only the first ``bucket_cap`` ids participate in
+    the in-bucket pair expansion, bounding it at bucket_cap²/2 pairs.
+    The cap is NOT silent: members beyond it still pair with the
+    bucket's rank-1 representative, so every capped doc surfaces as a
+    candidate of the group exemplar (near-dup groups stay connected for
+    the union-find pass) — only redundant intra-group pairs are
+    dropped."""
     rows_per_band = num_perm // bands
     sig = minhash_signature_df(df, id_col, text_col, num_perm, k)
     band_structs = F.array(
@@ -159,8 +185,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     banded = sig.select("_id", F.explode(band_structs).alias("bb")).select(
         "_id", "bb.band", "bb.bhash"
     )
-    buckets = banded.groupBy("band", "bhash").agg(
-        F.sort_array(F.collect_list("_id")).alias("ids")
+    ranked = banded.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("band", "bhash").orderBy("_id"))
+    )
+    buckets = ranked.filter(F.col("_rn") <= bucket_cap).groupBy("band", "bhash").agg(
+        F.min("_id").alias("_head"),
+        F.sort_array(F.collect_list("_id")).alias("ids"),
     ).filter(F.size("ids") > 1)
     pairs = buckets.select(
         F.explode(
@@ -169,8 +199,18 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                 "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as id_a, y as id_b))))"
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
-    return pairs
+    ).select("p.id_a", "p.id_b")
+    # overflow members (rank > cap) pair with the bucket head only: every
+    # capped doc still surfaces as a candidate of the group exemplar, so
+    # near-dup groups stay connected for union-find — no row-level agg
+    # buffer anywhere, no silent drop.
+    heads = ranked.filter(F.col("_rn") == 1).select(
+        "band", "bhash", F.col("_id").alias("id_a")
+    )
+    overflow_pairs = ranked.filter(F.col("_rn") > bucket_cap).select(
+        "band", "bhash", F.col("_id").alias("id_b")
+    ).join(heads, ["band", "bhash"]).select("id_a", "id_b")
+    return pairs.unionByName(overflow_pairs).distinct()
 
 
 def minhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str,

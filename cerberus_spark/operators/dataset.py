@@ -68,9 +68,14 @@ def salted_counts(df: DataFrame, keys: list[str], n_salt: int = 16) -> DataFrame
 def uniqueness_violations(df: DataFrame, keys: list[str], n_salt: int = 16) -> DataFrame:
     """One violation row per row participating in a duplicated key.
 
-    NOT_UNIQUE (0x101).  Returns (keys..., + violation fields)."""
+    NOT_UNIQUE (0x101).  Returns (keys..., + violation fields).
+
+    No broadcast hint on the duplicate-key side: a dirty 100 TB source
+    can have millions of duplicated keys, and forcing a broadcast would
+    OOM the driver.  AQE picks broadcast-hash from runtime stats when
+    the dup set is actually small, sort-merge otherwise."""
     dupes = salted_counts(df, keys, n_salt).filter(F.col("n") > 1)
-    joined = df.select(*keys).join(F.broadcast(dupes), keys, "inner")
+    joined = df.select(*keys).join(dupes, keys, "inner")
     key_json = F.to_json(F.struct(*[F.col(k) for k in keys]))
     v = _violation_struct(
         E.NOT_UNIQUE,
