@@ -86,6 +86,14 @@ class SparkValidator:
     (validator.py:142-191): ``allow_unknown``, ``require_all``,
     ``update``, ``purge_unknown`` — plus engine-specific knobs
     (``key_cols``, ``null_semantics``, ``regex_engine``).
+
+    ``allow_unknown`` defaults to False exactly like the reference
+    (validator.py:146) — schemas ported verbatim report unknown columns
+    the same way; ``key_cols`` are exempt (engine plumbing, not data).
+    Schema fields that are absent from the DataFrame but declare a
+    ``default`` are materialized as literal columns before rules
+    compile, matching the reference where normalization inserts the
+    default and required then passes (validator.py:947-963).
     """
 
     def __init__(
@@ -93,7 +101,7 @@ class SparkValidator:
         schema: Mapping,
         *,
         key_cols: tuple[str, ...] = (),
-        allow_unknown: object = True,
+        allow_unknown: object = False,
         require_all: bool = False,
         update: bool = False,
         purge_unknown: bool = False,
@@ -147,11 +155,29 @@ class SparkValidator:
         )
         dtypes = {f.name: f.dataType for f in df.schema.fields}
 
+        # 0. materialize literal defaults for schema fields missing from
+        # the DataFrame (reference: normalization inserts the default into
+        # the document, validator.py:947-963, so required passes)
+        for fname, rules in self.schema.expanded.items():
+            if fname in colmap or "default" not in rules or rules["default"] is None:
+                continue
+            try:
+                lit_type = T._infer_type(rules["default"])
+            except Exception:
+                continue
+            synth = f"__default__{fname}"
+            colmap[fname] = synth
+            dtypes[synth] = lit_type
+
         # 1. normalization pass — build normalized value expressions
         norm_exprs: dict[str, tuple[Column, T.DataType]] = {}
         norm_violations: list[Column] = []
         for out_name, in_name in colmap.items():
-            col, dtype = F.col(in_name), dtypes[in_name]
+            if in_name.startswith("__default__"):
+                col = F.lit(self.schema.expanded[out_name]["default"]).cast(dtypes[in_name])
+                dtype = dtypes[in_name]
+            else:
+                col, dtype = F.col(in_name), dtypes[in_name]
             rules = self.schema.expanded.get(out_name)
             if rules and has_normalization(rules):
                 col, dtype, viol = self.normalizer.normalize_field(
@@ -210,3 +236,9 @@ class SparkValidator:
     def normalized(self, df: DataFrame) -> DataFrame:
         """Normalization only (reference: normalized(), validator.py:666-688)."""
         return self.annotate(df).drop("violations", "passed")
+
+    def validated(self, df: DataFrame) -> DataFrame:
+        """Normalized rows that passed validation — the per-row analog of
+        the reference's ``validated()`` returning the normalized document
+        or None (validator.py:1053-1063): failing rows are dropped."""
+        return self.annotate(df).filter(F.col("passed")).drop("violations", "passed")

@@ -48,9 +48,6 @@ from ..dsl import LOGICAL_OPS, NORMALIZATION_RULES, RuleSetSchema, SchemaError
 # violation construction helpers
 # ---------------------------------------------------------------------------
 
-_NULL_VIOLATION = None  # built lazily (needs an active session for lit)
-
-
 def empty_violations() -> Column:
     """A typed empty array<violation>."""
     return F.array().cast(T.ArrayType(E.VIOLATION_STRUCT))
@@ -678,7 +675,12 @@ class RuleCompiler:
         mirrored as a compile-time comparability check."""
         if not _comparable(dtype, constraint):
             return None
-        cond = (value < F.lit(constraint)) if rule == "min" else (value > F.lit(constraint))
+        cmp = value
+        if isinstance(dtype, T.BooleanType):
+            # bool ⊂ int in the reference (True compares as 1); Spark
+            # refuses BOOLEAN < INT, so compare the 0/1 cast instead
+            cmp = value.cast("int")
+        cond = (cmp < F.lit(constraint)) if rule == "min" else (cmp > F.lit(constraint))
         edef = E.MIN_VALUE if rule == "min" else E.MAX_VALUE
         return make_violation(
             gate & cond, edef, doc_path, list(spath) + [rule],

@@ -17,12 +17,14 @@ mismatch), which is exactly the reference's schema-hash cache idea
 
 Storage is a parquet append-dir here (works against any filesystem);
 swap to an Iceberg table transparently when its catalog is configured.
+All existence probes go through the Hadoop FileSystem API — os.path
+would silently return False for s3a://, hdfs://, abfs:// paths and
+quietly degrade resume to a full re-run.
 """
 
 from __future__ import annotations
 
 import hashlib
-import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -31,6 +33,15 @@ CHECKPOINT_SCHEMA = (
     "predicate_set string, status string, n_turns long, n_failed long, "
     "n_violations long, finished_ts timestamp"
 )
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe via the Hadoop FileSystem bound to ``path``'s
+    scheme — correct for local, file:, hdfs:, s3a:, abfs:, gs: alike."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def part_id_col(conv_col: str = "conv_id", n_parts: int = 64):
@@ -42,15 +53,18 @@ def part_id_col(conv_col: str = "conv_id", n_parts: int = 64):
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_parts)).cast("int")
 
 
-def snapshot_id(df: DataFrame) -> str:
+def snapshot_id(df: DataFrame) -> str | None:
     """Lineage id of the input: Iceberg snapshot when available, else a
-    hash of the sorted input-file list."""
+    hash of the sorted input-file list.  Returns None for purely
+    in-memory DataFrames — two different in-memory datasets are
+    indistinguishable, so they must never share resume lineage (the
+    caller disables resume and stamps commits with an ephemeral id)."""
     try:
         files = sorted(df.inputFiles())
     except Exception:
         files = []
     if not files:
-        return "in-memory"
+        return None
     return hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
 
 
@@ -60,7 +74,7 @@ class CheckpointStore:
         self.path = path
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        if not fs_exists(self.spark, self.path):
             return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
         return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
 

@@ -6,19 +6,39 @@ One pass over the transcripts table computes (north star):
 1. per-turn rule violations + normalized columns  (single projection)
 2. per-partition pass/fail summary                (one groupBy)
 3. uniqueness of (conv_id, turn_idx)              (salted two-stage agg)
-4. referential conv_id ⋉ conversations            (broadcast anti join)
+4. referential conv_id ⋉ conversations            (anti join, AQE-chosen)
 5. ts-ordering per conversation                   (window after
                                                    repartition(conv_id))
 6. role/tool frequency + text-length drift vs a checkpointed baseline
    (KL + PSI on small aggregated profiles)
 7. checkpoint commit with lineage (snapshot, rule-schema hash) so a
    killed job restarts only unvalidated partitions
+
+Resume correctness invariants:
+
+* per-row outputs (violations, summary) are written partitioned by
+  ``part_id`` with DYNAMIC partition overwrite — a resumed run that
+  processes only pending partitions replaces only those partition
+  directories; previously committed partitions' data is untouched.
+* checkpoint rows are committed per WAVE (``RunConfig.waves`` groups of
+  partitions), each wave only after its outputs are durable — a killed
+  job restarts from the last completed wave, never re-trusting
+  half-written output.
+* a fully-resumed run (every partition 'done') performs NO writes and
+  reports from the durable summary — it cannot erase prior results.
+* in-memory inputs have no stable lineage (snapshot_id() → None):
+  resume is disabled for them and commits carry an ephemeral id that
+  can never match a future run.
+* dataset-level checks (uniqueness/referential/ordering/drift) are
+  GLOBAL invariants — they always run over the full input (a
+  partition-pruned uniqueness check would be wrong) and their sinks are
+  plain overwrites.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -26,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import errors as E
 from .engine import SparkValidator
 from .operators import dataset as D
-from .plans.checkpoint import CheckpointStore, part_id_col, snapshot_id
+from .plans.checkpoint import CheckpointStore, fs_exists, part_id_col, snapshot_id
 
 
 @dataclass
@@ -40,6 +60,11 @@ class RunConfig:
     psi_threshold: float = 0.2
     write_annotated: bool = False
     resume: bool = True
+    #: checkpoint granularity: partitions are processed in this many
+    #: waves, each wave's checkpoint rows committed once its outputs are
+    #: durable.  1 = single pass (minimum scans); raise it when restart
+    #: cost dominates re-scan cost (very long jobs on flaky clusters).
+    waves: int = 1
     # Caching the annotated frame is a pessimization here: materializing
     # 6M+ rows of array<struct> into the object cache measured ~25x the
     # cost of recomputing the codegen projection from the columnar scan,
@@ -65,17 +90,29 @@ class RunReport:
 
 class ValidationRun:
     def __init__(self, schema: dict, config: RunConfig, **validator_kw):
-        self.validator = SparkValidator(schema, key_cols=config.key_cols, **validator_kw)
+        # part_id is engine plumbing, not document data: declaring it a key
+        # column keeps it out of unknown-field validation and purge
+        # (otherwise allow_unknown=False would flag it on every row).
+        key_cols = tuple(config.key_cols)
+        if "part_id" not in key_cols:
+            key_cols = key_cols + ("part_id",)
+        self.validator = SparkValidator(schema, key_cols=key_cols, **validator_kw)
         self.config = config
 
     # ------------------------------------------------------------------
 
+    def _path(self, *parts: str) -> str:
+        return "/".join([self.config.out_dir.rstrip("/"), *parts])
+
     def execute(self, df: DataFrame, conversations: DataFrame | None = None) -> RunReport:
         cfg = self.config
         spark = df.sparkSession
-        os.makedirs(cfg.out_dir, exist_ok=True)
-        store = CheckpointStore(spark, os.path.join(cfg.out_dir, "checkpoint"))
+        store = CheckpointStore(spark, self._path("checkpoint"))
         snap = snapshot_id(df)
+        resume_ok = cfg.resume and snap is not None
+        if snap is None:
+            # no stable lineage: never resumable, never matched by a later run
+            snap = f"ephemeral-{uuid.uuid4().hex[:12]}"
         shash = self.validator.schema_hash
         # lineage: the predicate set identifies WHAT this run checks, so a
         # config change (e.g. different key columns) invalidates resume state
@@ -85,114 +122,141 @@ class ValidationRun:
             sort_keys=True,
         )
 
-        # -- resume: prune already-validated partitions -------------------
         df = df.withColumn("part_id", part_id_col(cfg.conv_col, cfg.n_parts))
-        skipped = 0
-        if cfg.resume:
-            done = store.done_partitions(snap, shash, predicate_set)
-            if done:
-                skipped = len(done)
-                df = df.filter(~F.col("part_id").isin(done))
+        done: list[int] = store.done_partitions(snap, shash, predicate_set) if resume_ok else []
+        pending = [p for p in range(cfg.n_parts) if p not in set(done)]
 
-        # -- 1. per-turn validation — the compiled projection is evaluated
-        # EXACTLY ONCE (feeding the violations write); the summary is
-        # derived from the written violations plus a narrow row count, and
-        # the dataset checks read only the raw columns they need (column
-        # pruning reaches the scan).  Re-evaluating annotate per consumer
-        # or caching it both measured strictly worse (see RunConfig.persist).
-        annotated = self.validator.annotate(df)
-        if cfg.persist:
-            annotated.persist()
-        try:
-            keys = list(cfg.key_cols)
+        if pending:
+            self._run_validation_waves(df, done, pending, store, snap, shash, predicate_set)
+        # fully resumed: zero writes — prior results stay durable as-is
 
-            # -- 2. rule violations (the one annotate evaluation) ----------
-            viol = annotated.select(
-                *keys, "part_id", F.explode("violations").alias("v")
-            ).select(*keys, "part_id", "v.*")
-            viol.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "violations"))
+        # -- dataset-level checks + drift: global invariants over the FULL
+        # input (narrow scans; column pruning reaches the parquet reader)
+        ds_counts = self._run_dataset_checks(spark, df, conversations)
+        drift = self._run_drift(spark, df)
 
-            # per-partition summary: the second (and last) evaluation of the
-            # projection — failed ROWS cannot be recovered from the
-            # violations table alone because (conv_id, turn_idx) keys are
-            # not unique (that's what the uniqueness check finds)
-            summary = annotated.groupBy("part_id").agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
-                F.sum(F.size("violations").cast("long")).alias("n_violations"),
-            )
-            summary.persist()
-            summary.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "summary"))
+        # -- report from the durable summary (covers all partitions,
+        # this run's and previously committed ones alike)
+        totals = (
+            spark.read.parquet(self._path("summary"))
+            .agg(F.sum("n_rows"), F.sum("n_failed"), F.sum("n_violations"))
+            .first()
+        )
+        return RunReport(
+            n_turns=int(totals[0] or 0),
+            n_failed=int(totals[1] or 0),
+            n_rule_violations=int(totals[2] or 0),
+            n_unique_violations=ds_counts.get(E.NOT_UNIQUE.code, 0),
+            n_orphan_violations=ds_counts.get(E.ORPHAN_REFERENCE.code, 0),
+            n_ordering_violations=ds_counts.get(E.ORDERING_VIOLATION.code, 0),
+            drift=drift,
+            skipped_partitions=len(done),
+        )
 
-            if cfg.write_annotated:
-                annotated.write.mode("overwrite").partitionBy("part_id").parquet(
-                    os.path.join(cfg.out_dir, "annotated")
-                )
+    # ------------------------------------------------------------------
 
-            # -- 3..5 dataset-level checks (narrow scans of the raw input) --
-            uniq = D.uniqueness_violations(df, keys)
-            orphans = (
-                D.referential_violations(
-                    df, conversations, cfg.conv_col, keys=keys
-                )
-                if conversations is not None
-                else None
-            )
-            ordering = D.ordering_violations(
-                df, cfg.conv_col, cfg.order_col, cfg.ts_col, keys=keys
-            )
-            ds_viol = uniq
-            for extra in (orphans, ordering):
-                if extra is not None:
-                    ds_viol = ds_viol.unionByName(extra)
-            ds_viol.write.mode("overwrite").parquet(
-                os.path.join(cfg.out_dir, "dataset_violations")
-            )
-            # count per check from the written files — never re-execute
-            # the uniqueness/join/window DAGs just for the report
-            ds_counts = {
-                int(r["code"]): int(r["n"])
-                for r in spark.read.parquet(os.path.join(cfg.out_dir, "dataset_violations"))
-                .groupBy("code").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
+    def _run_validation_waves(self, df, done, pending, store, snap, shash,
+                              predicate_set) -> None:
+        cfg = self.config
+        spark = df.sparkSession
+        n_waves = max(1, min(cfg.waves, len(pending)))
+        chunk = -(-len(pending) // n_waves)  # ceil
+        waves = [pending[i:i + chunk] for i in range(0, len(pending), chunk)]
 
-            # -- 6. drift vs checkpointed baseline (raw columns only) ------
-            profiles = (
-                D.categorical_profile(df, "role", "role")
-                .unionByName(D.categorical_profile(df, "tool", "tool"))
-                .unionByName(D.length_histogram_profile(df, "text", "text_len"))
-            )
-            baseline_path = os.path.join(cfg.out_dir, "baseline_stats")
-            drift = []
-            if os.path.exists(baseline_path):
-                baseline = spark.read.parquet(baseline_path)
-                drift = D.drift_metrics(profiles, baseline)
+        for wave_parts in waves:
+            # prune to this wave's partitions; on a file source the
+            # part_id filter does not push down (it's computed), but the
+            # scan is shared work the wave structure deliberately trades
+            # for durable checkpoints — waves=1 scans once.
+            if len(wave_parts) < cfg.n_parts:
+                wave_df = df.filter(F.col("part_id").isin(wave_parts))
             else:
-                profiles.write.mode("overwrite").parquet(baseline_path)
+                wave_df = df
 
-            # -- 7. checkpoint commit --------------------------------------
-            store.commit(summary, snap, shash, predicate_set)
-
-            totals = summary.agg(
-                F.sum("n_rows"), F.sum("n_failed"), F.sum("n_violations")
-            ).first()
-            return RunReport(
-                n_turns=int(totals[0] or 0),
-                n_failed=int(totals[1] or 0),
-                n_rule_violations=int(totals[2] or 0),
-                n_unique_violations=ds_counts.get(E.NOT_UNIQUE.code, 0),
-                n_orphan_violations=ds_counts.get(E.ORPHAN_REFERENCE.code, 0),
-                n_ordering_violations=ds_counts.get(E.ORDERING_VIOLATION.code, 0),
-                drift=drift,
-                skipped_partitions=skipped,
-            )
-        finally:
+            annotated = self.validator.annotate(wave_df)
             if cfg.persist:
-                annotated.unpersist()
+                annotated.persist()
             try:
-                summary.unpersist()
-            except Exception:
-                pass
+                keys = list(cfg.key_cols)
+
+                # rule violations (first evaluation of the projection)
+                viol = annotated.select(
+                    *keys, "part_id", F.explode("violations").alias("v")
+                ).select(*keys, "part_id", "v.*")
+                (viol.write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("part_id")
+                     .parquet(self._path("violations")))
+
+                # per-partition summary (second and last evaluation —
+                # failed ROWS can't be recovered from the violations table
+                # alone because (conv_id, turn_idx) keys are not unique;
+                # that's what the uniqueness check finds)
+                summary = annotated.groupBy("part_id").agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
+                    F.sum(F.size("violations").cast("long")).alias("n_violations"),
+                )
+                (summary.write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("part_id")
+                        .parquet(self._path("summary")))
+
+                if cfg.write_annotated:
+                    (annotated.write.mode("overwrite")
+                              .option("partitionOverwriteMode", "dynamic")
+                              .partitionBy("part_id")
+                              .parquet(self._path("annotated")))
+
+                # checkpoint commit for THIS wave, from the durable files —
+                # committed state always describes data that is on disk
+                committed = (
+                    spark.read.parquet(self._path("summary"))
+                    .filter(F.col("part_id").isin(wave_parts))
+                )
+                store.commit(committed, snap, shash, predicate_set)
+            finally:
+                if cfg.persist:
+                    annotated.unpersist()
+
+    def _run_dataset_checks(self, spark, df, conversations) -> dict[int, int]:
+        cfg = self.config
+        keys = list(cfg.key_cols)
+        uniq = D.uniqueness_violations(df, keys)
+        orphans = (
+            D.referential_violations(df, conversations, cfg.conv_col, keys=keys)
+            if conversations is not None
+            else None
+        )
+        ordering = D.ordering_violations(
+            df, cfg.conv_col, cfg.order_col, cfg.ts_col, keys=keys
+        )
+        ds_viol = uniq
+        for extra in (orphans, ordering):
+            if extra is not None:
+                ds_viol = ds_viol.unionByName(extra)
+        ds_viol.write.mode("overwrite").parquet(self._path("dataset_violations"))
+        # count per check from the written files — never re-execute the
+        # uniqueness/join/window DAGs just for the report
+        return {
+            int(r["code"]): int(r["n"])
+            for r in spark.read.parquet(self._path("dataset_violations"))
+            .groupBy("code").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    def _run_drift(self, spark, df) -> list:
+        cfg = self.config
+        profiles = (
+            D.categorical_profile(df, "role", "role")
+            .unionByName(D.categorical_profile(df, "tool", "tool"))
+            .unionByName(D.length_histogram_profile(df, "text", "text_len"))
+        )
+        baseline_path = self._path("baseline_stats")
+        if fs_exists(spark, baseline_path):
+            baseline = spark.read.parquet(baseline_path)
+            return D.drift_metrics(profiles, baseline)
+        profiles.write.mode("overwrite").parquet(baseline_path)
+        return []
 
 
 def main():  # pragma: no cover — spark-submit entry point

@@ -73,10 +73,16 @@ def test_drift(spark):
     assert moved["role"]["psi"] > 0.01
 
 
-def test_full_run_and_resume(spark, data):
-    t, c = data
+def test_full_run_and_resume(spark):
+    # resume lineage requires a file-backed input (in-memory DataFrames
+    # have no stable snapshot id — see test_in_memory_input_never_resumes)
+    data_dir = tempfile.mkdtemp(prefix="cerbdata_")
     out = tempfile.mkdtemp(prefix="cerbrun_")
     try:
+        from cerberus_spark.sources.transcripts import write_dataset, load
+
+        write_dataset(data_dir, 5000, seed=42)
+        t, c = load(spark, data_dir)
         cfg = RunConfig(out_dir=out, n_parts=8)
         run = ValidationRun(TURN_SCHEMA, cfg)
         r1 = run.execute(t, c)
@@ -90,10 +96,14 @@ def test_full_run_and_resume(spark, data):
         viols = spark.read.parquet(out + "/violations")
         assert viols.count() == r1.n_rule_violations
 
-        # resume: everything already validated → all partitions skipped
+        # resume: everything already validated → all partitions skipped,
+        # and — critically — the prior run's outputs are NOT erased
         r2 = ValidationRun(TURN_SCHEMA, cfg).execute(t, c)
         assert r2.skipped_partitions == 8
-        assert r2.n_turns == 0
+        assert r2.n_turns == 5000  # report reflects the durable full-dataset state
+        assert r2.n_failed == r1.n_failed
+        assert spark.read.parquet(out + "/violations").count() == r1.n_rule_violations
+        assert spark.read.parquet(out + "/summary").count() > 0
 
         # changed schema hash → full revalidation
         schema2 = dict(TURN_SCHEMA)
@@ -101,5 +111,56 @@ def test_full_run_and_resume(spark, data):
         r3 = ValidationRun(schema2, cfg).execute(t, c)
         assert r3.skipped_partitions == 0
         assert r3.n_turns == 5000
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(data_dir, ignore_errors=True)
+
+
+def test_waves_commit_incrementally(spark):
+    """waves=4 processes partitions in 4 groups, each wave's checkpoint
+    rows committed after its outputs land — same final results."""
+    data_dir = tempfile.mkdtemp(prefix="cerbdata_")
+    out1 = tempfile.mkdtemp(prefix="cerbrun_")
+    out2 = tempfile.mkdtemp(prefix="cerbrun_")
+    try:
+        from cerberus_spark.sources.transcripts import write_dataset, load
+
+        write_dataset(data_dir, 3000, seed=7)
+        t, c = load(spark, data_dir)
+        r_single = ValidationRun(TURN_SCHEMA, RunConfig(out_dir=out1, n_parts=8)).execute(t, c)
+        r_waved = ValidationRun(
+            TURN_SCHEMA, RunConfig(out_dir=out2, n_parts=8, waves=4)
+        ).execute(t, c)
+        assert r_waved.n_turns == r_single.n_turns
+        assert r_waved.n_failed == r_single.n_failed
+        assert r_waved.n_rule_violations == r_single.n_rule_violations
+        # one checkpoint row per non-empty partition, committed 'done'
+        ckpt = spark.read.parquet(out2 + "/checkpoint")
+        assert ckpt.filter("status = 'done'").count() == \
+            spark.read.parquet(out2 + "/summary").count()
+        # a resumed run over the waved output skips everything
+        r_resume = ValidationRun(
+            TURN_SCHEMA, RunConfig(out_dir=out2, n_parts=8, waves=4)
+        ).execute(t, c)
+        assert r_resume.skipped_partitions == 8
+        assert r_resume.n_failed == r_waved.n_failed
+    finally:
+        for d in (out1, out2, data_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_in_memory_input_never_resumes(spark, data):
+    """In-memory DataFrames share no lineage: a rerun must revalidate
+    (the old constant 'in-memory' snapshot id let two DIFFERENT
+    datasets share checkpoint state and skip each other's work)."""
+    t, c = data
+    out = tempfile.mkdtemp(prefix="cerbrun_")
+    try:
+        cfg = RunConfig(out_dir=out, n_parts=8)
+        r1 = ValidationRun(TURN_SCHEMA, cfg).execute(t, c)
+        assert r1.skipped_partitions == 0
+        r2 = ValidationRun(TURN_SCHEMA, cfg).execute(t, c)
+        assert r2.skipped_partitions == 0  # no false resume
+        assert r2.n_turns == 5000
     finally:
         shutil.rmtree(out, ignore_errors=True)
