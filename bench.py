@@ -89,7 +89,7 @@ def main() -> None:
         out_dir = tempfile.mkdtemp(prefix="cerb_bench_")
         t0 = time.time()
         rep = ValidationRun(
-            TURN_SCHEMA, RunConfig(out_dir=out_dir, n_parts=int(CPUS) * 2, resume=False)
+            TURN_SCHEMA, RunConfig(out_dir=out_dir, n_parts=64, resume=False)
         ).execute(t_df, c_df)
         elapsed = time.time() - t0
         shutil.rmtree(out_dir, ignore_errors=True)

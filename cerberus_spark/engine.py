@@ -109,6 +109,7 @@ class SparkValidator:
         rename_handler=None,
         null_semantics: str = "absent",
         regex_engine: str = "auto",
+        dynamic_types: bool = False,
         check_with: Mapping | None = None,
         coercers: Mapping | None = None,
         setters: Mapping | None = None,
@@ -126,6 +127,7 @@ class SparkValidator:
             allow_unknown=allow_unknown,
             update=update,
             regex_engine=regex_engine,
+            dynamic_types=dynamic_types,
             check_with_registry=dict(check_with or {}),
         )
         self.normalizer = Normalizer(coercers, setters, null_semantics)

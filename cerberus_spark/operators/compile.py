@@ -203,6 +203,114 @@ def _comparable(dtype: T.DataType, constraint) -> bool:
     return False
 
 
+# ---------------------------------------------------------------------------
+# dynamic (runtime, per-value) type checking for string payloads
+# ---------------------------------------------------------------------------
+
+#: serialized-literal classifiers for dynamic payload values.  Convention:
+#: a map<string,string> payload column carries typed values as string
+#: literals; the parse-back rules below define which reference Python type
+#: each literal denotes, and the differential oracle parses documents with
+#: the same rules (tests/test_differential_oracle.py::_parse_back).
+_DYN_INT_RE = "^[+-]?[0-9]+$"
+_DYN_FLOAT_RE = r"^[+-]?([0-9]+[.][0-9]*|[.]?[0-9]+)([eE][+-]?[0-9]+)?$"
+_DYN_DATE_ONLY_RE = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+
+
+def dynamic_type_ok(value: Column, constraint) -> Column:
+    """Per-value runtime type check for a string-typed dynamic payload —
+    the engine analog of the reference's isinstance dispatch
+    (validator.py:1528-1560), evaluated with try_cast/rlike so it stays
+    inside codegen.  Type quirks preserved (SURVEY.md §1.2 /
+    validator.py:118-131): bool ⊂ integer, int ⊂ float, ``number``
+    excludes bool, datetime ⊂ date, scalars are never list/dict."""
+    names = [constraint] if isinstance(constraint, str) else list(constraint)
+    is_int = value.rlike(_DYN_INT_RE)
+    is_float = value.rlike(_DYN_FLOAT_RE)  # integer literals match too
+    is_bool = F.lower(value).isin("true", "false")
+    is_numericish = is_int | is_float | is_bool
+    is_date = value.try_cast("date").isNotNull() & ~is_numericish
+    is_datetime = is_date & ~value.rlike(_DYN_DATE_ONLY_RE)
+    per = []
+    for n in names:
+        if n == "string":
+            # parse-back: a literal that denotes an int/float/bool/date is
+            # no longer a Python str in the reference document
+            per.append(~is_numericish & ~is_date)
+        elif n == "integer":
+            per.append(is_int | is_bool)  # bool ⊂ int (validator.py:126)
+        elif n == "float":
+            per.append(is_float)  # int ⊂ float (validator.py:125)
+        elif n == "number":
+            per.append(is_float & ~is_bool)  # bool excluded (validator.py:128)
+        elif n == "boolean":
+            per.append(is_bool)
+        elif n == "date":
+            per.append(is_date)  # datetime ⊂ date (datetime subclasses date)
+        elif n == "datetime":
+            per.append(is_datetime)
+        elif n in ("dict", "list", "set", "container", "binary"):
+            per.append(F.lit(False))  # a scalar string is none of these
+        else:
+            raise SchemaError(f"unknown type name '{n}'")
+    ok = per[0]
+    for p in per[1:]:
+        ok = ok | p
+    return ok
+
+
+def dynamic_is_string(value: Column) -> Column:
+    """Does a dynamic payload literal denote a Python str after
+    parse-back?  (Used to gate string-only rules — regex, length
+    bounds, string comparisons — exactly like the reference's
+    isinstance/TypeError silent passes.)"""
+    return dynamic_type_ok(value, "string")
+
+
+def dynamic_numeric(value: Column) -> Column:
+    """Numeric view of a dynamic payload literal for min/max: float/int
+    literals via try_cast, bools as 1/0 (bool ⊂ int ordering in the
+    reference); anything else NULL → the comparison is NULL → the rule
+    passes silently, mirroring the reference's TypeError pass
+    (validator.py:1343-1357)."""
+    return F.coalesce(
+        value.try_cast("double"),
+        F.when(F.lower(value) == "true", F.lit(1.0))
+         .when(F.lower(value) == "false", F.lit(0.0)),
+    )
+
+
+def _scalar_checker_udf(fn: Callable, arity: int, field_name: str):
+    """Wrap a plain Python checker in a vectorized (Arrow-batched)
+    pandas UDF returning the per-value pass/fail boolean.
+
+    * arity 1: ``fn(value) -> truthy``; an exception counts as failure
+    * arity 3: reference signature ``fn(field, value, error)``
+      (validator.py:1138-1151) — any ``error(...)`` call or exception
+      counts as failure
+
+    NULL values pass (the compiler's gates already suppress rules on
+    NULL per the reference's drop list)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _check(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return True
+            try:
+                if arity == 1:
+                    return bool(fn(v))
+                failures: list = []
+                fn(field_name, v, lambda *a, **kw: failures.append(a))
+                return not failures
+            except Exception:
+                return False
+
+        return s.map(one)
+
+    return _check
+
+
 # Python-only regex constructs that the JVM dialect can't express → the
 # compiler falls back to an exact-parity vectorized pandas UDF using `re`.
 _PY_ONLY_REGEX = re.compile(r"\(\?P[<=]|\\Z|\(\?\(|\\A")
@@ -236,6 +344,14 @@ class CompileContext:
     update: bool = False
     regex_engine: str = "auto"  # 'auto' | 'jvm' | 'python'
     check_with_registry: dict[str, Callable] = dc_field(default_factory=dict)
+    #: runtime per-value type checks for string values inside dynamic
+    #: containers (map keysrules/valuesrules/fixed-key subschemas) — the
+    #: try_cast path SURVEY §2.1 row 4 names; typed top-level columns
+    #: keep the compile-time static check.  Opt-in: it changes what a
+    #: map<string,string> payload MEANS (values become serialized typed
+    #: literals under the parse-back convention of dynamic_type_ok)
+    #: rather than plain strings.
+    dynamic_types: bool = False
 
 
 class Scope:
@@ -250,10 +366,15 @@ class Scope:
         fields: dict[str, tuple[Column, T.DataType]],
         doc_path: Sequence = (),
         parent: "Scope | None" = None,
+        dynamic: bool = False,
     ):
         self.fields = fields
         self.doc_path = tuple(doc_path)
         self.parent = parent
+        #: True when the scope's values come out of a dynamic container
+        #: (MapType) — string values there carry serialized typed literals
+        #: and get runtime type checks instead of static ones
+        self.dynamic = dynamic
 
     @property
     def root(self) -> "Scope":
@@ -409,7 +530,7 @@ class RuleCompiler:
         spath = list(schema_path) + [fname]
         return self.compile_rules(
             rules, value, dtype, doc_path, spath, scope, field_name=fname,
-            unrequire=unrequire,
+            unrequire=unrequire, dynamic=scope.dynamic,
         )
 
     def compile_rules(
@@ -422,11 +543,14 @@ class RuleCompiler:
         scope: Scope,
         field_name: str | None = None,
         unrequire: list[Column] | None = None,
+        dynamic: bool = False,
     ) -> Column:
         """Compile one rules-set applied to one value expression.
 
         ``doc_path`` elements may be Columns (dynamic list indices).
         ``spath`` is the static schema path ending at the field name.
+        ``dynamic`` marks values drawn from a dynamic container (map):
+        string values there get runtime per-value type checks.
         """
         ctx = self.ctx
         out: list[Column] = []
@@ -476,11 +600,22 @@ class RuleCompiler:
             )
             return collect_violations(out)  # suppresses everything else
 
-        # --- type (static, compile-time — validator.py:1528-1560)
-        type_ok = True
+        # --- type: static compile-time vs df.schema for typed columns;
+        # runtime per-value (try_cast/rlike classifiers) for string values
+        # inside dynamic containers (validator.py:1528-1560)
+        type_ok_col = F.lit(True)
         if "type" in rules:
-            type_ok = check_type(dtype, rules["type"])
-            if not type_ok:
+            if dynamic and ctx.dynamic_types and isinstance(dtype, T.StringType):
+                type_ok_col = dynamic_type_ok(value, rules["type"])
+                out.append(
+                    make_violation(
+                        present & ~type_ok_col, E.BAD_TYPE, doc_path,
+                        list(spath) + ["type"],
+                        constraint=rules["type"], value=value, value_dtype=dtype,
+                    )
+                )
+            elif not check_type(dtype, rules["type"]):
+                type_ok_col = F.lit(False)
                 out.append(
                     make_violation(
                         present, E.BAD_TYPE, doc_path, list(spath) + ["type"],
@@ -489,7 +624,8 @@ class RuleCompiler:
                 )
 
         # value-shape rules run only on non-null values of the right type
-        value_gate = present & F.lit(type_ok)
+        # (a type failure suppresses all later rules — validator.py:1110-1115)
+        value_gate = present & type_ok_col
         # rules NOT suppressed by a null value (validator.py:1376-1394 drop
         # list omits dependencies/excludes/check_with/contains) still die on
         # a type break for non-null values.  Under 'absent' semantics a NULL
@@ -498,7 +634,7 @@ class RuleCompiler:
         if ctx.null_semantics == "absent":
             null_surviving_gate = value_gate
         else:
-            null_surviving_gate = is_null | F.lit(type_ok)
+            null_surviving_gate = is_null | type_ok_col
 
         # --- empty gate (validator.py:1225-1238)
         gate7 = value_gate
@@ -515,9 +651,16 @@ class RuleCompiler:
                         )
                     )
 
-        # --- iterate remaining rules in schema-dict order, maintaining the
-        # dependencies-break gate (validator.py:1107-1117,1194-1200)
-        deps_gate: Column = F.lit(True)
+        # --- iterate remaining rules in schema-dict order.
+        # NOTE a failed `dependencies` does NOT suppress later rules in
+        # reference 1.3.5: _validate_dependencies (validator.py:1194-1200)
+        # only returns truthy when document_error_tree.fetch_node_from(
+        # schema_path + (field, 'dependencies')) matches — but that tree is
+        # keyed by DOCUMENT paths, so the lookup never matches (verified
+        # live: {'x': {'dependencies': ['y'], 'allowed': ['a']}} over
+        # {'x': 'b'} emits BOTH 0x04 and 0x44).  The break-on-truthy is the
+        # "TODO remove on next breaking release" path (validator.py:1110).
+        dyn_mode = dynamic and ctx.dynamic_types and isinstance(dtype, T.StringType)
 
         for rule, constraint in rules.items():
             if rule in (
@@ -525,9 +668,9 @@ class RuleCompiler:
                 "allow_unknown", "require_all",
             ) or rule in NORMALIZATION_RULES:
                 continue
-            g_value = value_gate & deps_gate
-            g7 = gate7 & deps_gate
-            g_null_ok = null_surviving_gate & deps_gate
+            g_value = value_gate
+            g7 = gate7
+            g_null_ok = null_surviving_gate
 
             if rule == "allowed":
                 out.append(self._c_allowed(constraint, value, dtype, g7, doc_path, spath))
@@ -536,15 +679,21 @@ class RuleCompiler:
             elif rule == "contains":
                 out.append(self._c_contains(constraint, value, dtype, g_null_ok & present, doc_path, spath))
             elif rule == "regex":
-                v = self._c_regex(constraint, value, dtype, g7, doc_path, spath)
+                # dynamic payloads: regex only applies to str-denoting
+                # literals (reference tests regex on str only,
+                # validator.py:1429-1437)
+                g_rx = g7 & dynamic_is_string(value) if dyn_mode else g7
+                v = self._c_regex(constraint, value, dtype, g_rx, doc_path, spath)
                 if v is not None:
                     out.append(v)
             elif rule in ("min", "max"):
-                v = self._c_minmax(rule, constraint, value, dtype, g_value, doc_path, spath)
+                v = self._c_minmax(rule, constraint, value, dtype, g_value,
+                                   doc_path, spath, dynamic=dyn_mode)
                 if v is not None:
                     out.append(v)
             elif rule in ("minlength", "maxlength"):
-                v = self._c_length(rule, constraint, value, dtype, g7, doc_path, spath)
+                g_len = g7 & dynamic_is_string(value) if dyn_mode else g7
+                v = self._c_length(rule, constraint, value, dtype, g_len, doc_path, spath)
                 if v is not None:
                     out.append(v)
             elif rule == "items":
@@ -566,14 +715,13 @@ class RuleCompiler:
             elif rule in LOGICAL_OPS:
                 out.append(
                     self._c_logical(rule, constraint, rules, value, dtype, g_value,
-                                    doc_path, spath, scope)
+                                    doc_path, spath, scope, dynamic=dynamic)
                 )
             elif rule == "dependencies":
-                dep_violation, dep_ok = self._c_dependencies(
+                dep_violation, _dep_ok = self._c_dependencies(
                     constraint, value, g_null_ok, doc_path, spath, scope
                 )
                 out.extend(dep_violation)
-                deps_gate = deps_gate & dep_ok
             elif rule == "excludes":
                 out.append(self._c_excludes(constraint, value, g_null_ok & present, doc_path, spath, scope))
             elif rule == "check_with":
@@ -670,16 +818,27 @@ class RuleCompiler:
             constraint=pattern, value=value, value_dtype=dtype,
         )
 
-    def _c_minmax(self, rule, constraint, value, dtype, gate, doc_path, spath):
+    def _c_minmax(self, rule, constraint, value, dtype, gate, doc_path, spath,
+                  dynamic=False):
         """reference: validator.py:1343-1357 — TypeError passes silently,
-        mirrored as a compile-time comparability check."""
-        if not _comparable(dtype, constraint):
+        mirrored as a compile-time comparability check (typed columns) or
+        a NULL comparison (dynamic payload literals)."""
+        if dynamic and isinstance(dtype, T.StringType):
+            if isinstance(constraint, bool) or not isinstance(constraint, (int, float, str)):
+                return None
+            if isinstance(constraint, str):
+                # str-vs-str compares; numeric-denoting literals TypeError-pass
+                cmp = F.when(dynamic_is_string(value), value)
+            else:
+                cmp = dynamic_numeric(value)
+        elif not _comparable(dtype, constraint):
             return None
-        cmp = value
-        if isinstance(dtype, T.BooleanType):
+        elif isinstance(dtype, T.BooleanType):
             # bool ⊂ int in the reference (True compares as 1); Spark
             # refuses BOOLEAN < INT, so compare the 0/1 cast instead
             cmp = value.cast("int")
+        else:
+            cmp = value
         cond = (cmp < F.lit(constraint)) if rule == "min" else (cmp > F.lit(constraint))
         edef = E.MIN_VALUE if rule == "min" else E.MAX_VALUE
         return make_violation(
@@ -738,7 +897,7 @@ class RuleCompiler:
             child_fields = {
                 k: (value.getItem(k), dtype.valueType) for k in sub
             }
-            child = Scope(child_fields, doc_path, parent=scope)
+            child = Scope(child_fields, doc_path, parent=scope, dynamic=True)
             arr = self.compile_schema(sub, child, spath2)
             return F.when(gate, arr).otherwise(empty_violations())
         if isinstance(dtype, T.ArrayType):
@@ -763,7 +922,8 @@ class RuleCompiler:
         per_key = F.transform(
             F.map_keys(value),
             lambda k: self.compile_rules(
-                sub, k, dtype.keyType, list(doc_path) + [k], spath2, scope
+                sub, k, dtype.keyType, list(doc_path) + [k], spath2, scope,
+                dynamic=True,
             ),
         )
         return F.when(gate, F.flatten(per_key)).otherwise(empty_violations())
@@ -778,12 +938,13 @@ class RuleCompiler:
             lambda e: self.compile_rules(
                 sub, e.getField("value"), dtype.valueType,
                 list(doc_path) + [e.getField("key")], spath2, scope,
+                dynamic=True,
             ),
         )
         return F.when(gate, F.flatten(per_val)).otherwise(empty_violations())
 
     def _c_logical(self, op, definitions, outer_rules, value, dtype, gate,
-                   doc_path, spath, scope):
+                   doc_path, spath, scope, dynamic=False):
         """reference: __validate_logical validator.py:1292-1341 — boolean
         algebra over sub-rules-set predicates; oneof = exactly-one count."""
         spath2 = list(spath) + [op]
@@ -794,7 +955,7 @@ class RuleCompiler:
             if "type" not in d and "type" in outer_rules:
                 d["type"] = outer_rules["type"]
             sub_arr = self.compile_rules(
-                d, value, dtype, doc_path, spath2 + [str(i)], scope
+                d, value, dtype, doc_path, spath2 + [str(i)], scope, dynamic=dynamic
             )
             valid_flags.append((F.size(sub_arr) == 0).cast("int"))
         valids = sum(valid_flags[1:], valid_flags[0]) if valid_flags else F.lit(0)
@@ -881,8 +1042,22 @@ class RuleCompiler:
         )
 
     def _c_check_with(self, checks, value, dtype, gate, doc_path, spath):
-        """reference: validator.py:1138-1164 — named checkers resolved from a
-        registry of vectorized (Column-level or pandas-UDF) checkers."""
+        """reference: validator.py:1138-1164 — chained checkers.  Three
+        checker shapes are accepted (resolved by arity):
+
+        * ``fn(value_col, dtype) -> Column`` — Column-builder: stays fully
+          inside codegen (the fast path; use for anything hot)
+        * ``fn(value) -> bool`` — plain predicate, auto-wrapped in a
+          vectorized pandas UDF (Arrow-batched; per-element Python like
+          the reference itself, but batched transfer)
+        * ``fn(field, value, error)`` — the reference's own check_with
+          callable signature (validator.py:1138-1151): ``error(field,
+          msg)`` marks failure; also pandas-UDF-wrapped
+
+        Named checkers resolve through the registry and may be any shape.
+        """
+        import inspect
+
         if isinstance(checks, str) or callable(checks):
             checks = [checks]
         out = []
@@ -891,14 +1066,34 @@ class RuleCompiler:
             fn = self.ctx.check_with_registry.get(name) if isinstance(chk, str) else chk
             if fn is None:
                 raise SchemaError(f"check_with: no registered checker named '{name}'")
-            ok_col = fn(value, dtype)  # must return a boolean Column, vectorized
-            out.append(
-                make_violation(
-                    gate & ~F.coalesce(ok_col, F.lit(True)), E.CUSTOM,
-                    doc_path, list(spath) + ["check_with"],
-                    rule="check_with", constraint=name,
-                    value=value, value_dtype=dtype,
-                    info=f"check '{name}' failed",
+            try:
+                arity = len(inspect.signature(fn).parameters)
+            except (TypeError, ValueError):
+                arity = 2
+            if arity == 2:
+                ok_col = fn(value, dtype)  # boolean Column, vectorized
+                # engine-extension checkers keep the engine's crumb shape
+                out.append(
+                    make_violation(
+                        gate & ~F.coalesce(ok_col, F.lit(True)), E.CUSTOM,
+                        doc_path, list(spath) + ["check_with"],
+                        rule="check_with", constraint=name,
+                        value=value, value_dtype=dtype,
+                        info=f"check '{name}' failed",
+                    )
                 )
-            )
+            else:
+                ok_col = _scalar_checker_udf(fn, arity, str(doc_path[-1]))(value)
+                # reference shape for error()-style checkers: CUSTOM (0x00)
+                # with EMPTY schema_path and rule None (observed live:
+                # Validator._error(field, msg) → code 0x0, schema_path ())
+                out.append(
+                    make_violation(
+                        gate & ~F.coalesce(ok_col, F.lit(True)), E.CUSTOM,
+                        doc_path, [],
+                        rule=None, constraint=None,
+                        value=value, value_dtype=dtype,
+                        info=f"check '{name}' failed",
+                    )
+                )
         return out

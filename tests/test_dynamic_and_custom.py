@@ -1,0 +1,251 @@
+"""Differential tests: dynamic payload type checks, check_with Python
+callables, dependencies dot-paths, require_all — all vs the reference.
+
+Reference test families covered (VERDICT r1 items 4-6):
+* dynamic type quirks       cerberus/tests/test_validation.py:196-231,540-576
+* check_with callables      cerberus/validator.py:1138-1164
+* dependencies + dot paths  cerberus/validator.py:395-423,1182-1223
+* require_all               cerberus/validator.py:457-467
+"""
+
+import datetime as dt
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark import SparkValidator
+from cerberus_spark.oracle import compare_per_row, load_reference
+
+cerberus = load_reference()
+pytestmark = pytest.mark.skipif(cerberus is None, reason="reference not importable")
+
+_INT_RE = re.compile(r"^[+-]?[0-9]+$")
+_FLOAT_RE = re.compile(r"^[+-]?([0-9]+[.][0-9]*|[.]?[0-9]+)([eE][+-]?[0-9]+)?$")
+_DATE_RE = re.compile(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+
+
+def _parse_back(s):
+    """The dynamic-payload literal convention (compile.dynamic_type_ok):
+    map<string,string> values denote typed Python values."""
+    if s is None:
+        return None
+    if s.lower() in ("true", "false"):
+        return s.lower() == "true"
+    if _INT_RE.match(s):
+        return int(s)
+    if _FLOAT_RE.match(s):
+        return float(s)
+    if _DATE_RE.match(s):
+        try:
+            return dt.date.fromisoformat(s)
+        except ValueError:
+            return s
+    try:
+        return dt.datetime.fromisoformat(s)
+    except ValueError:
+        return s
+
+
+def _run(spark, rows, ddl, schema, docs, **kw):
+    df = spark.createDataFrame(rows, ddl)
+    v = SparkValidator(schema, dynamic_types=True,
+                       allow_unknown=kw.pop("allow_unknown", True), **kw)
+    annotated = v.annotate(df).collect()
+    return compare_per_row(annotated, docs, schema,
+                           allow_unknown=True, **kw)
+
+
+DYN_ROWS = [
+    ({"a": "5", "b": "x", "c": "2.5", "d": "true", "e": "-7"},),
+    ({"a": "99", "b": "1e3", "c": "0", "d": "false"},),
+    ({"a": "hello world", "b": ".5", "c": "-0.0", "d": "TRUE"},),
+    ({},),
+    (None,),
+]
+DYN_DDL = "payload map<string,string>"
+
+
+def _dyn_docs():
+    return [
+        {"payload": {k: _parse_back(v) for k, v in r[0].items()}}
+        if r[0] is not None else {}
+        for r in DYN_ROWS
+    ]
+
+
+def test_dynamic_valuesrules_type_integer(spark):
+    """Runtime per-value type check over a mixed-typed map payload —
+    quirks: bool passes integer, floats don't (validator.py:118-131)."""
+    schema = {"payload": {"type": "dict",
+                          "valuesrules": {"type": "integer"}}}
+    assert _run(spark, DYN_ROWS, DYN_DDL, schema, _dyn_docs()) == []
+
+
+def test_dynamic_valuesrules_type_number_excludes_bool(spark):
+    schema = {"payload": {"type": "dict",
+                          "valuesrules": {"type": "number"}}}
+    assert _run(spark, DYN_ROWS, DYN_DDL, schema, _dyn_docs()) == []
+
+
+def test_dynamic_valuesrules_type_string(spark):
+    schema = {"payload": {"type": "dict",
+                          "valuesrules": {"type": "string"}}}
+    assert _run(spark, DYN_ROWS, DYN_DDL, schema, _dyn_docs()) == []
+
+
+def test_dynamic_min_max_and_suppression(spark):
+    """min/max over dynamic literals: numeric compare via try_cast,
+    bool as 1/0, TypeError-pass for strings; a type failure suppresses
+    the min rule (validator.py:1110-1115)."""
+    schema = {"payload": {"type": "dict",
+                          "valuesrules": {"type": "integer", "min": 3}}}
+    assert _run(spark, DYN_ROWS, DYN_DDL, schema, _dyn_docs()) == []
+
+
+def test_dynamic_regex_only_on_strings(spark):
+    schema = {"payload": {"type": "dict",
+                          "valuesrules": {"regex": "[a-z ]+"}}}
+    assert _run(spark, DYN_ROWS, DYN_DDL, schema, _dyn_docs()) == []
+
+
+def test_dynamic_length_rules_skip_non_strings(spark):
+    schema = {"payload": {"type": "dict",
+                          "valuesrules": {"minlength": 2, "maxlength": 8}}}
+    assert _run(spark, DYN_ROWS, DYN_DDL, schema, _dyn_docs()) == []
+
+
+# ---------------------------------------------------------------------------
+# check_with Python callables (reference signature f(field, value, error))
+# ---------------------------------------------------------------------------
+
+
+# NOTE: checker callables are defined INSIDE each test — functions at
+# test-module top level pickle by module reference, and the test module
+# is not importable on Spark's Python workers; closures pickle by value.
+
+
+def _make_checkers():
+    def oddity(field, value, error):
+        if value % 2 == 0:
+            error(field, "must be odd")
+
+    def positive(field, value, error):
+        if value <= 0:
+            error(field, "must be positive")
+
+    return oddity, positive
+
+
+def test_check_with_reference_callable(spark):
+    oddity, _ = _make_checkers()
+    rows = [(1,), (2,), (-3,), (0,), (None,)]
+    docs = [{"n": r[0]} if r[0] is not None else {} for r in rows]
+    schema = {"n": {"type": "integer", "check_with": oddity}}
+    df = spark.createDataFrame(rows, "n int")
+    annotated = SparkValidator(schema, allow_unknown=True).annotate(df).collect()
+    assert compare_per_row(annotated, docs, schema) == []
+
+
+def test_check_with_chained_callables(spark):
+    oddity, positive = _make_checkers()
+    rows = [(1,), (2,), (-3,), (0,)]
+    docs = [{"n": r[0]} for r in rows]
+    schema = {"n": {"check_with": [oddity, positive]}}
+    df = spark.createDataFrame(rows, "n int")
+    annotated = SparkValidator(schema, allow_unknown=True).annotate(df).collect()
+    assert compare_per_row(annotated, docs, schema) == []
+
+
+def test_check_with_plain_predicate(spark):
+    """Engine extension: a 1-arity f(value)->bool predicate is wrapped
+    in a vectorized pandas UDF (no reference analog for the shape, but
+    the emitted violation matches the error()-style crumb)."""
+    rows = [("abc",), ("xyz",), (None,)]
+    df = spark.createDataFrame(rows, "s string")
+    schema = {"s": {"check_with": (lambda value: value.startswith("a"))}}
+    v = SparkValidator(schema, allow_unknown=True)
+    got = v.annotate(df).select(F.col("s"), F.size("violations").alias("nv")).collect()
+    by_s = {r["s"]: r["nv"] for r in got}
+    assert by_s == {"abc": 0, "xyz": 1, None: 0}
+
+
+# ---------------------------------------------------------------------------
+# dependencies: sequence form, dot-paths, ^-root, suppression
+# ---------------------------------------------------------------------------
+
+DEP_SCHEMA = {
+    "a": {"type": "dict", "schema": {
+        "b": {"type": "string"},
+        "c": {"type": "string", "dependencies": ["b", "^top"],
+              "allowed": ["y", "z"]},
+    }},
+    "top": {"type": "string"},
+}
+DEP_DDL = "a struct<b:string, c:string>, top string"
+DEP_ROWS = [
+    (("x", "y"), "t"),      # all deps met
+    ((None, "y"), "t"),     # sibling dep missing
+    (("x", "y"), None),     # root dep missing
+    ((None, "q"), None),    # both missing + allowed would fail → suppressed
+    ((None, None), None),   # c absent: dependencies never fire
+]
+
+
+def _dep_docs():
+    docs = []
+    for (b, c), top in DEP_ROWS:
+        d = {"a": {}}
+        if b is not None:
+            d["a"]["b"] = b
+        if c is not None:
+            d["a"]["c"] = c
+        if top is not None:
+            d["top"] = top
+        docs.append(d)
+    return docs
+
+
+def test_dependencies_dot_path_and_root_parity(spark):
+    df = spark.createDataFrame(DEP_ROWS, DEP_DDL)
+    annotated = SparkValidator(DEP_SCHEMA, allow_unknown=True).annotate(df).collect()
+    assert compare_per_row(annotated, _dep_docs(), DEP_SCHEMA) == []
+
+
+def test_dependencies_dotted_target(spark):
+    """Dot-path dependency from a TOP-LEVEL field into a subdocument
+    (reference _lookup_field descends mappings, validator.py:395-423)."""
+    schema = {
+        "a": {"type": "dict", "schema": {"b": {"type": "string"}}},
+        "flag": {"type": "string", "dependencies": ["a.b"]},
+    }
+    rows = [(("x",), "on"), ((None,), "on"), ((None,), None)]
+    df = spark.createDataFrame(rows, "a struct<b:string>, flag string")
+    docs = []
+    for (b,), flag in rows:
+        d = {}
+        if b is not None:
+            d["a"] = {"b": b}
+        else:
+            d["a"] = {}
+        if flag is not None:
+            d["flag"] = flag
+        docs.append(d)
+    annotated = SparkValidator(schema, allow_unknown=True).annotate(df).collect()
+    assert compare_per_row(annotated, docs, schema) == []
+
+
+# ---------------------------------------------------------------------------
+# require_all
+# ---------------------------------------------------------------------------
+
+
+def test_require_all_parity(spark):
+    schema = {"x": {"type": "string"}, "y": {"type": "integer"},
+              "z": {"type": "string", "required": False}}
+    rows = [("a", 1, "s"), (None, 1, None), ("a", None, None), (None, None, None)]
+    df = spark.createDataFrame(rows, "x string, y int, z string")
+    docs = [{k: v for k, v in zip("xyz", r) if v is not None} for r in rows]
+    annotated = SparkValidator(schema, allow_unknown=True,
+                               require_all=True).annotate(df).collect()
+    assert compare_per_row(annotated, docs, schema, require_all=True) == []
