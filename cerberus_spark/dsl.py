@@ -171,6 +171,116 @@ def expand_schema(schema, *, _depth: int = 0) -> dict:
     }
 
 
+def _is_listish(x) -> bool:
+    return isinstance(x, Sequence) and not isinstance(x, str)
+
+
+def _callable_or_name(x) -> bool:
+    return callable(x) or isinstance(x, str)
+
+
+def validate_rules_set(field: str, rules: Mapping) -> None:
+    """Validate ONE rules-set's constraint shapes, recursing into every
+    nested definition (reference: the introspected SchemaValidatorMixin,
+    schema.py:252-283 + 310-467 — each ``_validate_*`` docstring pins its
+    constraint's own schema; this re-derives the same shape table)."""
+    if not isinstance(rules, Mapping):
+        raise SchemaError(f"schema definition for field '{field}' must be a dict")
+    for rule, c in rules.items():
+        if rule not in VALID_RULES:
+            raise SchemaError(f"field '{field}': unknown rule '{rule}'")
+        if rule == "type":
+            names = [c] if isinstance(c, str) else list(c) if _is_listish(c) else None
+            if names is None:
+                raise SchemaError(f"field '{field}': 'type' must be a name or list of names")
+            for n in names:
+                if n not in TYPE_NAMES:
+                    raise SchemaError(f"field '{field}': unknown type '{n}'")
+        elif rule in ("required", "nullable", "readonly", "empty",
+                      "require_all", "purge_unknown"):
+            if not isinstance(c, bool):
+                raise SchemaError(f"field '{field}': '{rule}' must be boolean")
+        elif rule in ("minlength", "maxlength"):
+            if not isinstance(c, int) or isinstance(c, bool) or c < 0:
+                raise SchemaError(f"field '{field}': '{rule}' must be a non-negative integer")
+        elif rule == "regex":
+            if not isinstance(c, str):
+                raise SchemaError(f"field '{field}': 'regex' must be a string")
+        elif rule in ("allowed", "forbidden"):
+            # reference: {'type': 'container_but_not_string'} (schema.py:344-352)
+            if not _is_listish(c) and not isinstance(c, (set, frozenset)):
+                raise SchemaError(f"field '{field}': '{rule}' must be a collection")
+        elif rule == "dependencies":
+            # reference: ('dict', 'hashable', 'list') (validator.py:1183)
+            if isinstance(c, Mapping):
+                for k in c:
+                    if not isinstance(k, str):
+                        raise SchemaError(
+                            f"field '{field}': 'dependencies' keys must be field names")
+            elif not isinstance(c, str) and not _is_listish(c):
+                raise SchemaError(
+                    f"field '{field}': 'dependencies' must be a field name, list, or mapping")
+        elif rule == "excludes":
+            # reference: hashable or list of hashables (schema.py:401-412)
+            if not isinstance(c, str) and not (
+                _is_listish(c) and all(isinstance(x, str) for x in c)
+            ):
+                raise SchemaError(
+                    f"field '{field}': 'excludes' must be a field name or list of names")
+        elif rule in ("coerce", "check_with", "rename_handler"):
+            # reference: callable / registry name / list thereof
+            # (schema.py:354-372, 390-399)
+            items = c if _is_listish(c) else [c]
+            if not all(_callable_or_name(x) for x in items):
+                raise SchemaError(
+                    f"field '{field}': '{rule}' must be callable(s) or registered name(s)")
+        elif rule == "rename":
+            if not isinstance(c, str):
+                raise SchemaError(f"field '{field}': 'rename' must be a string")
+        elif rule == "default_setter":
+            if not _callable_or_name(c):
+                raise SchemaError(
+                    f"field '{field}': 'default_setter' must be callable or a registered name")
+        elif rule == "items":
+            # reference: list of rules-sets (validator.py:1272 docstring)
+            if not _is_listish(c) or not all(isinstance(d, Mapping) for d in c):
+                raise SchemaError(f"field '{field}': 'items' must be a list of rules-sets")
+            for i, d in enumerate(c):
+                validate_rules_set(f"{field}[{i}]", d)
+        elif rule in ("keysrules", "valuesrules"):
+            if not isinstance(c, Mapping):
+                raise SchemaError(f"field '{field}': '{rule}' must be a rules-set mapping")
+            validate_rules_set(f"{field}.{rule}", c)
+        elif rule == "allow_unknown":
+            if isinstance(c, Mapping):
+                validate_rules_set(f"{field}.allow_unknown", c)
+            elif not isinstance(c, bool):
+                raise SchemaError(
+                    f"field '{field}': 'allow_unknown' must be boolean or a rules-set")
+        elif rule in LOGICAL_OPS:
+            if not _is_listish(c) or not all(isinstance(d, Mapping) for d in c):
+                raise SchemaError(f"field '{field}': '{rule}' must be a list of rules-sets")
+            for i, d in enumerate(c):
+                # normalization rules are invalid inside *of definitions
+                # (reference: test_schema.py::
+                #  test_normalization_rules_are_invalid_in_of_rules)
+                bad = NORMALIZATION_RULES.intersection(d)
+                if bad:
+                    raise SchemaError(
+                        f"field '{field}': normalization rule(s) {sorted(bad)} "
+                        f"not allowed inside '{rule}'")
+                validate_rules_set(f"{field}.{rule}[{i}]", d)
+        elif rule == "schema":
+            if not isinstance(c, Mapping):
+                raise SchemaError(f"field '{field}': 'schema' must be a mapping")
+            if _looks_like_rules_set(c):
+                validate_rules_set(f"{field}.schema", c)
+            else:
+                validate_schema(c)
+        # 'min'/'max'/'contains'/'default'/'meta': any value is legal
+        # (reference declares no constraint schema for them)
+
+
 def validate_schema(schema: Mapping) -> None:
     """Schema-of-schemas check: raise SchemaError on unknown rules or
     malformed constraints before any Spark job launches
@@ -178,37 +288,7 @@ def validate_schema(schema: Mapping) -> None:
     if not isinstance(schema, Mapping):
         raise SchemaError("validation schema must be a mapping")
     for field, rules in schema.items():
-        if not isinstance(rules, Mapping):
-            raise SchemaError(f"schema definition for field '{field}' must be a dict")
-        for rule, constraint in rules.items():
-            if rule not in VALID_RULES:
-                raise SchemaError(f"field '{field}': unknown rule '{rule}'")
-            if rule == "type":
-                names = [constraint] if isinstance(constraint, str) else list(constraint)
-                for n in names:
-                    if n not in TYPE_NAMES:
-                        raise SchemaError(f"field '{field}': unknown type '{n}'")
-            if rule in ("required", "nullable", "readonly", "empty") and not isinstance(
-                constraint, bool
-            ):
-                raise SchemaError(f"field '{field}': '{rule}' must be boolean")
-            if rule in ("minlength", "maxlength") and not isinstance(constraint, int):
-                raise SchemaError(f"field '{field}': '{rule}' must be an integer")
-            if rule == "regex" and not isinstance(constraint, str):
-                raise SchemaError(f"field '{field}': 'regex' must be a string")
-            if rule in LOGICAL_OPS and not isinstance(constraint, Sequence):
-                raise SchemaError(f"field '{field}': '{rule}' must be a list")
-            if rule == "schema":
-                if not isinstance(constraint, Mapping):
-                    raise SchemaError(f"field '{field}': 'schema' must be a mapping")
-                if not _looks_like_rules_set(constraint):
-                    validate_schema(constraint)
-                # else: element rules-set; validated via expand path
-        # recurse logical branches
-        for op in LOGICAL_OPS:
-            if op in rules and isinstance(rules[op], Sequence):
-                for d in rules[op]:
-                    validate_schema({field: d})
+        validate_rules_set(field, rules)
 
 
 def _canonicalize(obj):

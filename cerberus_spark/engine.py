@@ -110,6 +110,7 @@ class SparkValidator:
         null_semantics: str = "absent",
         regex_engine: str = "auto",
         dynamic_types: bool = False,
+        logical_child_errors: bool = False,
         check_with: Mapping | None = None,
         coercers: Mapping | None = None,
         setters: Mapping | None = None,
@@ -128,6 +129,7 @@ class SparkValidator:
             update=update,
             regex_engine=regex_engine,
             dynamic_types=dynamic_types,
+            logical_child_errors=logical_child_errors,
             check_with_registry=dict(check_with or {}),
         )
         self.normalizer = Normalizer(coercers, setters, null_semantics)
@@ -171,10 +173,27 @@ class SparkValidator:
             colmap[fname] = synth
             dtypes[synth] = lit_type
 
-        # 1. normalization pass — build normalized value expressions
-        norm_exprs: dict[str, tuple[Column, T.DataType]] = {}
+        # 1. normalization pass — build normalized value expressions.
+        # default_setter fields resolve AFTER the fields they declare in
+        # their `depends` attribute (so a 2-arg setter sees the NORMALIZED
+        # values of its inputs); fields left unresolvable form a cycle and
+        # get SETTING_DEFAULT_FAILED, mirroring the reference's iterative
+        # resolution with circular detection (validator.py:965-1005).
+        setter_deps: dict[str, list[str]] = {}
+        for out_name in colmap:
+            rules = self.schema.expanded.get(out_name)
+            if rules and "default_setter" in rules:
+                setter = rules["default_setter"]
+                fn = (self.normalizer.setters.get(setter)
+                      if isinstance(setter, str) else setter)
+                deps = tuple(getattr(fn, "depends", ()) or ())
+                setter_deps[out_name] = [d for d in deps if d in colmap]
+
+        resolved: dict[str, tuple[Column, T.DataType]] = {}
         norm_violations: list[Column] = []
-        for out_name, in_name in colmap.items():
+
+        def _resolve_field(out_name: str, cycle: bool = False) -> None:
+            in_name = colmap[out_name]
             if in_name.startswith("__default__"):
                 col = F.lit(self.schema.expanded[out_name]["default"]).cast(dtypes[in_name])
                 dtype = dtypes[in_name]
@@ -182,11 +201,30 @@ class SparkValidator:
                 col, dtype = F.col(in_name), dtypes[in_name]
             rules = self.schema.expanded.get(out_name)
             if rules and has_normalization(rules):
+                scope_cols = {k: v[0] for k, v in resolved.items()}
                 col, dtype, viol = self.normalizer.normalize_field(
-                    out_name, rules, col, dtype, [out_name], []
+                    out_name, rules, col, dtype, [out_name], [],
+                    setter_scope=scope_cols, setter_cycle=cycle,
                 )
                 norm_violations.append(viol)
-            norm_exprs[out_name] = (col, dtype)
+            resolved[out_name] = (col, dtype)
+
+        pending = list(colmap)
+        while pending:
+            progressed = False
+            for name in list(pending):
+                if all(d in resolved for d in setter_deps.get(name, ())):
+                    _resolve_field(name)
+                    pending.remove(name)
+                    progressed = True
+            if not progressed:
+                break
+        for name in pending:  # circular setter dependencies
+            _resolve_field(name, cycle=True)
+
+        norm_exprs: dict[str, tuple[Column, T.DataType]] = {
+            name: resolved[name] for name in colmap
+        }
 
         # 2. validation pass over normalized values
         scope = Scope(dict(norm_exprs))

@@ -188,31 +188,64 @@ def format_message(code: int, *, constraint=None, value=None, field=None, info=(
         return template
 
 
+_LOGICAL_RULE_NAMES = ("anyof", "allof", "noneof", "oneof")
+
+
+def _get(r, key):
+    return (r.get(key) if isinstance(r, dict) else getattr(r, key))
+
+
+def _logical_child_label(schema_path) -> str | None:
+    """'anyof definition 0'-style label when the row is a *of child
+    error (schema_path [..., op, i, rule]) — the reference
+    BasicErrorHandler's path rewriting (errors.py:618-650)."""
+    sp = list(schema_path or [])
+    for j, el in enumerate(sp):
+        if el in _LOGICAL_RULE_NAMES and j + 1 < len(sp) and str(sp[j + 1]).isdigit():
+            return f"{el} definition {int(sp[j + 1])}"
+    return None
+
+
 def error_tree(violation_rows) -> dict:
     """Assemble collected violation rows into a nested Cerberus-style
     ``{field: [message | {subfield: [...]}]}`` tree (driver-side; the
-    analog of BasicErrorHandler.pretty_tree, errors.py:519-560).
+    analog of BasicErrorHandler, errors.py:511-560 + the *of child path
+    rewriting at errors.py:618-650: child errors of a failed logical
+    rule land under '{op} definition {i}' buckets, exactly like the
+    reference's ``validator.errors`` output).
 
     ``violation_rows`` is an iterable of Row/dict with the
     VIOLATION_STRUCT fields.  Intended for small, per-document result
     sets (debugging / parity tests) — never call on a full table.
     """
+    rows = sorted(
+        violation_rows,
+        key=lambda r: (list(_get(r, "document_path") or []),
+                       [str(p) for p in (_get(r, "schema_path") or [])]),
+    )
     tree: dict = {}
-    for r in violation_rows:
-        get = r.get if isinstance(r, dict) else r.__getattr__
-        path = list(get("document_path") or [])
+    for r in rows:
+        path = list(_get(r, "document_path") or [])
         msg = format_message(
-            get("code"),
-            constraint=get("constraint"),
-            value=get("value"),
+            _get(r, "code"),
+            constraint=_get(r, "constraint"),
+            value=_get(r, "value"),
             field=path[-1] if path else None,
-            info=(get("info"),) if get("info") else (),
+            info=(_get(r, "info"),) if _get(r, "info") else (),
         )
         node = tree
         for i, key in enumerate(path):
             bucket = node.setdefault(key, [])
             if i == len(path) - 1:
-                bucket.append(msg)
+                label = _logical_child_label(_get(r, "schema_path"))
+                if label is not None:
+                    sub = next((x for x in bucket if isinstance(x, dict)), None)
+                    if sub is None:
+                        sub = {}
+                        bucket.append(sub)
+                    sub.setdefault(label, []).append(msg)
+                else:
+                    bucket.append(msg)
             else:
                 sub = None
                 for item in bucket:
@@ -224,3 +257,69 @@ def error_tree(violation_rows) -> dict:
                     bucket.append(sub)
                 node = sub
     return tree
+
+
+class _TreeNode:
+    __slots__ = ("errors", "descendants")
+
+    def __init__(self):
+        self.errors: list = []
+        self.descendants: dict = {}
+
+
+class ErrorTree:
+    """Queryable trie of violation rows, keyed by a path field — the
+    analog of the reference's ErrorTree/DocumentErrorTree/
+    SchemaErrorTree (errors.py:210-353).  Like the reference, an error
+    is stored at the node of its FULL path and every prefix node knows
+    its descendants, so ``tree['x']`` / ``fetch_errors_from(('x',))``
+    answer "everything wrong under x"."""
+
+    path_field = "document_path"
+
+    def __init__(self, violation_rows=()):
+        self.root = _TreeNode()
+        for r in violation_rows:
+            self.add(r)
+
+    def add(self, row) -> None:
+        path = tuple(_get(row, self.path_field) or ())
+        node = self.root
+        for p in path:
+            node = node.descendants.setdefault(str(p), _TreeNode())
+        node.errors.append(row)
+
+    def fetch_node_from(self, path):
+        node = self.root
+        for p in tuple(path or ()):
+            node = node.descendants.get(str(p))
+            if node is None:
+                return None
+        return node
+
+    def fetch_errors_from(self, path) -> list:
+        node = self.fetch_node_from(path)
+        out: list = []
+
+        def walk(n):
+            out.extend(n.errors)
+            for child in n.descendants.values():
+                walk(child)
+
+        if node is not None:
+            walk(node)
+        return out
+
+    def __getitem__(self, item):
+        return self.root.descendants.get(str(item))
+
+    def __contains__(self, item):
+        return str(item) in self.root.descendants
+
+
+class DocumentErrorTree(ErrorTree):
+    path_field = "document_path"
+
+
+class SchemaErrorTree(ErrorTree):
+    path_field = "schema_path"

@@ -352,6 +352,12 @@ class CompileContext:
     #: literals under the parse-back convention of dynamic_type_ok)
     #: rather than plain strings.
     dynamic_types: bool = False
+    #: also emit each *of sub-definition's child violations when the
+    #: logical rule fails (schema_path crumb: [..., op, i, rule]),
+    #: matching the reference's per-definition child errors
+    #: (errors.py:594-650 path rewriting).  Off by default: the
+    #: differential oracle pins the single-leaf shape.
+    logical_child_errors: bool = False
 
 
 class Scope:
@@ -957,8 +963,9 @@ class RuleCompiler:
             sub_arr = self.compile_rules(
                 d, value, dtype, doc_path, spath2 + [str(i)], scope, dynamic=dynamic
             )
-            valid_flags.append((F.size(sub_arr) == 0).cast("int"))
-        valids = sum(valid_flags[1:], valid_flags[0]) if valid_flags else F.lit(0)
+            valid_flags.append(((F.size(sub_arr) == 0).cast("int"), sub_arr))
+        flags = [f for f, _ in valid_flags]
+        valids = sum(flags[1:], flags[0]) if flags else F.lit(0)
         n = len(definitions)
         if op == "anyof":
             cond, edef = valids < 1, E.ANYOF
@@ -968,12 +975,21 @@ class RuleCompiler:
             cond, edef = valids > 0, E.NONEOF
         else:  # oneof
             cond, edef = valids != 1, E.ONEOF
-        return make_violation(
+        parent = make_violation(
             gate & cond, edef, doc_path, spath2,
             constraint=[dict(d) for d in definitions],
             value=value, value_dtype=dtype,
             info=valids.cast("string"),
         )
+        if not self.ctx.logical_child_errors:
+            return parent
+        # per-definition child errors, emitted only when the logical rule
+        # itself failed (reference keeps them as the *of error's children)
+        children = [
+            F.when(gate & cond, sub_arr).otherwise(empty_violations())
+            for _f, sub_arr in valid_flags
+        ]
+        return F.concat(parent, *children)
 
     def _c_dependencies(self, deps, value, gate, doc_path, spath, scope):
         """reference: validator.py:1182-1223.  Returns (violations, ok_gate);

@@ -52,6 +52,11 @@ def has_normalization(rules: Mapping) -> bool:
             elif any(isinstance(r, Mapping) and has_normalization(r)
                      for r in sub.values()):
                 return True
+    items = rules.get("items")
+    if isinstance(items, (list, tuple)) and any(
+        isinstance(r, Mapping) and has_normalization(r) for r in items
+    ):
+        return True
     return False
 
 # ---------------------------------------------------------------------------
@@ -158,11 +163,34 @@ class Normalizer:
 
     # -- per-field value normalization ---------------------------------------
 
+    def _coerce_chain(self, chain) -> list[CoercerFn]:
+        chain = [chain] if isinstance(chain, str) or callable(chain) else list(chain)
+        fns = []
+        for c in chain:
+            fn = self.coercers.get(c) if isinstance(c, str) else c
+            if fn is None:
+                raise SchemaError(f"coerce: no registered coercer named '{c}'")
+            fns.append(fn)
+        return fns
+
+    @staticmethod
+    def _apply_chain(fns, value: Column, dtype: T.DataType) -> tuple[Column, T.DataType]:
+        for fn in fns:
+            value, dtype = fn(value, dtype)
+        return value, dtype
+
     def normalize_field(
         self, fname: str, rules: Mapping, value: Column, dtype: T.DataType,
         doc_path: list, spath: list,
+        setter_scope: Mapping | None = None, setter_cycle: bool = False,
     ) -> tuple[Column, T.DataType, Column]:
-        """Returns (normalized value, output dtype, violations array)."""
+        """Returns (normalized value, output dtype, violations array).
+
+        ``setter_scope`` maps field name → already-normalized Column for
+        2-arg default_setters; ``setter_cycle`` marks this field as part
+        of a setter dependency cycle (reference: iterative resolution
+        with circular detection → SETTING_DEFAULT_FAILED,
+        validator.py:965-1005)."""
         violations = []          # when-guarded violation structs
         nested_arrays = []       # array<violation> columns from recursion
         original, original_dtype = value, dtype
@@ -205,20 +233,37 @@ class Normalizer:
             fn = self.setters.get(name) if isinstance(setter, str) else setter
             if fn is None:
                 raise SchemaError(f"default_setter: no registered setter named '{setter}'")
-            # fn builds a Column from the full row scope: fn(F) -> Column
-            try:
-                computed = fn(F)
-            except Exception as exc:  # setter construction failed at compile
+            if setter_cycle:
+                # circular setter dependencies: the reference's iterative
+                # resolution gives up and files SETTING_DEFAULT_FAILED for
+                # every unresolved field (validator.py:994-1005)
                 violations.append(
                     make_violation(
                         value.isNull(), E.SETTING_DEFAULT_FAILED,
                         doc_path, spath + [fname, "default_setter"],
-                        constraint=name, info=str(exc),
+                        constraint=name, info="circular dependencies of default setters",
                     )
                 )
-                computed = None
-            if computed is not None:
-                value = F.coalesce(value, computed.cast(dtype))
+            else:
+                # fn builds a Column: fn(F) -> Column, or fn(F, scope) where
+                # scope maps field name → NORMALIZED Column of the other
+                # fields (compile-time analog of the reference passing the
+                # partially-normalized document to each setter callable)
+                try:
+                    import inspect
+                    n_params = len(inspect.signature(fn).parameters)
+                    computed = fn(F, dict(setter_scope or {})) if n_params >= 2 else fn(F)
+                except Exception as exc:  # setter construction failed at compile
+                    violations.append(
+                        make_violation(
+                            value.isNull(), E.SETTING_DEFAULT_FAILED,
+                            doc_path, spath + [fname, "default_setter"],
+                            constraint=name, info=str(exc),
+                        )
+                    )
+                    computed = None
+                if computed is not None:
+                    value = F.coalesce(value, computed.cast(dtype))
 
         # container normalization (reference: validator.py:769-885 recurses
         # into dict/list values) — rebuild struct / transform array elements
@@ -246,32 +291,111 @@ class Normalizer:
                 dtype = T.StructType(sub_types)
             elif isinstance(dtype, T.MapType) and isinstance(sub, Mapping) \
                     and not _looks_like_rules(sub):
-                pass  # dynamic-map fixed-key normalization: not supported yet
+                # fixed-key subschema over a dynamic map (reference:
+                # __normalize_mapping recurses into dict values,
+                # validator.py:769-885): rebuild the map with each declared
+                # key's coerce/default applied.  Coercions must preserve the
+                # map's uniform value type.  A declared key enters the map
+                # when the input had it OR a default is declared (reference
+                # defaults fire on missing keys, validator.py:947-956).
+                vdt = dtype.valueType
+                declared = [k for k, r in sub.items()
+                            if isinstance(r, Mapping) and not NORM_KEYS.isdisjoint(r)]
+                if declared:
+                    base = F.map_filter(
+                        value, lambda k, _v: ~k.isin(*declared)
+                    )
+                    entry_arrays = []
+                    for k in declared:
+                        srules = sub[k]
+                        sv, sdt, v2 = self.normalize_field(
+                            k, srules, value.getItem(k), vdt,
+                            doc_path + [k], spath + [fname, "schema"],
+                        )
+                        if not sdt.simpleString() == vdt.simpleString():
+                            raise SchemaError(
+                                f"map-value normalization for key '{k}' changes the "
+                                f"value type {vdt.simpleString()} → {sdt.simpleString()}; "
+                                "a map column's values share one type")
+                        nested_arrays.append(
+                            F.when(original.isNotNull(), v2).otherwise(empty_violations())
+                        )
+                        keep = F.map_contains_key(value, k) | F.lit("default" in srules)
+                        entry_t = (f"array<struct<key:{dtype.keyType.simpleString()},"
+                                   f"value:{vdt.simpleString()}>>")
+                        entry_arrays.append(
+                            F.when(
+                                keep & sv.isNotNull(),
+                                F.array(F.struct(F.lit(k).cast(dtype.keyType).alias("key"),
+                                                 sv.alias("value"))),
+                            ).otherwise(F.array().cast(entry_t))
+                        )
+                    rebuilt = F.map_concat(base, F.map_from_entries(F.concat(*entry_arrays)))
+                    value = F.when(original.isNotNull(), rebuilt)
             elif isinstance(dtype, T.ArrayType) and isinstance(sub, Mapping) \
                     and _looks_like_rules(sub) and "coerce" in sub:
                 elem_dt = dtype.elementType
-                chain = sub["coerce"]
-                chain = [chain] if isinstance(chain, str) or callable(chain) else list(chain)
-                fns = []
-                for c in chain:
-                    fn = self.coercers.get(c) if isinstance(c, str) else c
-                    if fn is None:
-                        raise SchemaError(f"coerce: no registered coercer named '{c}'")
-                    fns.append(fn)
-                new_elem_dt = elem_dt
-                for fn in fns:
-                    _, new_elem_dt = fn(F.lit(None).cast(new_elem_dt), new_elem_dt)
+                fns = self._coerce_chain(sub["coerce"])
+                _, new_elem_dt = self._apply_chain(fns, F.lit(None).cast(elem_dt), elem_dt)
 
                 _a_fns, _a_dt = list(fns), elem_dt
-
-                def _apply(x):
-                    d = _a_dt
-                    for fn in _a_fns:
-                        x, d = fn(x, d)
-                    return x
-
-                value = F.transform(value, _apply)
+                value = F.transform(
+                    value, lambda x: self._apply_chain(_a_fns, x, _a_dt)[0]
+                )
                 dtype = T.ArrayType(new_elem_dt)
+
+        # items normalization: per-index coercions applied only when the
+        # array length matches len(items); a mismatch skips normalization
+        # entirely (reference: validator.py:871-874)
+        if "items" in rules and isinstance(dtype, T.ArrayType) \
+                and isinstance(rules["items"], (list, tuple)):
+            items = rules["items"]
+            elem_dt = dtype.elementType
+            new_elems, any_norm = [], False
+            for i, srules in enumerate(items):
+                ev = value.getItem(i)
+                if isinstance(srules, Mapping) and "coerce" in srules:
+                    any_norm = True
+                    fns = self._coerce_chain(srules["coerce"])
+                    nv, ndt = self._apply_chain(fns, ev, elem_dt)
+                    if ndt.simpleString() != elem_dt.simpleString():
+                        raise SchemaError(
+                            f"items[{i}] coercion changes the element type "
+                            f"{elem_dt.simpleString()} → {ndt.simpleString()}; "
+                            "an array column's elements share one type")
+                    failed = nv.isNull() & ev.isNotNull()
+                    violations.append(
+                        make_violation(
+                            (F.size(value) == len(items)) & failed,
+                            E.COERCION_FAILED,
+                            doc_path + [str(i)], spath + [fname, "items", str(i)],
+                            constraint=str(srules["coerce"]),
+                            value=ev, value_dtype=elem_dt,
+                        )
+                    )
+                    new_elems.append(nv)
+                else:
+                    new_elems.append(ev)
+            if any_norm:
+                value = F.when(
+                    F.size(value) == len(items), F.array(*new_elems)
+                ).otherwise(value)
+
+        # keysrules key coercion over dynamic maps (reference: keysrules
+        # renames/coerces mapping keys during container normalization,
+        # validator.py:769-885).  Colliding coerced keys raise Spark's
+        # DUPLICATED_MAP_KEY, mirroring a dict-rebuild clobber surfacing.
+        if "keysrules" in rules and isinstance(dtype, T.MapType) \
+                and isinstance(rules["keysrules"], Mapping) \
+                and "coerce" in rules["keysrules"]:
+            fns = self._coerce_chain(rules["keysrules"]["coerce"])
+            kdt = dtype.keyType
+            _, new_kdt = self._apply_chain(fns, F.lit(None).cast(kdt), kdt)
+            _k_fns, _k_dt = list(fns), kdt
+            value = F.transform_keys(
+                value, lambda k, _v: self._apply_chain(_k_fns, k, _k_dt)[0]
+            )
+            dtype = T.MapType(new_kdt, dtype.valueType)
 
         # valuesrules coercion over dynamic maps (reference: container
         # normalization validator.py:769-885) via transform_values

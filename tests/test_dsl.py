@@ -65,8 +65,61 @@ def test_validate_schema_rejects():
         validate_schema({"f": {"required": "yes"}})
     with pytest.raises(SchemaError, match="must be a dict"):
         validate_schema({"f": 3})
-    with pytest.raises(SchemaError, match="must be an integer"):
+    with pytest.raises(SchemaError, match="integer"):
         validate_schema({"f": {"minlength": "3"}})
+
+
+def test_validate_schema_constraint_shapes():
+    """Ported SchemaError families from the reference's test_schema.py /
+    SchemaValidatorMixin (schema.py:310-467): malformed constraints fail
+    at schema time, not as confusing compile/Spark errors."""
+    # allowed/forbidden must be collections (schema.py:344-352)
+    with pytest.raises(SchemaError, match="collection"):
+        validate_schema({"f": {"allowed": "abc"}})
+    with pytest.raises(SchemaError, match="collection"):
+        validate_schema({"f": {"forbidden": 7}})
+    # dependencies: name / list / mapping (validator.py:1183 docstring)
+    with pytest.raises(SchemaError, match="dependencies"):
+        validate_schema({"f": {"dependencies": 3.5}})
+    validate_schema({"f": {"dependencies": "g"}})
+    validate_schema({"f": {"dependencies": {"g": [1, 2]}}})
+    # excludes: name or list of names (schema.py:401-412)
+    with pytest.raises(SchemaError, match="excludes"):
+        validate_schema({"f": {"excludes": [1, 2]}})
+    # coerce / check_with: callables or names (schema.py:354-372)
+    with pytest.raises(SchemaError, match="coerce"):
+        validate_schema({"f": {"coerce": 42}})
+    with pytest.raises(SchemaError, match="check_with"):
+        validate_schema({"f": {"check_with": [lambda v: v, 42]}})
+    # items: list of rules-sets; nested shapes recurse
+    with pytest.raises(SchemaError, match="items"):
+        validate_schema({"f": {"items": {"type": "string"}}})
+    with pytest.raises(SchemaError, match="unknown rule"):
+        validate_schema({"f": {"items": [{"typ": "string"}]}})
+    # keysrules/valuesrules: rules-set mappings, recursed
+    with pytest.raises(SchemaError, match="rules-set"):
+        validate_schema({"f": {"valuesrules": ["type"]}})
+    with pytest.raises(SchemaError, match="unknown type"):
+        validate_schema({"f": {"keysrules": {"type": "strnig"}}})
+    # *of: list of rules-sets (test_schema.py::test_bad_of_rules),
+    # no normalization inside
+    # (test_schema.py::test_normalization_rules_are_invalid_in_of_rules)
+    with pytest.raises(SchemaError, match="list of rules-sets"):
+        validate_schema({"f": {"anyof": {"type": "string"}}})
+    with pytest.raises(SchemaError, match="not allowed inside"):
+        validate_schema({"f": {"anyof": [{"coerce": "to_int"}]}})
+    # allow_unknown: bool or rules-set
+    with pytest.raises(SchemaError, match="allow_unknown"):
+        validate_schema({"f": {"allow_unknown": "sure"}})
+    # nested schema errors surface (test_schema.py::test_bad_schema_type_field)
+    with pytest.raises(SchemaError, match="unknown type"):
+        validate_schema({"foo": {"schema": {"bar": {"type": "strong"}}}})
+    # type constraint itself must be names
+    with pytest.raises(SchemaError, match="type"):
+        validate_schema({"f": {"type": 12}})
+    # minlength must be non-negative
+    with pytest.raises(SchemaError, match="non-negative"):
+        validate_schema({"f": {"maxlength": -1}})
 
 
 def test_schema_hash_stability_and_sensitivity():

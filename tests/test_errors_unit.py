@@ -61,3 +61,52 @@ def test_format_message_placeholders():
     assert E.format_message(0x42, constraint=5) == "min value is 5"
     assert E.format_message(0x44, value="z") == "unallowed value z"
     assert E.format_message(0x26, info=(2, 3)) == "length of list should be 2, it is 3"
+
+
+def test_error_tree_anyof_children_match_reference(spark):
+    """With logical_child_errors on, the formatted tree for an anyof
+    failure matches the reference's validator.errors output verbatim
+    (errors.py:618-650 '*of definition %d' path rewriting)."""
+    from cerberus_spark import SparkValidator
+    from cerberus_spark.errors import error_tree
+    from cerberus_spark.oracle import load_reference
+
+    schema = {"x": {"type": "integer",
+                    "anyof": [{"min": 0, "max": 9}, {"min": 100}]}}
+    df = spark.createDataFrame([(50,)], "x int")
+    v = SparkValidator(schema, allow_unknown=True, logical_child_errors=True)
+    rows = [r.asDict(recursive=True)
+            for r in v.validate(df).violations.collect()]
+    got = error_tree(rows)
+
+    cerberus = load_reference()
+    if cerberus is not None:
+        ref = cerberus.Validator(schema)
+        ref.validate({"x": 50})
+        assert got == ref.errors
+    else:
+        assert got == {"x": ["no definitions validate",
+                             {"anyof definition 0": ["max value is 9"],
+                              "anyof definition 1": ["min value is 100"]}]}
+
+
+def test_document_error_tree_queries(spark):
+    from cerberus_spark import SparkValidator
+    from cerberus_spark.errors import DocumentErrorTree, SchemaErrorTree
+
+    schema = {"meta": {"type": "dict", "schema": {
+        "lang": {"type": "string", "allowed": ["en"]},
+    }}, "n": {"type": "integer", "min": 0}}
+    df = spark.createDataFrame([(("xx",), -1)],
+                               "meta struct<lang:string>, n int")
+    v = SparkValidator(schema, allow_unknown=True)
+    rows = [r.asDict(recursive=True)
+            for r in v.validate(df).violations.collect()]
+    dt = DocumentErrorTree(rows)
+    assert "meta" in dt and "n" in dt
+    assert [hex(e["code"]) for e in dt.fetch_errors_from(("meta", "lang"))] == ["0x44"]
+    # prefix query collects descendants (reference ErrorTree semantics)
+    assert len(dt.fetch_errors_from(("meta",))) == 1
+    assert dt.fetch_node_from(("nope",)) is None
+    st = SchemaErrorTree(rows)
+    assert [hex(e["code"]) for e in st.fetch_errors_from(("n", "min"))] == ["0x42"]
