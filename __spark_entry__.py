@@ -174,6 +174,25 @@ def q_quality_documents(spark, sf_dir):
     )
 
 
+def q_text_signals_documents(spark, sf_dir):
+    """Stopword hits + mean word length — the remaining text-analysis
+    signals, oracle-checked against token-level DuckDB list ops."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.stopword_hits(F.col("text"), "en").cast("long").alias("sw_hits"),
+        F.round(text.mean_word_length(F.col("text")), 6).alias("mwl"),
+    )
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    """Row-level exact dedup (keep min doc_id per normalized text) —
+    the production-path variant (window row_number, no id lists)."""
+    docs = _read(spark, sf_dir, "documents")
+    kept = dedup.dedup_exact(docs, "text", "doc_id")
+    return kept.select("doc_id")
+
+
 def q_topk_embeddings_cosine(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -248,6 +267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": q_lang_id_documents,
         "token_stats_documents": q_token_stats_documents,
         "quality_documents": q_quality_documents,
+        "text_signals_documents": q_text_signals_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
         "topk_embeddings_cosine": q_topk_embeddings_cosine,
         # rows-only (non-SQL-expressible)
         "flagship_transcripts": q_flagship_transcripts,
@@ -391,6 +412,30 @@ def oracle_sql() -> dict[str, str]:
                                    / length(coalesce(text, ''))
                               ELSE 0.0 END, 6) AS punct_ratio
             FROM documents
+        """,
+        "text_signals_documents": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                   x -> length(x) > 0) AS ws
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(list_filter(ws, x -> list_contains([{_SW['en']}], x)))::BIGINT AS sw_hits,
+                   round(CASE WHEN len(ws) > 0
+                              THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+                              ELSE 0.0 END, 6) AS mwl
+            FROM w
+        """,
+        "dedup_exact_documents": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY trim(regexp_replace(lower(coalesce(text, '')),
+                                                            '\\s+', ' ', 'g'))
+                           ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
         """,
         "topk_embeddings_cosine": """
             SELECT e.vec_id,

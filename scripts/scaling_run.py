@@ -80,9 +80,15 @@ def main() -> None:
         .appName(f"cerberus_scaling_{CPUS}")
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # the transcripts parquet dictionary-compresses ~10:1 (512-string
+        # lorem pool), so bytes under-estimate rows: 4m splits give the
+        # sf10 input (623MB, 60M rows) ~160 scan tasks — 5 waves at 32
+        # cores, enough granularity for AQE and straggler smoothing
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAXPART", "4m"))
         .config("spark.sql.files.openCostInBytes", "1m")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_MAXPART", "4m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "true")  # needed for the status REST API
         .config("spark.ui.showConsoleProgress", "false")
