@@ -5,12 +5,17 @@ so it applies unchanged to a streaming DataFrame — the same compiled
 plan serves batch and streaming (the reference has no streaming story
 at all; SURVEY.md §2.5).
 
-Three shapes:
+Four shapes:
 
 * ``annotate_stream``       — readStream → compiled projection (stateless)
 * ``violation_rate_stream`` — watermarked windowed aggregation of
                               failure rates (late data handled by the
                               watermark, state bounded)
+* ``ordering_violations_stream`` — CUSTOM STATEFUL operator
+                              (applyInPandasWithState): per-conversation
+                              ts-monotonicity across micro-batches, the
+                              streaming analog of
+                              operators.dataset.ordering_violations
 * ``foreach_batch_runner``  — full pipeline (incl. dataset-level checks
                               that need batch semantics) per micro-batch,
                               exactly-once via idempotent parquet commits
@@ -18,6 +23,7 @@ Three shapes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..engine import SparkValidator
@@ -41,6 +47,59 @@ def violation_rate_stream(validator: SparkValidator, stream_df: DataFrame,
             F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
             F.sum(F.size("violations").cast("long")).alias("n_violations"),
         )
+    )
+
+
+def ordering_violations_stream(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation ts-monotonicity check as a custom STATEFUL
+    streaming operator (``applyInPandasWithState``) — the streaming
+    analog of ``operators.dataset.ordering_violations`` (same lag
+    semantics: a turn violates when its ts regresses vs the previous
+    turn in ``order_col`` order within the conversation).
+
+    State per conversation is two longs — (last turn order, last ts
+    micros) of the highest turn seen — carried ACROSS micro-batches, so
+    a regression split over two batches is still caught.  The shuffle
+    key is ``conv_col`` (the north rule's explicit conv_id
+    partitioning); state size is O(active conversations) and does not
+    grow with turns.  Output: one row per violating turn
+    (conv, order, ts_micros, prev_ts_micros).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"{conv_col} string, {order_col} long, "
+                  "ts_micros long, prev_ts_micros long")
+    state_schema = "last_order long, last_ts long"
+
+    def check(key, pdf_iter, state: GroupState):
+        (conv,) = key
+        last_order, last_ts = state.get if state.exists else (None, None)
+        out = {conv_col: [], order_col: [], "ts_micros": [], "prev_ts_micros": []}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order_col)
+            orders = pdf[order_col].to_numpy()
+            ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000  # micros
+            for o, t in zip(orders, ts):
+                o, t = int(o), int(t)
+                if last_ts is not None and t < last_ts:
+                    out[conv_col].append(conv)
+                    out[order_col].append(o)
+                    out["ts_micros"].append(t)
+                    out["prev_ts_micros"].append(last_ts)
+                last_order, last_ts = o, t
+        if last_order is not None:
+            state.update((last_order, last_ts))
+        if out[conv_col]:
+            yield pd.DataFrame(out)
+
+    narrow = stream_df.select(conv_col, order_col, ts_col)
+    return narrow.groupBy(conv_col).applyInPandasWithState(
+        check, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 

@@ -141,3 +141,41 @@ def test_streaming_annotate(spark, tmp_path):
         assert rows.n == 500 and rows.f > 0
     finally:
         q.stop()
+
+
+def test_streaming_stateful_ordering(spark, tmp_path):
+    """applyInPandasWithState carries per-conversation (order, ts) state
+    ACROSS micro-batches: a ts regression split over two batches is
+    caught (maxFilesPerTrigger=1 forces one batch per file)."""
+    import datetime as dt
+
+    from cerberus_spark.streaming.validate_stream import ordering_violations_stream
+
+    base = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    src = str(tmp_path / "stream_src")
+    ddl = "conv_id string, turn_idx int, ts timestamp"
+    # batch 1: c1 turns 0-1 fine; c2 turn 0
+    spark.createDataFrame(
+        [("c1", 0, base), ("c1", 1, base + 5 * sec), ("c2", 0, base)], ddl
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: c1 turn 2 REGRESSES vs turn 1 (cross-batch); c2 fine;
+    # c3 has an in-batch regression
+    spark.createDataFrame(
+        [("c1", 2, base + 2 * sec), ("c2", 1, base + 9 * sec),
+         ("c3", 0, base + 9 * sec), ("c3", 1, base + 3 * sec)], ddl
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    bad = ordering_violations_stream(stream)
+    q = (bad.writeStream.outputMode("append").format("memory")
+         .queryName("ooo_turns").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.conv_id, r.turn_idx) for r in spark.sql(
+            "select * from ooo_turns").collect()}
+        assert got == {("c1", 2), ("c3", 1)}
+    finally:
+        q.stop()
