@@ -1,20 +1,25 @@
 """Similarity search over embedding columns (array<float/double>).
 
 * brute-force cosine top-k — exact baseline: dot product as
-  ``F.zip_with`` + ``F.aggregate`` (pure Column algebra, codegen), rank
-  via window or global sort-limit
+  ``F.zip_with`` + ``F.aggregate`` (pure Column algebra), rank via
+  window or global sort-limit; an Arrow-batched numpy matmul scorer
+  (``cosine_scores_udf``) for full-scan scoring at scale
 * LSH-bucketed ANN — random-hyperplane signatures (seeded, driver-side
   numpy) → bucket equi-join → in-bucket exact rerank: the scale path;
   touches only colliding buckets instead of the full corpus
-* IVF-style variant — k-means-lite centroids (seeded sample, driver
-  numpy) → assign via broadcast centroid matrix → probe nearest nprobe
-  cells only
+* IVF index — PERSISTED: k-means-lite codebook + the corpus written
+  partitioned by cell (``build_ivf_index``), so a query's nprobe cells
+  prune at the parquet-partition level (explain shows PartitionFilters);
+  cell assignment is an Arrow-batched argmin matmul, not per-row Column
+  algebra.  ``ivf_index_topk`` (one query) / ``ivf_index_topk_multi``
+  (query batch joined on cell).
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -153,3 +158,116 @@ def ivf_topk(df: DataFrame, emb_col: str, query, centroids: np.ndarray,
         F.col("_cell").isin(cells)
     )
     return brute_force_topk(cand, emb_col, query, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched scorers (vectorized numpy per batch — the fast path for
+# full scans; the Column-algebra forms above stay as the exact oracle)
+# ---------------------------------------------------------------------------
+
+
+def cosine_scores_udf(query) -> Column:
+    """Factory: pandas UDF computing cosine(emb, query) per Arrow batch
+    as one matrix-vector product (embeddings stacked with np.vstack)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(emb: pd.Series) -> pd.Series:
+        X = np.vstack(emb.to_numpy())
+        norms = np.linalg.norm(X, axis=1) * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(norms > 0, X @ q / norms, 0.0)
+        return pd.Series(s)
+
+    return _score
+
+
+def ivf_cell_udf(centroids: np.ndarray) -> Column:
+    """Factory: Arrow-batched nearest-centroid assignment (argmin over a
+    batch×cells distance matrix) — the build-path hot loop; per-row
+    Column algebra (ivf_cell) interprets n_cells aggregates per row and
+    does not scale to a 100 TB build."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(1)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(emb: pd.Series) -> pd.Series:
+        X = np.vstack(emb.to_numpy())
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row → drop
+        d = -2.0 * (X @ C.T) + c_sq[None, :]
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return _assign
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: corpus partitioned by cell + codebook sidecar
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(df: DataFrame, emb_col: str, id_col: str, path: str,
+                    n_cells: int = 16, sample: int = 4096, iters: int = 5,
+                    seed: int = 42) -> np.ndarray:
+    """Train a coarse quantizer and write the corpus partitioned by cell.
+
+    At query time the nprobe cell filter prunes parquet PARTITIONS (the
+    scan never touches non-probed cells — verify via explain's
+    PartitionFilters).  Returns the codebook; it is also persisted at
+    ``{path}/codebook`` so readers need no retraining."""
+    cent = train_centroids(df, emb_col, n_cells, sample, iters, seed)
+    assigned = df.withColumn("cell", ivf_cell_udf(cent)(F.col(emb_col)))
+    (assigned.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells"))
+    spark = df.sparkSession
+    codebook = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        "cell int, centroid array<double>",
+    )
+    codebook.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    return cent
+
+
+def load_ivf_codebook(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/codebook").orderBy("cell").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_index_topk(spark, path: str, query, k: int = 10,
+                   id_col: str = "doc_id", emb_col: str = "embedding",
+                   nprobe: int = 2) -> DataFrame:
+    """Top-k for one query against a persisted index: read ONLY the
+    nprobe nearest cell partitions, exact-rerank inside."""
+    cent = load_ivf_codebook(spark, path)
+    q = np.asarray(query, dtype=np.float64)
+    cells = [int(i) for i in ((cent - q) ** 2).sum(1).argsort()[:nprobe]]
+    cand = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(cells))
+    return brute_force_topk(cand, emb_col, query, k, id_col)
+
+
+def ivf_index_topk_multi(spark, path: str, queries: DataFrame, k: int = 10,
+                         id_col: str = "doc_id", emb_col: str = "embedding",
+                         qid_col: str = "query_id", qemb_col: str = "q_emb",
+                         nprobe: int = 2) -> DataFrame:
+    """Batched multi-query search: assign each query its nprobe cells
+    (driver-side — the query set is small by definition), join the
+    (query, cell) pairs against the celled corpus, score only in-cell
+    pairs, window top-k per query.  One shuffle on cell, no cross join
+    with the corpus."""
+    cent = load_ivf_codebook(spark, path)
+    qrows = queries.select(qid_col, qemb_col).collect()
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r[qemb_col], dtype=np.float64)
+        for c in ((cent - q) ** 2).sum(1).argsort()[:nprobe]:
+            probe_rows.append((r[qid_col], [float(x) for x in q], int(c)))
+    probes = spark.createDataFrame(
+        probe_rows, f"{qid_col} long, {qemb_col} array<double>, cell int"
+    )
+    cells = spark.read.parquet(f"{path}/cells")
+    scored = cells.join(F.broadcast(probes), "cell").select(
+        F.col(qid_col), F.col(id_col),
+        cosine(F.col(emb_col), F.col(qemb_col)).alias("score"),
+    )
+    w = W.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -179,3 +179,43 @@ def test_streaming_stateful_ordering(spark, tmp_path):
         assert got == {("c1", 2), ("c3", 1)}
     finally:
         q.stop()
+
+
+def test_ivf_persisted_index(spark, tmp_path):
+    """build → partition-pruned search → batched multi-query search."""
+    from cerberus_spark.functions import similarity as S
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "ivf")
+    cent = S.build_ivf_index(emb, "embedding", "vec_id", path, n_cells=8)
+    assert cent.shape[0] == 8
+
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = S.ivf_index_topk(spark, path, qvec, k=10, id_col="vec_id", nprobe=3)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan  # pruning reaches the scan
+    got = [r["vec_id"] for r in top.collect()]
+    assert got[0] == 0  # the query vector itself is its own nearest neighbor
+    # recall vs exact brute force over the full corpus
+    exact = [r["vec_id"] for r in
+             S.brute_force_topk(emb, "embedding", qvec, k=10, id_col="vec_id").collect()]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.5, (got, exact)
+
+    # Arrow scorer agrees with the Column-algebra scorer
+    s_col = S.cosine(F.col("embedding"), S._lit_vec(qvec))
+    s_arrow = S.cosine_scores_udf(qvec)(F.col("embedding"))
+    diff = emb.select(F.max(F.abs(s_col - s_arrow)).alias("d")).first()["d"]
+    assert diff < 1e-9
+
+    # multi-query: each query's top-1 is itself
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("q_emb"))
+    multi = S.ivf_index_topk_multi(spark, path, queries, k=5,
+                                   id_col="vec_id", nprobe=3)
+    top1 = {r["query_id"]: r["vec_id"] for r in multi.filter("rank = 1").collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}
