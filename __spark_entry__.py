@@ -193,6 +193,25 @@ def q_dedup_exact_documents(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_normalize_events(spark, sf_dir):
+    """Normalization through the engine (coerce chain + default fill),
+    oracle-checked: strip+lower the props payload, default missing
+    values to 0.0 — the normalized frame IS the query result."""
+    ev = _read(spark, sf_dir, "events")
+    schema = {
+        "event_id": {"type": "integer"},
+        "props": {"coerce": ["strip", "lower"]},
+        "value": {"type": "float", "default": 0.0},
+    }
+    v = SparkValidator(schema, key_cols=("event_id",), allow_unknown=True)
+    norm = v.normalized(ev)
+    return norm.select(
+        "event_id",
+        F.col("props").alias("props_norm"),
+        F.col("value").cast("double").alias("value_filled"),
+    )
+
+
 def q_topk_embeddings_cosine(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -269,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": q_quality_documents,
         "text_signals_documents": q_text_signals_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
+        "normalize_events": q_normalize_events,
         "topk_embeddings_cosine": q_topk_embeddings_cosine,
         # rows-only (non-SQL-expressible)
         "flagship_transcripts": q_flagship_transcripts,
@@ -426,6 +446,12 @@ def oracle_sql() -> dict[str, str]:
                               THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
                               ELSE 0.0 END, 6) AS mwl
             FROM w
+        """,
+        "normalize_events": """
+            SELECT event_id,
+                   lower(trim(props)) AS props_norm,
+                   coalesce(value, 0.0)::DOUBLE AS value_filled
+            FROM events
         """,
         "dedup_exact_documents": """
             SELECT doc_id FROM (

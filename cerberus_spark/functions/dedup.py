@@ -189,7 +189,6 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         "_rn", F.row_number().over(W.partitionBy("band", "bhash").orderBy("_id"))
     )
     buckets = ranked.filter(F.col("_rn") <= bucket_cap).groupBy("band", "bhash").agg(
-        F.min("_id").alias("_head"),
         F.sort_array(F.collect_list("_id")).alias("ids"),
     ).filter(F.size("ids") > 1)
     pairs = buckets.select(
@@ -263,16 +262,59 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
-                      max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
-    (single-probe blocking), verify Hamming ≤ max_hamming in-bucket."""
+                      max_hamming: int = 3, bucket_cap: int = 200) -> DataFrame:
+    """Near-dup pairs by SimHash with GUARANTEED recall: split the
+    64-bit signature into ``max_hamming + 1`` disjoint blocks — by
+    pigeonhole, two signatures within ``max_hamming`` flipped bits must
+    agree EXACTLY on at least one block, so blocking on every block
+    (explode ×(h+1)) misses no qualifying pair (the round-1 single-
+    prefix blocking dropped any near-dup whose flips hit the prefix).
+    Candidates are verified by exact Hamming distance.
+
+    Hot blocks (identical signatures en masse) are capped like the LSH
+    buckets: members ranked by a spillable window, only the first
+    ``bucket_cap`` expand quadratically, overflow pairs with the bucket
+    head so groups stay connected."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
     sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig"))
-    sig = sig.withColumn("_block", F.shiftrightunsigned("_sig", 64 - prefix_bits))
-    a = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "_block")
-    b = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "_block")
+    blocks = []
+    for i in range(n_blocks):
+        lo = i * width
+        w = width if i < n_blocks - 1 else 64 - lo  # last block takes the tail
+        mask = (1 << w) - 1
+        blocks.append(F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned("_sig", lo).bitwiseAND(F.lit(mask)).alias("bval"),
+        ))
+    banded = sig.select("_id", "_sig", F.explode(F.array(*blocks)).alias("bb")).select(
+        "_id", "_sig", "bb.blk", "bb.bval"
+    )
+    ranked = banded.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("blk", "bval").orderBy("_id"))
+    )
+    buckets = ranked.filter(F.col("_rn") <= bucket_cap).groupBy("blk", "bval").agg(
+        F.sort_array(F.collect_list("_id")).alias("ids")
+    ).filter(F.size("ids") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as id_a, y as id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    heads = ranked.filter(F.col("_rn") == 1).select(
+        "blk", "bval", F.col("_id").alias("id_a")
+    )
+    overflow = ranked.filter(F.col("_rn") > bucket_cap).select(
+        "blk", "bval", F.col("_id").alias("id_b")
+    ).join(heads, ["blk", "bval"]).select("id_a", "id_b")
+    cand = pairs.unionByName(overflow).distinct()
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
     return (
-        a.join(b, "_block")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

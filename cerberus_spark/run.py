@@ -136,12 +136,17 @@ class ValidationRun:
         drift = self._run_drift(spark, df)
 
         # -- report from the durable summary (covers all partitions,
-        # this run's and previously committed ones alike)
-        totals = (
-            spark.read.parquet(self._path("summary"))
-            .agg(F.sum("n_rows"), F.sum("n_failed"), F.sum("n_violations"))
-            .first()
-        )
+        # this run's and previously committed ones alike).  An empty
+        # input writes no summary part files (a partitioned write of
+        # zero rows leaves only _SUCCESS), so fall back to zeros.
+        try:
+            totals = (
+                spark.read.parquet(self._path("summary"))
+                .agg(F.sum("n_rows"), F.sum("n_failed"), F.sum("n_violations"))
+                .first()
+            )
+        except Exception:
+            totals = (0, 0, 0)
         return RunReport(
             n_turns=int(totals[0] or 0),
             n_failed=int(totals[1] or 0),
@@ -218,12 +223,20 @@ class ValidationRun:
                               .parquet(self._path("annotated")))
 
                 # checkpoint commit for THIS wave, from the durable files —
-                # committed state always describes data that is on disk
-                committed = (
-                    spark.read.parquet(self._path("summary"))
-                    .filter(F.col("part_id").isin(wave_parts))
-                )
-                store.commit(committed, snap, shash, predicate_set)
+                # committed state always describes data that is on disk.
+                # A wave with zero rows writes no readable part files;
+                # nothing to commit (the empty partitions cost nothing to
+                # revisit).
+                committed = None
+                try:
+                    committed = (
+                        spark.read.parquet(self._path("summary"))
+                        .filter(F.col("part_id").isin(wave_parts))
+                    )
+                except Exception:
+                    pass
+                if committed is not None:
+                    store.commit(committed, snap, shash, predicate_set)
             finally:
                 if cfg.persist:
                     annotated.unpersist()

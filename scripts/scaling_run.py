@@ -122,6 +122,24 @@ def main() -> None:
 
     compute_reps = _timed(spark, compute_phase, REPEAT)
 
+    if os.environ.get("SPARK_GRAFT_SKIP_FULL"):
+        best_c = min(r["wall_s"] for r in compute_reps)
+        print(json.dumps({
+            "cpus": CPUS, "transcripts_sf": TSF, "n_rows": n_rows,
+            "compute": {
+                "reps": compute_reps,
+                "best_wall_s": best_c,
+                "turns_per_sec": round(n_rows / best_c, 1),
+                "cpu_s_at_best": next(r["cpu_s"] for r in compute_reps
+                                      if r["wall_s"] == best_c),
+                "run_s_at_best": next(r["run_s"] for r in compute_reps
+                                      if r["wall_s"] == best_c),
+            },
+            "full": None,
+        }))
+        spark.stop()
+        return
+
     n_failed_holder = {}
 
     def full_pass():
