@@ -226,8 +226,15 @@ class SparkValidator:
             name: resolved[name] for name in colmap
         }
 
-        # 2. validation pass over normalized values
-        scope = Scope(dict(norm_exprs))
+        # 2. validation pass over normalized values; originals let
+        # `readonly` test pre-normalization presence (absent fields that
+        # gained a default must not trip readonly)
+        originals = {
+            name: (F.lit(None) if colmap[name].startswith("__default__")
+                   else F.col(colmap[name]))
+            for name in colmap
+        }
+        scope = Scope(dict(norm_exprs), originals=originals)
         rule_violations = self.compiler.compile_schema(self.schema, scope)
 
         # 3. unknown-field handling (reference: validator.py:1065-1078)

@@ -373,6 +373,7 @@ class Scope:
         doc_path: Sequence = (),
         parent: "Scope | None" = None,
         dynamic: bool = False,
+        originals: dict[str, Column] | None = None,
     ):
         self.fields = fields
         self.doc_path = tuple(doc_path)
@@ -381,6 +382,11 @@ class Scope:
         #: (MapType) — string values there carry serialized typed literals
         #: and get runtime type checks instead of static ones
         self.dynamic = dynamic
+        #: pre-normalization value expressions — `readonly` tests presence
+        #: in the INPUT document (the reference checks readonly before
+        #: defaults fire, validator.py:939-945, so readonly+default fills
+        #: absent keys without erroring)
+        self.originals = originals or {}
 
     @property
     def root(self) -> "Scope":
@@ -537,6 +543,7 @@ class RuleCompiler:
         return self.compile_rules(
             rules, value, dtype, doc_path, spath, scope, field_name=fname,
             unrequire=unrequire, dynamic=scope.dynamic,
+            original=scope.originals.get(fname),
         )
 
     def compile_rules(
@@ -550,6 +557,7 @@ class RuleCompiler:
         field_name: str | None = None,
         unrequire: list[Column] | None = None,
         dynamic: bool = False,
+        original: Column | None = None,
     ) -> Column:
         """Compile one rules-set applied to one value expression.
 
@@ -596,11 +604,16 @@ class RuleCompiler:
                     )
                 )
 
-        # --- readonly (validation-phase part; purge is a normalization op)
+        # --- readonly (validation-phase part; purge is a normalization op).
+        # Presence is tested on the PRE-NORMALIZATION value: the reference
+        # checks readonly before defaults fire (validator.py:939-945), so
+        # readonly+default fills an absent key without erroring while any
+        # input-provided value errors.
         if rules.get("readonly"):
+            input_present = (original if original is not None else value).isNotNull()
             out.append(
                 make_violation(
-                    present, E.READONLY_FIELD, doc_path, list(spath) + ["readonly"],
+                    input_present, E.READONLY_FIELD, doc_path, list(spath) + ["readonly"],
                     constraint=True,
                 )
             )

@@ -249,3 +249,45 @@ def test_require_all_parity(spark):
     annotated = SparkValidator(schema, allow_unknown=True,
                                require_all=True).annotate(df).collect()
     assert compare_per_row(annotated, docs, schema, require_all=True) == []
+
+
+def test_readonly_default_interplay_parity(spark):
+    """readonly+default: an absent key gains the default silently; any
+    input-provided value errors (reference validator.py:939-945 checks
+    readonly BEFORE defaults fire)."""
+    schema = {"x": {"readonly": True, "default": "n"},
+              "y": {"type": "string"}}
+    rows = [(None, "a"), ("n", "b"), ("other", "c")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    v = SparkValidator(schema, allow_unknown=True)
+    got = v.annotate(df).collect()
+    docs = [({"y": r[1]} if r[0] is None else {"x": r[0], "y": r[1]}) for r in rows]
+    assert compare_per_row(got, docs, schema) == []
+    # and the default was applied to the absent row
+    assert got[0]["x"] == "n" and got[1]["x"] == "n"
+
+
+def test_default_for_missing_column_satisfies_required(spark):
+    """A schema field absent from the DataFrame entirely but declaring a
+    default is materialized; required then passes (reference: the
+    normalizer inserts the default into the document)."""
+    schema = {"a": {"type": "string", "required": True},
+              "missing": {"type": "integer", "required": True, "default": 7}}
+    df = spark.createDataFrame([("x",), ("y",)], "a string")
+    v = SparkValidator(schema, allow_unknown=True)
+    got = v.annotate(df).collect()
+    assert all(r["passed"] for r in got)
+    assert all(r["missing"] == 7 for r in got)
+    docs = [{"a": "x"}, {"a": "y"}]
+    assert compare_per_row(got, docs, schema) == []
+
+
+def test_update_mode_skips_required_parity(spark):
+    schema = {"a": {"type": "string", "required": True},
+              "b": {"type": "integer", "min": 3}}
+    rows = [(None, 1), (None, 5), ("x", None)]
+    df = spark.createDataFrame(rows, "a string, b int")
+    v = SparkValidator(schema, allow_unknown=True, update=True)
+    got = v.annotate(df).collect()
+    codes = [sorted(x["code"] for x in r["violations"]) for r in got]
+    assert codes == [[0x42], [], []]  # only the min failure; no required
