@@ -291,3 +291,41 @@ def test_update_mode_skips_required_parity(spark):
     got = v.annotate(df).collect()
     codes = [sorted(x["code"] for x in r["violations"]) for r in got]
     assert codes == [[0x42], [], []]  # only the min failure; no required
+
+
+def test_none_semantics_parity(spark):
+    """null_semantics='none': a NULL column means the key is PRESENT
+    with value None — nullable (mandatory on every field) fires for
+    non-nullable fields, required passes, value-shape rules are
+    suppressed on None (reference validator.py:107, 1371-1394)."""
+    schema = {
+        "a": {"type": "string"},                      # nullable defaults False
+        "b": {"type": "integer", "nullable": True, "min": 3},
+        "c": {"type": "string", "required": True},
+    }
+    rows = [(None, None, None), ("x", 1, "y"), (None, 5, "z")]
+    df = spark.createDataFrame(rows, "a string, b int, c string")
+    v = SparkValidator(schema, allow_unknown=True, null_semantics="none")
+    got = v.annotate(df).collect()
+    docs = [dict(zip("abc", r)) for r in rows]  # Nones kept: present keys
+    assert compare_per_row(got, docs, schema) == []
+
+
+def test_registry_resolution_parity(spark):
+    """Schemas referencing the rules-set registry by name validate like
+    the reference with the same registrations (schema.py:473-554)."""
+    from cerberus_spark.dsl import rules_set_registry
+
+    rules_set_registry.add("score", {"type": "integer", "min": 0, "max": 10})
+    schema = {"s1": "score", "s2": "score"}
+    rows = [(5, 11), (-1, 0), (None, 3)]
+    df = spark.createDataFrame(rows, "s1 int, s2 int")
+    got = SparkValidator(schema, allow_unknown=True).annotate(df).collect()
+
+    cerberus.rules_set_registry.add("score", {"type": "integer", "min": 0, "max": 10})
+    try:
+        docs = [{k: v for k, v in zip(("s1", "s2"), r) if v is not None}
+                for r in rows]
+        assert compare_per_row(got, docs, schema) == []
+    finally:
+        cerberus.rules_set_registry.remove("score")
