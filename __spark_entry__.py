@@ -260,6 +260,24 @@ def q_lsh_topk_embeddings(spark, sf_dir):
     return top.select("vec_id", F.round("score", 4).alias("score"))
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup over the embeddings table with planted
+    duplicates (the synthetic vectors are mutually distant — max
+    pairwise cosine ≈ 0.51 — so near-copies of the first 10 vectors are
+    derived deterministically: v + 0.05·reverse(v), cosine ≈ 0.999)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.zip_with(
+            "embedding", F.reverse("embedding"), lambda x, r: x + 0.05 * r
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(planted)
+    return dedup.embedding_near_dups(both, "vec_id", "embedding", threshold=0.95)
+
+
 def q_multimodal_features_documents(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").limit(50).select(
         "doc_id", F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload")
@@ -295,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates_documents": q_minhash_candidates_documents,
         "simhash_near_dups_documents": q_simhash_near_dups_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features_documents": q_multimodal_features_documents,
     }
 

@@ -221,6 +221,67 @@ def minhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(df: DataFrame, id_col: str, emb_col: str,
+                        threshold: float = 0.95, n_bits: int = 12,
+                        n_tables: int = 4, seed: int = 42,
+                        bucket_cap: int = 200) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ ``threshold``.
+
+    Random-hyperplane LSH (P[same bit] = 1 - θ/π): ``n_tables``
+    independent sign-signatures bucket the corpus; two embeddings with
+    cosine ≥ 0.95 (θ ≤ 18°) collide in at least one of 4 12-bit tables
+    with probability ≈ 1-(1-0.88^12)^4 ≈ 0.93.  Only in-bucket pairs
+    are exactly verified — never a cross join.  Hot buckets are capped
+    with head-pairing (same bounded shape as the MinHash/SimHash
+    paths)."""
+    from .similarity import cosine, hyperplanes, lsh_bucket
+
+    dim = len(df.select(emb_col).first()[0])
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket(F.col(emb_col), hyperplanes(dim, n_bits, seed + t)).alias("bkt"),
+        )
+        for t in range(n_tables)
+    ])
+    banded = df.select(F.col(id_col).alias("_id"), tables.alias("_ts")).select(
+        "_id", F.explode("_ts").alias("tb")
+    ).select("_id", "tb.tbl", "tb.bkt")
+    ranked = banded.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("tbl", "bkt").orderBy("_id"))
+    )
+    buckets = ranked.filter(F.col("_rn") <= bucket_cap).groupBy("tbl", "bkt").agg(
+        F.sort_array(F.collect_list("_id")).alias("ids")
+    ).filter(F.size("ids") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as id_a, y as id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    heads = ranked.filter(F.col("_rn") == 1).select(
+        "tbl", "bkt", F.col("_id").alias("id_a"))
+    overflow = ranked.filter(F.col("_rn") > bucket_cap).select(
+        "tbl", "bkt", F.col("_id").alias("id_b")
+    ).join(heads, ["tbl", "bkt"]).select("id_a", "id_b")
+    cand = pairs.unionByName(overflow).distinct()
+    ea = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    eb = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    return (
+        cand.join(ea, "id_a").join(eb, "id_b")
+        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (vectorized pandas UDF — bit-parallel numpy)
 # ---------------------------------------------------------------------------
 

@@ -254,3 +254,28 @@ def test_dedup_degenerate_blocks_bounded(spark):
     assert set(range(dup_n)) <= sp_ids
     assert all(r["hamming"] == 0 for r in sp
                if r["id_a"] < dup_n and r["id_b"] < dup_n)
+
+
+def test_embedding_near_dups(spark):
+    """Embedding-cosine near-dup: exact duplicates and a tiny
+    perturbation are found; orthogonal vectors are not."""
+    import numpy as np
+
+    from cerberus_spark.functions import dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(32)
+    near = base + 0.02 * rng.standard_normal(32)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base]),           # exact dup
+        (2, [float(x) for x in near]),           # near dup
+        (3, [float(x) for x in rng.standard_normal(32)]),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in dedup.embedding_near_dups(df, "doc_id", "embedding",
+                                              threshold=0.95).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 0.999999
+    assert (0, 2) in got and (1, 2) in got
+    assert not any(3 in p for p in got)
