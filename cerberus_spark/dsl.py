@@ -179,11 +179,15 @@ def _callable_or_name(x) -> bool:
     return callable(x) or isinstance(x, str)
 
 
-def validate_rules_set(field: str, rules: Mapping) -> None:
+def validate_rules_set(field: str, rules: Mapping,
+                       extra_types: frozenset = frozenset()) -> None:
     """Validate ONE rules-set's constraint shapes, recursing into every
     nested definition (reference: the introspected SchemaValidatorMixin,
     schema.py:252-283 + 310-467 — each ``_validate_*`` docstring pins its
-    constraint's own schema; this re-derives the same shape table)."""
+    constraint's own schema; this re-derives the same shape table).
+
+    ``extra_types`` are custom type names registered with the validator
+    (the analog of extending ``types_mapping``, docs/customize.rst)."""
     if not isinstance(rules, Mapping):
         raise SchemaError(f"schema definition for field '{field}' must be a dict")
     for rule, c in rules.items():
@@ -194,7 +198,7 @@ def validate_rules_set(field: str, rules: Mapping) -> None:
             if names is None:
                 raise SchemaError(f"field '{field}': 'type' must be a name or list of names")
             for n in names:
-                if n not in TYPE_NAMES:
+                if n not in TYPE_NAMES and n not in extra_types:
                     raise SchemaError(f"field '{field}': unknown type '{n}'")
         elif rule in ("required", "nullable", "readonly", "empty",
                       "require_all", "purge_unknown"):
@@ -246,14 +250,14 @@ def validate_rules_set(field: str, rules: Mapping) -> None:
             if not _is_listish(c) or not all(isinstance(d, Mapping) for d in c):
                 raise SchemaError(f"field '{field}': 'items' must be a list of rules-sets")
             for i, d in enumerate(c):
-                validate_rules_set(f"{field}[{i}]", d)
+                validate_rules_set(f"{field}[{i}]", d, extra_types)
         elif rule in ("keysrules", "valuesrules"):
             if not isinstance(c, Mapping):
                 raise SchemaError(f"field '{field}': '{rule}' must be a rules-set mapping")
-            validate_rules_set(f"{field}.{rule}", c)
+            validate_rules_set(f"{field}.{rule}", c, extra_types)
         elif rule == "allow_unknown":
             if isinstance(c, Mapping):
-                validate_rules_set(f"{field}.allow_unknown", c)
+                validate_rules_set(f"{field}.allow_unknown", c, extra_types)
             elif not isinstance(c, bool):
                 raise SchemaError(
                     f"field '{field}': 'allow_unknown' must be boolean or a rules-set")
@@ -269,26 +273,27 @@ def validate_rules_set(field: str, rules: Mapping) -> None:
                     raise SchemaError(
                         f"field '{field}': normalization rule(s) {sorted(bad)} "
                         f"not allowed inside '{rule}'")
-                validate_rules_set(f"{field}.{rule}[{i}]", d)
+                validate_rules_set(f"{field}.{rule}[{i}]", d, extra_types)
         elif rule == "schema":
             if not isinstance(c, Mapping):
                 raise SchemaError(f"field '{field}': 'schema' must be a mapping")
             if _looks_like_rules_set(c):
-                validate_rules_set(f"{field}.schema", c)
+                validate_rules_set(f"{field}.schema", c, extra_types)
             else:
-                validate_schema(c)
+                validate_schema(c, extra_types)
         # 'min'/'max'/'contains'/'default'/'meta': any value is legal
         # (reference declares no constraint schema for them)
 
 
-def validate_schema(schema: Mapping) -> None:
+def validate_schema(schema: Mapping,
+                    extra_types: frozenset = frozenset()) -> None:
     """Schema-of-schemas check: raise SchemaError on unknown rules or
     malformed constraints before any Spark job launches
     (reference: schema.py:252-283 + SchemaValidatorMixin checks)."""
     if not isinstance(schema, Mapping):
         raise SchemaError("validation schema must be a mapping")
     for field, rules in schema.items():
-        validate_rules_set(field, rules)
+        validate_rules_set(field, rules, extra_types)
 
 
 def _canonicalize(obj):
@@ -319,10 +324,10 @@ def schema_hash(schema: Mapping) -> str:
 class RuleSetSchema:
     """A parsed + expanded + validated schema, ready for compilation."""
 
-    def __init__(self, schema: Mapping):
+    def __init__(self, schema: Mapping, extra_type_names=()):
         self.raw = dict(schema)
         self.expanded = expand_schema(schema)
-        validate_schema(self.expanded)
+        validate_schema(self.expanded, frozenset(extra_type_names))
         self.hash = schema_hash(self.expanded)
 
     def __getitem__(self, field):

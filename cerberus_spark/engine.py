@@ -114,8 +114,9 @@ class SparkValidator:
         check_with: Mapping | None = None,
         coercers: Mapping | None = None,
         setters: Mapping | None = None,
+        types: Mapping | None = None,
     ):
-        self.schema = RuleSetSchema(schema)
+        self.schema = RuleSetSchema(schema, extra_type_names=set(types or ()))
         self.schema_hash = self.schema.hash
         self.key_cols = tuple(key_cols)
         self.allow_unknown = allow_unknown
@@ -131,6 +132,7 @@ class SparkValidator:
             dynamic_types=dynamic_types,
             logical_child_errors=logical_child_errors,
             check_with_registry=dict(check_with or {}),
+            custom_types=dict(types or {}),
         )
         self.normalizer = Normalizer(coercers, setters, null_semantics)
         self.compiler = RuleCompiler(self.ctx)

@@ -169,9 +169,18 @@ def spark_type_matches(dtype: T.DataType, name: str) -> bool:
     raise SchemaError(f"unknown type name '{name}'")
 
 
-def check_type(dtype: T.DataType, constraint) -> bool:
+def check_type(dtype: T.DataType, constraint, custom: Mapping | None = None) -> bool:
+    """Static type check; ``custom`` maps registered custom type names to
+    ``fn(dtype) -> bool`` predicates (the analog of extending the
+    reference's types_mapping, docs/customize.rst:73-115)."""
     names = [constraint] if isinstance(constraint, str) else list(constraint)
-    return any(spark_type_matches(dtype, n) for n in names)
+    ok = False
+    for n in names:
+        if custom and n in custom:
+            ok = ok or bool(custom[n](dtype))
+        else:
+            ok = ok or spark_type_matches(dtype, n)
+    return ok
 
 
 def _sized_len(col: Column, dtype: T.DataType) -> Column | None:
@@ -358,6 +367,10 @@ class CompileContext:
     #: (errors.py:594-650 path rewriting).  Off by default: the
     #: differential oracle pins the single-leaf shape.
     logical_child_errors: bool = False
+    #: custom type registry: name -> fn(Spark DataType) -> bool, the
+    #: analog of extending the reference's types_mapping
+    #: (docs/customize.rst:73-115; the benchmark's 'path' type)
+    custom_types: dict[str, Callable] = dc_field(default_factory=dict)
 
 
 class Scope:
@@ -624,7 +637,11 @@ class RuleCompiler:
         # inside dynamic containers (validator.py:1528-1560)
         type_ok_col = F.lit(True)
         if "type" in rules:
-            if dynamic and ctx.dynamic_types and isinstance(dtype, T.StringType):
+            _tnames = ([rules["type"]] if isinstance(rules["type"], str)
+                       else list(rules["type"]))
+            _has_custom = any(n in ctx.custom_types for n in _tnames)
+            if (dynamic and ctx.dynamic_types and isinstance(dtype, T.StringType)
+                    and not _has_custom):
                 type_ok_col = dynamic_type_ok(value, rules["type"])
                 out.append(
                     make_violation(
@@ -633,7 +650,7 @@ class RuleCompiler:
                         constraint=rules["type"], value=value, value_dtype=dtype,
                     )
                 )
-            elif not check_type(dtype, rules["type"]):
+            elif not check_type(dtype, rules["type"], self.ctx.custom_types):
                 type_ok_col = F.lit(False)
                 out.append(
                     make_violation(

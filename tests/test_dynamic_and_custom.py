@@ -329,3 +329,40 @@ def test_registry_resolution_parity(spark):
         assert compare_per_row(got, docs, schema) == []
     finally:
         cerberus.rules_set_registry.remove("score")
+
+
+def test_custom_type_registry_parity(spark):
+    """Custom types via the `types` registry — the analog of extending
+    the reference's types_mapping (docs/customize.rst:73-115; the
+    benchmark's 'path' type).  Reference custom types are isinstance
+    checks; the engine's are DataType predicates."""
+    from pyspark.sql import types as T
+
+    schema = {"p": {"type": "path", "minlength": 2},
+              "n": {"type": "integer"}}
+    rows = [("/a/b", 1), ("x", 2), (None, None)]
+    df = spark.createDataFrame(rows, "p string, n int")
+    v = SparkValidator(
+        schema, allow_unknown=True,
+        types={"path": lambda dt: isinstance(dt, T.StringType)},
+    )
+    got = v.annotate(df).collect()
+
+    class PathValidator(cerberus.Validator):
+        types_mapping = cerberus.Validator.types_mapping.copy()
+        types_mapping["path"] = cerberus.TypeDefinition("path", (str,), ())
+
+    ref = PathValidator(schema, allow_unknown=True)
+    docs = [{k: v2 for k, v2 in zip(("p", "n"), r) if v2 is not None} for r in rows]
+    from cerberus_spark.oracle import flatten_reference_errors, spark_violation_tuples
+    for row, doc in zip(got, docs):
+        ref.validate(doc)
+        expected = sorted(flatten_reference_errors(ref._errors))
+        actual = spark_violation_tuples(
+            [x.asDict(recursive=True) for x in row["violations"]])
+        assert actual == expected, (doc, actual, expected)
+
+    # schema-of-schemas still rejects unregistered names
+    from cerberus_spark.dsl import SchemaError
+    with pytest.raises(SchemaError, match="unknown type"):
+        SparkValidator({"p": {"type": "path"}})
