@@ -136,15 +136,21 @@ def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
                          num_perm: int = 32, k: int = 3) -> DataFrame:
     """(id, _h0.._hN) MinHash signature via explode → per-permutation
     min aggregation — the scalable shape: shingles materialize exactly
-    once, xxhash64 runs num_perm× per shingle (the irreducible work),
-    map-side partial min keeps the single shuffle tiny.  (An array-of-
-    lambdas formulation re-evaluates the shingle array per permutation
-    per row — measured 4-5× slower.)"""
+    once, map-side partial min keeps the single shuffle tiny.  (An
+    array-of-lambdas formulation re-evaluates the shingle array per
+    permutation per row — measured 4-5× slower.)
+
+    Permutation i hashes the PRE-HASHED 64-bit shingle value —
+    xxhash64(xxhash64(shingle), i) — so the variable-length string is
+    hashed once and each of the num_perm permutations mixes 8 fixed
+    bytes, instead of re-hashing the string num_perm times (the
+    dominant cost at ~20 chars/shingle × 32 permutations)."""
     sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_sh")
-    )
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("_sh"),
+    ).select("_id", F.xxhash64("_sh").alias("_sh64"))
     aggs = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
+        F.min(F.xxhash64(F.col("_sh64"), F.lit(i))).alias(f"_h{i}")
         for i in range(num_perm)
     ]
     return sh.groupBy("_id").agg(*aggs)
