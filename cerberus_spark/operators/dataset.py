@@ -238,11 +238,41 @@ def categorical_profile(df: DataFrame, expr: Column | str, key: str) -> DataFram
 def length_histogram_profile(df: DataFrame, col: str, key: str,
                              bucket_width: int = 100, n_buckets: int = 20) -> DataFrame:
     """Text-length histogram profile with a capped bucket count."""
-    bucket = F.least(
+    return categorical_profile(df, length_bucket(col, bucket_width, n_buckets), key)
+
+
+def length_bucket(col: str, bucket_width: int = 100, n_buckets: int = 20) -> Column:
+    return F.least(
         F.floor(F.coalesce(F.length(F.col(col)), F.lit(-1)) / bucket_width),
         F.lit(n_buckets - 1),
     ).cast("string")
-    return categorical_profile(df, bucket, key)
+
+
+def multi_profile(df: DataFrame, specs: list[tuple[str, Column | str]]) -> DataFrame:
+    """All requested frequency profiles in ONE scan: each row explodes
+    into one (key, bucket) struct per spec, a single groupBy counts
+    them, and freqs normalize per key over the tiny aggregated result.
+    Replaces one narrow source scan PER profile (3 scans → 1 for the
+    standard role/tool/text-length drift set)."""
+    from pyspark.sql import Window as W
+
+    entries = F.array(*[
+        F.struct(
+            F.lit(key).alias("key"),
+            F.coalesce(
+                (F.col(expr) if isinstance(expr, str) else expr).cast("string"),
+                F.lit("<null>"),
+            ).alias("bucket"),
+        )
+        for key, expr in specs
+    ])
+    counts = (
+        df.select(F.explode(entries).alias("e"))
+        .groupBy("e.key", "e.bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(W.partitionBy("key"))
+    return counts.select("key", "bucket", (F.col("n") / total).alias("freq"))
 
 
 def drift_metrics(current: DataFrame, baseline: DataFrame, eps: float = 1e-6) -> list[dict]:

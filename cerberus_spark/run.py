@@ -268,11 +268,13 @@ class ValidationRun:
 
     def _run_drift(self, spark, df) -> list:
         cfg = self.config
-        profiles = (
-            D.categorical_profile(df, "role", "role")
-            .unionByName(D.categorical_profile(df, "tool", "tool"))
-            .unionByName(D.length_histogram_profile(df, "text", "text_len"))
-        )
+        # one scan computes all three profiles (role/tool frequency +
+        # text-length histogram) — at 100 TB each avoided pass matters
+        profiles = D.multi_profile(df, [
+            ("role", "role"),
+            ("tool", "tool"),
+            ("text_len", D.length_bucket("text")),
+        ])
         baseline_path = self._path("baseline_stats")
         if fs_exists(spark, baseline_path):
             baseline = spark.read.parquet(baseline_path)

@@ -164,3 +164,19 @@ def test_in_memory_input_never_resumes(spark, data):
         assert r2.n_turns == 5000
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_multi_profile_equals_separate_profiles(spark, data):
+    t, _ = data
+    merged = {(r["key"], r["bucket"]): r["freq"]
+              for r in D.multi_profile(t, [
+                  ("role", "role"), ("tool", "tool"),
+                  ("text_len", D.length_bucket("text"))]).collect()}
+    separate = {}
+    for prof in (D.categorical_profile(t, "role", "role"),
+                 D.categorical_profile(t, "tool", "tool"),
+                 D.length_histogram_profile(t, "text", "text_len")):
+        for r in prof.collect():
+            separate[(r["key"], r["bucket"])] = r["freq"]
+    assert merged.keys() == separate.keys()
+    assert all(abs(merged[k] - separate[k]) < 1e-12 for k in merged)
