@@ -82,8 +82,9 @@ def main() -> None:
     shutil.rmtree(warm_out, ignore_errors=True)
 
     # best-of-N damps the sandbox's noisy-neighbor variance (the machine
-    # shares cores; a run can be slowed 2-5x by external load)
-    repeats = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
+    # shares cores; identical runs have measured 2-20x apart under
+    # co-tenant bursts — see BENCH/BASELINE.md noise protocol)
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEAT", "3"))
     full_pass, report = None, None
     for _ in range(max(1, repeats)):
         out_dir = tempfile.mkdtemp(prefix="cerb_bench_")
