@@ -22,6 +22,7 @@ columns, so they union cleanly with per-row rule violations.
 from __future__ import annotations
 
 import math
+from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -295,6 +296,61 @@ def drift_metrics(current: DataFrame, baseline: DataFrame, eps: float = 1e-6) ->
             psi += (p - q) * math.log(p / q)
         out.append({"key": key, "kl": kl, "psi": psi})
     return out
+
+
+def stats_bound_violations(df: DataFrame, bounds: Mapping) -> DataFrame:
+    """Declarative bounds on per-column statistics → STATS_BOUND (0x105)
+    violation rows (one per violated bound).  ``bounds`` maps column →
+    {constraint: value} with constraints:
+
+    * ``null_rate_max``  — avg(isnull) must not exceed
+    * ``min`` / ``max``  — observed min/max must stay within
+    * ``n_distinct_min`` / ``n_distinct_max`` — approx distinct count
+      (HLL++; use for cardinality sanity, not exact uniqueness)
+
+    One aggregation pass computes every referenced statistic (map-side
+    partial aggregation; no per-column scans)."""
+    aggs = []
+    for col, cons in bounds.items():
+        if "null_rate_max" in cons:
+            aggs.append(F.avg(F.col(col).isNull().cast("double")).alias(f"{col}__nr"))
+        if "min" in cons:
+            aggs.append(F.min(col).alias(f"{col}__min"))
+        if "max" in cons:
+            aggs.append(F.max(col).alias(f"{col}__max"))
+        if "n_distinct_min" in cons or "n_distinct_max" in cons:
+            aggs.append(F.approx_count_distinct(col).alias(f"{col}__nd"))
+    row = df.agg(*aggs).first().asDict()
+    out = []
+
+    def violation(col, rule_name, bound, observed):
+        out.append({
+            "document_path": [col],
+            "schema_path": ["__dataset__", "stats", rule_name],
+            "code": E.STATS_BOUND.code,
+            "rule": E.STATS_BOUND.rule,
+            "constraint": f"{rule_name}={bound}",
+            "value": str(observed),
+            "info": f"{col}.{rule_name}",
+        })
+
+    for col, cons in bounds.items():
+        if "null_rate_max" in cons and (row[f"{col}__nr"] or 0.0) > cons["null_rate_max"]:
+            violation(col, "null_rate_max", cons["null_rate_max"], row[f"{col}__nr"])
+        if "min" in cons and row[f"{col}__min"] is not None \
+                and row[f"{col}__min"] < cons["min"]:
+            violation(col, "min", cons["min"], row[f"{col}__min"])
+        if "max" in cons and row[f"{col}__max"] is not None \
+                and row[f"{col}__max"] > cons["max"]:
+            violation(col, "max", cons["max"], row[f"{col}__max"])
+        nd = row.get(f"{col}__nd")
+        if "n_distinct_min" in cons and nd is not None and nd < cons["n_distinct_min"]:
+            violation(col, "n_distinct_min", cons["n_distinct_min"], nd)
+        if "n_distinct_max" in cons and nd is not None and nd > cons["n_distinct_max"]:
+            violation(col, "n_distinct_max", cons["n_distinct_max"], nd)
+    spark = df.sparkSession
+    return (spark.createDataFrame(out, E.VIOLATION_STRUCT) if out
+            else spark.createDataFrame([], E.VIOLATION_STRUCT))
 
 
 def drift_violations(spark, metrics: list[dict], psi_threshold: float = 0.2) -> DataFrame:

@@ -180,3 +180,18 @@ def test_multi_profile_equals_separate_profiles(spark, data):
             separate[(r["key"], r["bucket"])] = r["freq"]
     assert merged.keys() == separate.keys()
     assert all(abs(merged[k] - separate[k]) < 1e-12 for k in merged)
+
+
+def test_stats_bound_violations(spark, data):
+    t, _ = data
+    got = D.stats_bound_violations(t, {
+        "text": {"null_rate_max": 0.001},     # data has ~0.5% nulls → fires
+        "turn_idx": {"min": 0},               # negatives injected → fires
+        "role": {"n_distinct_min": 3,         # ≥3 roles → passes
+                 "n_distinct_max": 4},        # 5 (incl. bogus) → fires
+        "conv_id": {"null_rate_max": 1.0},    # passes
+    }).collect()
+    fired = {(r["document_path"][0], r["schema_path"][2]) for r in got}
+    assert fired == {("text", "null_rate_max"), ("turn_idx", "min"),
+                     ("role", "n_distinct_max")}
+    assert all(r["code"] == 0x105 for r in got)
