@@ -212,6 +212,23 @@ def q_normalize_events(spark, sf_dir):
     )
 
 
+def q_stats_bounds_events(spark, sf_dir):
+    """Dataset-level stat bounds: bounds chosen so firing decisions are
+    deterministic (far from the approx-distinct estimation error)."""
+    ev = _read(spark, sf_dir, "events")
+    viol = D.stats_bound_violations(ev, {
+        "value": {"min": 0.5, "max": 400.0},  # observed [0.01, 490] → both fire
+        "user_id": {"max": 100},              # ids up to ~150 → fires
+        "event_type": {"n_distinct_min": 3},  # 4-5 distinct → passes (HLL exact
+                                              # at tiny cardinality)
+    })
+    return viol.select(
+        F.element_at("document_path", 1).alias("col_name"),
+        F.element_at("schema_path", 3).alias("bound"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
 def q_topk_embeddings_cosine(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -307,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_signals_documents": q_text_signals_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "normalize_events": q_normalize_events,
+        "stats_bounds_events": q_stats_bounds_events,
         "topk_embeddings_cosine": q_topk_embeddings_cosine,
         # rows-only (non-SQL-expressible)
         "flagship_transcripts": q_flagship_transcripts,
@@ -465,6 +483,16 @@ def oracle_sql() -> dict[str, str]:
                               THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
                               ELSE 0.0 END, 6) AS mwl
             FROM w
+        """,
+        "stats_bounds_events": """
+            WITH s AS (SELECT min(value) vmin, max(value) vmax,
+                              max(user_id) umax,
+                              count(DISTINCT event_type) nd
+                       FROM events)
+            SELECT 'value' AS col_name, 'min' AS bound, 261 AS code FROM s WHERE vmin < 0.5
+            UNION ALL SELECT 'value', 'max', 261 FROM s WHERE vmax > 400.0
+            UNION ALL SELECT 'user_id', 'max', 261 FROM s WHERE umax > 100
+            UNION ALL SELECT 'event_type', 'n_distinct_min', 261 FROM s WHERE nd < 3
         """,
         "normalize_events": """
             SELECT event_id,
