@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cerberus_spark import SparkValidator
@@ -295,6 +296,33 @@ def q_embedding_near_dups(spark, sf_dir):
     return dedup.embedding_near_dups(both, "vec_id", "embedding", threshold=0.95)
 
 
+def q_media_meta_documents(spark, sf_dir):
+    """REAL multimodal metadata decode: synthesize a valid PNG header
+    per document (width = doc_id % 1000 + 1), parse it back with the
+    pure-Python container parser — the DuckDB twin recomputes the dims
+    arithmetically, so the oracle pins the construct→parse identity."""
+    import struct
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def make_png(doc_id: pd.Series) -> pd.Series:
+        def one(i):
+            w = int(i) % 1000 + 1
+            return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                    + struct.pack(">II", w, 480) + b"\x08\x02\x00\x00\x00")
+        return doc_id.map(one)
+
+    with_payload = docs.withColumn("payload", make_png(F.col("doc_id")))
+    meta = multimodal.extract_media_meta(with_payload, "doc_id", "payload")
+    return meta.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
 def q_multimodal_features_documents(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").limit(50).select(
         "doc_id", F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload")
@@ -325,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "normalize_events": q_normalize_events,
         "stats_bounds_events": q_stats_bounds_events,
+        "media_meta_documents": q_media_meta_documents,
         "topk_embeddings_cosine": q_topk_embeddings_cosine,
         # rows-only (non-SQL-expressible)
         "flagship_transcripts": q_flagship_transcripts,
@@ -483,6 +512,11 @@ def oracle_sql() -> dict[str, str]:
                               THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
                               ELSE 0.0 END, 6) AS mwl
             FROM w
+        """,
+        "media_meta_documents": """
+            SELECT doc_id, 'png' AS format,
+                   (doc_id % 1000 + 1)::INT AS width, 480 AS height
+            FROM documents
         """,
         "stats_bounds_events": """
             WITH s AS (SELECT min(value) vmin, max(value) vmax,
