@@ -312,3 +312,25 @@ def test_media_metadata_real_parse(spark):
     assert got[3]["format"] == "jpeg" and (got[3]["width"], got[3]["height"]) == (640, 480)
     assert got[4]["format"] == "unknown" and got[4]["n_bytes"] == 9
     assert got[5]["format"] == "unknown" and got[5]["n_bytes"] == 0
+
+
+def test_streaming_foreach_batch_runner(spark, tmp_path):
+    """foreachBatch full-pipeline callback: violations land per epoch,
+    idempotent paths."""
+    from cerberus_spark import SparkValidator
+    from cerberus_spark.sources.transcripts import TURN_SCHEMA, synthesize
+    from cerberus_spark.streaming.validate_stream import foreach_batch_runner
+
+    t, _ = synthesize(400, seed=42)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(t).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    v = SparkValidator(TURN_SCHEMA, key_cols=("conv_id", "turn_idx"))
+    q = (stream.writeStream.foreachBatch(foreach_batch_runner(v, out))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    viols = spark.read.parquet(out + "/violations")
+    expected = v.validate(spark.read.parquet(src)).violations.count()
+    assert viols.count() == expected > 0
