@@ -144,14 +144,20 @@ def ordering_violations(
     """Turns whose ``ts`` regresses vs the previous turn (by
     ``order_by``) within a conversation → ORDERING_VIOLATION (0x103).
 
-    Window shuffle partitions by ``partition_by`` — the explicit
-    repartition the north rule asks for; AQE handles long-tail skew."""
+    The window's required distribution IS the explicit conv_id
+    partitioning the north rule asks for — Catalyst inserts the
+    hash-partition exchange on ``partition_by`` to satisfy it (AQE
+    handles long-tail skew).  No manual ``repartition`` call: it would
+    duplicate that requirement and, worse, FORCE a shuffle even when
+    the input is already bucketed by ``partition_by`` (a bucketed scan
+    satisfies the window's distribution and runs shuffle-free —
+    tests/test_plans.py::test_bucketed_input_runs_shuffle_free)."""
     from pyspark.sql import Window as W
 
     keys = keys or [partition_by, order_by]
     w = W.partitionBy(partition_by).orderBy(order_by)
     narrow = df.select(*dict.fromkeys(keys + [partition_by, order_by, ts_col]))
-    lagged = narrow.repartition(partition_by).select(
+    lagged = narrow.select(
         *keys, F.col(ts_col), F.lag(ts_col).over(w).alias("_prev_ts")
     )
     bad = lagged.filter(F.col("_prev_ts").isNotNull() & (F.col(ts_col) < F.col("_prev_ts")))

@@ -64,3 +64,38 @@ def test_text_ops_stay_in_codegen(spark):
     # CodegenFallback; none may appear in these operators
     for needle in ("ArrayFilter", "ArrayTransform", "ArrayAggregate", "lambdafunction"):
         assert needle not in plan, f"{needle} found:\n{plan[:2000]}"
+
+
+def test_bucketed_input_runs_shuffle_free(spark, tmp_path):
+    """A transcripts table bucketed by conv_id satisfies the clustering
+    requirements of uniqueness (groupBy conv_id+turn_idx+salt) and the
+    per-conversation ordering window — ZERO exchanges in either plan;
+    the same plans over plain parquet need their shuffles."""
+    from cerberus_spark.operators import dataset as D
+    from cerberus_spark.sources.bucketed import read_bucketed, write_bucketed
+    from cerberus_spark.sources.transcripts import synthesize
+    from cerberus_spark.plans.explain import plan_report
+
+    t, _ = synthesize(2000, seed=42)
+    df = spark.createDataFrame(t)
+    write_bucketed(df, "transcripts_bucketed", ["conv_id"], n_buckets=8,
+                   sort_cols=["turn_idx"], path=str(tmp_path / "bt"))
+    try:
+        bt = read_bucketed(spark, "transcripts_bucketed")
+
+        uniq_b = D.distinct_violating_keys(bt, ["conv_id", "turn_idx"])
+        ord_b = D.ordering_violations(bt, "conv_id", "turn_idx", "ts")
+        assert plan_report(uniq_b)["n_exchanges"] == 0
+        assert plan_report(ord_b)["n_exchanges"] == 0
+
+        # control: the un-bucketed frame needs its shuffles
+        uniq_p = D.distinct_violating_keys(df, ["conv_id", "turn_idx"])
+        ord_p = D.ordering_violations(df, "conv_id", "turn_idx", "ts")
+        assert plan_report(uniq_p)["n_exchanges"] > 0
+        assert plan_report(ord_p)["n_exchanges"] > 0
+
+        # and the results are identical either way
+        assert sorted(map(tuple, uniq_b.collect())) == \
+            sorted(map(tuple, uniq_p.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS transcripts_bucketed")
