@@ -234,7 +234,8 @@ def minhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str,
 def embedding_near_dups(df: DataFrame, id_col: str, emb_col: str,
                         threshold: float = 0.95, n_bits: int = 12,
                         n_tables: int = 4, seed: int = 42,
-                        bucket_cap: int = 200) -> DataFrame:
+                        bucket_cap: int = 200,
+                        dim: int | None = None) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ ``threshold``.
 
     Random-hyperplane LSH (P[same bit] = 1 - θ/π): ``n_tables``
@@ -246,7 +247,16 @@ def embedding_near_dups(df: DataFrame, id_col: str, emb_col: str,
     paths)."""
     from .similarity import cosine, hyperplanes, lsh_bucket
 
-    dim = len(df.select(emb_col).first()[0])
+    if dim is None:
+        # lazy fallback only — callers that know the embedding width should
+        # pass ``dim`` so no driver action runs in the build path
+        probe = df.select(emb_col).first()
+        if probe is None or probe[0] is None:
+            # empty input: no pairs (and no dimension to plan hyperplanes for)
+            id_type = dict(df.dtypes)[id_col]
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_type}, id_b {id_type}, cosine double")
+        dim = len(probe[0])
     tables = F.array(*[
         F.struct(
             F.lit(t).alias("tbl"),
@@ -349,10 +359,13 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     for i in range(n_blocks):
         lo = i * width
         w = width if i < n_blocks - 1 else 64 - lo  # last block takes the tail
-        mask = (1 << w) - 1
+        shifted = F.shiftrightunsigned("_sig", lo)
+        # w == 64 (max_hamming=0, single block): (1<<64)-1 overflows a
+        # signed-long literal and the shift-by-0 needs no mask anyway
+        bval = shifted if w == 64 else shifted.bitwiseAND(F.lit((1 << w) - 1))
         blocks.append(F.struct(
             F.lit(i).alias("blk"),
-            F.shiftrightunsigned("_sig", lo).bitwiseAND(F.lit(mask)).alias("bval"),
+            bval.alias("bval"),
         ))
     banded = sig.select("_id", "_sig", F.explode(F.array(*blocks)).alias("bb")).select(
         "_id", "_sig", "bb.blk", "bb.bval"

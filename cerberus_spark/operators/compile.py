@@ -249,7 +249,10 @@ def dynamic_type_ok(value: Column, constraint) -> Column:
         elif n == "integer":
             per.append(is_int | is_bool)  # bool ⊂ int (validator.py:126)
         elif n == "float":
-            per.append(is_float)  # int ⊂ float (validator.py:125)
+            # int ⊂ float AND bool ⊂ int ⊂ float: TypeDefinition('float',
+            # (float, _int_types), ()) with bool subclassing int
+            # (validator.py:118-131) — so a bool literal passes 'float'
+            per.append(is_float | is_bool)
         elif n == "number":
             per.append(is_float & ~is_bool)  # bool excluded (validator.py:128)
         elif n == "boolean":

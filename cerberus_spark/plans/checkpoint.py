@@ -44,6 +44,16 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete via the Hadoop FileSystem bound to ``path``'s
+    scheme (no-op when the path does not exist)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def part_id_col(conv_col: str = "conv_id", n_parts: int = 64):
     """Stable partition id: pmod(xxhash64(conv_id), n_parts).
 

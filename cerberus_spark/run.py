@@ -37,6 +37,7 @@ Resume correctness invariants:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import uuid
 from dataclasses import dataclass, field
@@ -46,7 +47,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import errors as E
 from .engine import SparkValidator
 from .operators import dataset as D
-from .plans.checkpoint import CheckpointStore, fs_exists, part_id_col, snapshot_id
+from .plans.checkpoint import (CheckpointStore, fs_delete, fs_exists,
+                               part_id_col, snapshot_id)
 
 
 @dataclass
@@ -126,8 +128,25 @@ class ValidationRun:
         done: list[int] = store.done_partitions(snap, shash, predicate_set) if resume_ok else []
         pending = [p for p in range(cfg.n_parts) if p not in set(done)]
 
+        # Lineage id stamped onto every summary row.  Dynamic partition
+        # overwrite only replaces partitions that have rows under the
+        # CURRENT input — if an out_dir is reused with different data or a
+        # different schema, a partition with zero rows now would keep the
+        # OLD run's summary/violations rows on disk and the report/commit
+        # reads would mix two datasets.  Two defenses: (a) when no
+        # partition is committed for this lineage (fresh run or lineage
+        # change) the output dirs are cleared up front; (b) report totals
+        # and wave commits read only rows stamped with this lineage.
+        lineage = hashlib.sha256(
+            f"{snap}|{shash}|{predicate_set}".encode()
+        ).hexdigest()[:16]
+        if not done:
+            for sub in ("summary", "violations", "annotated"):
+                fs_delete(spark, self._path(sub))
+
         if pending:
-            self._run_validation_waves(df, done, pending, store, snap, shash, predicate_set)
+            self._run_validation_waves(df, done, pending, store, snap, shash,
+                                       predicate_set, lineage)
         # fully resumed: zero writes — prior results stay durable as-is
 
         # -- dataset-level checks + drift: global invariants over the FULL
@@ -140,8 +159,11 @@ class ValidationRun:
         # input writes no summary part files (a partitioned write of
         # zero rows leaves only _SUCCESS), so fall back to zeros.
         try:
+            summary = spark.read.parquet(self._path("summary"))
+            if "lineage" in summary.columns:
+                summary = summary.filter(F.col("lineage") == lineage)
             totals = (
-                spark.read.parquet(self._path("summary"))
+                summary
                 .agg(F.sum("n_rows"), F.sum("n_failed"), F.sum("n_violations"))
                 .first()
             )
@@ -161,7 +183,7 @@ class ValidationRun:
     # ------------------------------------------------------------------
 
     def _run_validation_waves(self, df, done, pending, store, snap, shash,
-                              predicate_set) -> None:
+                              predicate_set, lineage) -> None:
         cfg = self.config
         spark = df.sparkSession
         n_waves = max(1, min(cfg.waves, len(pending)))
@@ -209,7 +231,7 @@ class ValidationRun:
                     F.count(F.lit(1)).alias("n_rows"),
                     F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
                     F.sum(F.size("violations").cast("long")).alias("n_violations"),
-                )
+                ).withColumn("lineage", F.lit(lineage))
                 (summary.write.mode("overwrite")
                         .option("partitionOverwriteMode", "dynamic")
                         .partitionBy("part_id")
@@ -233,6 +255,8 @@ class ValidationRun:
                         spark.read.parquet(self._path("summary"))
                         .filter(F.col("part_id").isin(wave_parts))
                     )
+                    if "lineage" in committed.columns:
+                        committed = committed.filter(F.col("lineage") == lineage)
                 except Exception:
                     pass
                 if committed is not None:

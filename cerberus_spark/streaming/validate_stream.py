@@ -69,10 +69,20 @@ def ordering_violations_stream(
     partitioning); state size is O(active conversations) and does not
     grow with turns.  Output: one row per violating turn
     (conv, order, ts_micros, prev_ts_micros).
+
+    Late-arrival semantics match the batch lag-by-``order_col`` analog:
+    a turn is compared against state ONLY when its order exceeds the
+    highest order already seen — a late-arriving (lower-order) but
+    correctly-timestamped earlier turn is neither flagged against a
+    newer turn's ts nor allowed to rewind state.  (The batch operator,
+    seeing all rows, would compare it against its true order-neighbors;
+    without buffering, skipping is the streaming approximation that
+    never produces a pair the batch operator wouldn't.)
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = (f"{conv_col} string, {order_col} long, "
+    conv_type = dict(stream_df.dtypes)[conv_col]
+    out_schema = (f"{conv_col} {conv_type}, {order_col} long, "
                   "ts_micros long, prev_ts_micros long")
     state_schema = "last_order long, last_ts long"
 
@@ -86,6 +96,8 @@ def ordering_violations_stream(
             ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000  # micros
             for o, t in zip(orders, ts):
                 o, t = int(o), int(t)
+                if last_order is not None and o <= last_order:
+                    continue  # late arrival: not lag-adjacent to state
                 if last_ts is not None and t < last_ts:
                     out[conv_col].append(conv)
                     out[order_col].append(o)

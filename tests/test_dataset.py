@@ -149,6 +149,44 @@ def test_waves_commit_incrementally(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_reused_out_dir_never_mixes_lineages(spark):
+    """ADVICE r2 (medium): dynamic partition overwrite leaves partitions
+    that have zero rows under a NEW input untouched on disk — reusing an
+    out_dir with a different dataset must not mix the old run's
+    summary/violations rows into the new report or checkpoint commits.
+    The engine clears the output dirs when no partition is committed for
+    the current lineage and stamps summary rows with a lineage id."""
+    data1 = tempfile.mkdtemp(prefix="cerbdata_")
+    data2 = tempfile.mkdtemp(prefix="cerbdata_")
+    out = tempfile.mkdtemp(prefix="cerbrun_")
+    try:
+        from cerberus_spark.sources.transcripts import write_dataset, load
+
+        write_dataset(data1, 5000, seed=42)
+        t1, c1 = load(spark, data1)
+        cfg = RunConfig(out_dir=out, n_parts=8)
+        r1 = ValidationRun(TURN_SCHEMA, cfg).execute(t1, c1)
+        assert r1.n_turns == 5000
+
+        # same out_dir, different (much smaller) input → new lineage;
+        # several of the 8 part_ids have zero rows now
+        write_dataset(data2, 60, seed=9)
+        t2, c2 = load(spark, data2)
+        r2 = ValidationRun(TURN_SCHEMA, cfg).execute(t2, c2)
+        assert r2.skipped_partitions == 0
+        assert r2.n_turns == 60  # NOT 5000-contaminated
+        viols = spark.read.parquet(out + "/violations")
+        assert viols.count() == r2.n_rule_violations
+        # checkpoint rows committed under the new lineage describe ≤ 60 turns
+        ckpt = spark.read.parquet(out + "/checkpoint")
+        from pyspark.sql import functions as SF
+        latest = ckpt.groupBy("snapshot_id").agg(SF.sum("n_turns").alias("n"))
+        assert {int(r["n"]) for r in latest.collect()} == {5000, 60}
+    finally:
+        for d in (data1, data2, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_in_memory_input_never_resumes(spark, data):
     """In-memory DataFrames share no lineage: a rerun must revalidate
     (the old constant 'in-memory' snapshot id let two DIFFERENT

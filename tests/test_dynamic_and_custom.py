@@ -82,6 +82,14 @@ def test_dynamic_valuesrules_type_integer(spark):
     assert _run(spark, DYN_ROWS, DYN_DDL, schema, _dyn_docs()) == []
 
 
+def test_dynamic_valuesrules_type_float_includes_bool(spark):
+    """ADVICE r2: TypeDefinition('float', (float, _int_types), ()) with
+    bool ⊂ int means a bool literal PASSES 'float' in the reference."""
+    schema = {"payload": {"type": "dict",
+                          "valuesrules": {"type": "float"}}}
+    assert _run(spark, DYN_ROWS, DYN_DDL, schema, _dyn_docs()) == []
+
+
 def test_dynamic_valuesrules_type_number_excludes_bool(spark):
     schema = {"payload": {"type": "dict",
                           "valuesrules": {"type": "number"}}}

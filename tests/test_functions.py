@@ -72,6 +72,23 @@ def test_simhash(spark, docs):
     assert d[0].s == d[1].s
 
 
+def test_simhash_zero_hamming_and_empty_embeddings(spark, docs):
+    """ADVICE r2 edge cases: max_hamming=0 means one 64-bit block — the
+    (1<<64)-1 mask literal must not be built (signed-long overflow); and
+    embedding_near_dups on an empty frame returns an empty result
+    instead of raising on the dimension probe."""
+    pairs = dedup.simhash_near_dups(docs.filter("text is not null"),
+                                    "doc_id", "text", max_hamming=0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 7) in got  # identical signature → hamming 0
+    assert all(r.hamming == 0 for r in pairs.collect())
+
+    empty = spark.createDataFrame([], "doc_id long, emb array<double>")
+    out = dedup.embedding_near_dups(empty, "doc_id", "emb")
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "cosine"}
+
+
 def test_brute_force_topk(spark):
     rng = np.random.default_rng(7)
     vecs = rng.standard_normal((50, 8))
@@ -160,9 +177,12 @@ def test_streaming_stateful_ordering(spark, tmp_path):
         [("c1", 0, base), ("c1", 1, base + 5 * sec), ("c2", 0, base)], ddl
     ).coalesce(1).write.mode("append").parquet(src)
     # batch 2: c1 turn 2 REGRESSES vs turn 1 (cross-batch); c2 fine;
-    # c3 has an in-batch regression
+    # c3 has an in-batch regression; c2 turn -1 arrives LATE with an
+    # earlier-but-valid ts (ADVICE r2: must NOT be flagged against the
+    # state's newer ts, and must not rewind state)
     spark.createDataFrame(
         [("c1", 2, base + 2 * sec), ("c2", 1, base + 9 * sec),
+         ("c2", -1, base - 5 * sec),
          ("c3", 0, base + 9 * sec), ("c3", 1, base + 3 * sec)], ddl
     ).coalesce(1).write.mode("append").parquet(src)
 
