@@ -258,23 +258,56 @@ def q_flagship_transcripts(spark, sf_dir):
     )
 
 
-def q_minhash_candidates_documents(spark, sf_dir):
+def q_minhash_near_dups_documents(spark, sf_dir):
+    """Verified MinHash near-dups: LSH candidates → exact shingle
+    Jaccard ≥ 0.6.  The DuckDB oracle is the EXACT all-pairs Jaccard
+    over identical word-3-shingle sets, so this row passing means the
+    banded-LSH candidate generation missed no true pair on the fixture
+    (recall = 1 measured; the banding bound is 1-(1-j^4)^8) AND the
+    verification matched the exact similarity bit-for-bit.  bucket_cap
+    is set above the corpus size so the capped path cannot drop pairs —
+    output ≡ ground truth, not ⊆."""
     docs = _read(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_candidates(docs, "doc_id", "text", num_perm=32, bands=16)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6,
+                                      bucket_cap=1_000_000)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_near_dups_documents(spark, sf_dir):
+    """SimHash near-dups at hamming ≤ 8 with the pigeonhole banding
+    (9 disjoint signature blocks → guaranteed recall) and exact-Hamming
+    verify (precision 1) — with bucket_cap above the corpus size the
+    output EQUALS the exact all-pairs result, which the DuckDB oracle
+    recomputes independently from the shared md5 bit-tally signature
+    spec (dedup.simhash_signatures)."""
     docs = _read(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=8)
+    pairs = dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=8,
+                                    bucket_cap=1_000_000)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_lsh_topk_embeddings(spark, sf_dir):
+    """ANN top-k through the hyperplane-LSH path (bucket + 1-bit
+    multiprobe + in-bucket exact rerank) over a corpus with a planted
+    query cluster: 20 perturbed copies of vec 0 at cosine ≥ 0.99.  The
+    true top-10 (vec 0 + its 9 closest copies) sit far above the
+    natural pairwise cosine (≤ ~0.51), and at cos ≥ 0.99 the probe set
+    covers their buckets, so the ANN answer equals the exact top-10 the
+    DuckDB oracle computes by brute force."""
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    planted = emb.filter(F.col("vec_id") == 0).crossJoin(
+        spark.range(1, 21).select(F.col("id").cast("int").alias("i"))
+    ).select(
+        (F.lit(2_000_000) + F.col("i")).alias("vec_id"),
+        F.zip_with("embedding", F.reverse("embedding"),
+                   lambda x, r: x + 0.01 * F.col("i") * r).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    top = similarity.lsh_topk(emb, "embedding", qvec, k=10, id_col="vec_id",
-                              n_bits=8, multiprobe=4)
+    top = similarity.lsh_topk(corpus, "embedding", qvec, k=10, id_col="vec_id",
+                              n_bits=8, multiprobe=8)
     return top.select("vec_id", F.round("score", 4).alias("score"))
 
 
@@ -282,7 +315,10 @@ def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup over the embeddings table with planted
     duplicates (the synthetic vectors are mutually distant — max
     pairwise cosine ≈ 0.51 — so near-copies of the first 10 vectors are
-    derived deterministically: v + 0.05·reverse(v), cosine ≈ 0.999)."""
+    derived deterministically: v + 0.05·reverse(v), cosine ≈ 0.999).
+    The DuckDB oracle recomputes the planted rows and the exact
+    all-pairs cosine, so this row passing pins hyperplane-LSH recall at
+    1.0 on the fixture and exact-verify precision."""
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -293,7 +329,9 @@ def q_embedding_near_dups(spark, sf_dir):
         ).alias("embedding"),
     )
     both = emb.unionByName(planted)
-    return dedup.embedding_near_dups(both, "vec_id", "embedding", threshold=0.95)
+    pairs = dedup.embedding_near_dups(both, "vec_id", "embedding",
+                                      threshold=0.95, dim=64)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def q_media_meta_documents(spark, sf_dir):
@@ -324,11 +362,19 @@ def q_media_meta_documents(spark, sf_dir):
 
 
 def q_multimodal_features_documents(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents").limit(50).select(
+    """Feature-extraction plumbing over a deterministic doc subset:
+    the mapInPandas Arrow path must yield exactly FEATURE_DIM features
+    per payload; the payload byte length round-trips the utf-8 encode.
+    (The feature VALUES are the deterministic fake decoder's — not
+    SQL-expressible; dim + byte-count are what the oracle can pin.)"""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
         "doc_id", F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload")
     )
     feats = multimodal.extract_features(docs, "doc_id", "payload", fake=True)
-    return feats.select("doc_id", F.size("features").alias("n_features"))
+    return feats.join(
+        docs.select("doc_id", F.length("payload").cast("long").alias("n_payload_bytes")),
+        "doc_id",
+    ).select("doc_id", F.size("features").alias("n_features"), "n_payload_bytes")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -355,13 +401,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_bounds_events": q_stats_bounds_events,
         "media_meta_documents": q_media_meta_documents,
         "topk_embeddings_cosine": q_topk_embeddings_cosine,
-        # rows-only (non-SQL-expressible)
-        "flagship_transcripts": q_flagship_transcripts,
-        "minhash_candidates_documents": q_minhash_candidates_documents,
+        # dedup/ANN family — oracled by exact all-pairs SQL twins
+        "minhash_near_dups_documents": q_minhash_near_dups_documents,
         "simhash_near_dups_documents": q_simhash_near_dups_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features_documents": q_multimodal_features_documents,
+        # rows-only (the transcripts table is synthesized, not a DuckDB view)
+        "flagship_transcripts": q_flagship_transcripts,
     }
 
 
@@ -396,6 +443,110 @@ UNION ALL
 SELECT event_id, 'user_id', 66, 'min' FROM events
  WHERE user_id IS NOT NULL AND user_id < 0
 """.format()
+
+
+# ---------------------------------------------------------------------------
+# exact all-pairs oracle SQL for the dedup/ANN family.  Each recomputes
+# ground truth INDEPENDENTLY in DuckDB: tokenization/shingling mirrors
+# functions.text.words / dedup.shingles, the SimHash signature follows the
+# shared md5 bit-tally spec (dedup.simhash_signatures' docstring), and the
+# pair predicates are brute-force over all O(n²) pairs — feasible at the
+# 500-doc oracle scale, which is exactly why the distributed LSH/banding
+# paths exist for the 100 TB scale.
+# ---------------------------------------------------------------------------
+
+_DUCK_WORDS = ("list_filter(string_split_regex(lower(trim(coalesce(text, ''))), "
+               "'\\s+'), x -> length(x) > 0)")
+
+_DUCK_SHINGLES = """
+CASE WHEN len(ws) >= 3
+     THEN list_distinct(list_transform(range(len(ws) - 2),
+                        i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+     ELSE [array_to_string(ws, ' ')] END
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    """Exact all-pairs SimHash Hamming ≤ h.  The 64-bit signature is
+    computed as two 32-bit halves (slo = tally bits 0..31 of the hi md5
+    chunk, shi = bits 32..63 of the lo chunk) so no shift ever touches
+    the BIGINT sign bit; hamming = bit_count(xor) summed over halves."""
+    sums = ",\n           ".join(
+        f"sum(2 * (({'hi' if b < 32 else 'lo'} >> {b if b < 32 else b - 32}) & 1) - 1) AS t{b}"
+        for b in range(64)
+    )
+    sig_lo = " + ".join(f"((t{b} > 0)::BIGINT << {b})" for b in range(32))
+    sig_hi = " + ".join(f"((t{b} > 0)::BIGINT << {b - 32})" for b in range(32, 64))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_DUCK_WORDS}) AS w FROM documents
+), h AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+           ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+    FROM toks
+), t AS (
+    SELECT doc_id, {sums} FROM h GROUP BY doc_id
+), sig AS (
+    SELECT d.doc_id,
+           coalesce(({sig_lo}), 0) AS slo,
+           coalesce(({sig_hi}), 0) AS shi
+    FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) <= {max_hamming}
+"""
+
+
+def _minhash_pairs_sql(threshold: float) -> str:
+    return f"""
+WITH w AS (
+    SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents
+), sh AS (
+    SELECT doc_id, {_DUCK_SHINGLES} AS s FROM w
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {threshold}
+"""
+
+
+_EMBEDDING_PAIRS_SQL = """
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), planted AS (
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(range(len(e)), i -> e[i + 1] + 0.05 * e[len(e) - i]) AS e
+    FROM base WHERE vec_id < 10
+), allv AS (
+    SELECT * FROM base UNION ALL SELECT * FROM planted
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+"""
+
+_LSH_TOPK_PLANTED_SQL = """
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), planted AS (
+    SELECT 2000000 + i AS vec_id,
+           list_transform(range(len(e)), j -> e[j + 1] + 0.01 * i * e[len(e) - j]) AS e
+    FROM base, range(1, 21) t(i) WHERE vec_id = 0
+), allv AS (
+    SELECT * FROM base UNION ALL SELECT * FROM planted
+), q AS (SELECT e FROM allv WHERE vec_id = 0)
+SELECT a.vec_id, round(list_cosine_similarity(a.e, (SELECT e FROM q)), 4) AS score
+FROM allv a
+ORDER BY list_cosine_similarity(a.e, (SELECT e FROM q)) DESC, a.vec_id
+LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -552,5 +703,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
                      (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id
             LIMIT 10
+        """,
+        # dedup/ANN family: exact all-pairs ground truth (recall AND
+        # precision of the LSH/banding paths pinned to 1.0 on the fixture)
+        "simhash_near_dups_documents": _simhash_pairs_sql(8),
+        "minhash_near_dups_documents": _minhash_pairs_sql(0.6),
+        "embedding_near_dups": _EMBEDDING_PAIRS_SQL,
+        "lsh_topk_embeddings": _LSH_TOPK_PLANTED_SQL,
+        "multimodal_features_documents": """
+            SELECT doc_id, 16 AS n_features,
+                   octet_length(encode(coalesce(text, ''))) AS n_payload_bytes
+            FROM documents WHERE doc_id < 50
         """,
     }

@@ -120,7 +120,7 @@ def main() -> None:
         "stats_profile_lineitem",
         "token_stats_documents",
         "topk_embeddings_cosine",
-        "minhash_candidates_documents",
+        "minhash_near_dups_documents",
     ]
     qs = entrymod.queries()
     for name in heads:

@@ -3,7 +3,7 @@
 * exact         — hash-groupBy on a normalized-text fingerprint
 * MinHash + LSH — shingle → minhash signature → banded bucket join;
                   candidates verified by true shingle Jaccard
-* SimHash       — 64-bit near-dup signature (vectorized pandas UDF)
+* SimHash       — 64-bit near-dup signature (pure Column md5 bit-tally)
 * n-gram Jaccard — exact similarity for candidate verification
 
 Scale notes: every stage is shuffle-bounded by design.  MinHash
@@ -98,10 +98,17 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        threshold: float = 0.8, k: int = 3) -> DataFrame:
+                        threshold: float = 0.8, k: int = 3,
+                        num_perm: int = 32, bands: int = 8,
+                        bucket_cap: int = 200) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via LSH candidates
-    (never a full cross join)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, k=k)
+    (never a full cross join).  Candidate recall is the banding
+    collision probability 1-(1-j^r)^bands (r = num_perm/bands) — near 1
+    well above the threshold; the exact-Jaccard verify step makes
+    precision 1."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, k=k,
+                                   num_perm=num_perm, bands=bands,
+                                   bucket_cap=bucket_cap)
     sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -293,43 +300,94 @@ def embedding_near_dups(df: DataFrame, id_col: str, emb_col: str,
         cand.join(ea, "id_a").join(eb, "id_b")
         .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        .select("id_a", "id_b", F.col("cos").alias("cosine"))
     )
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized pandas UDF — bit-parallel numpy)
+# SimHash
 # ---------------------------------------------------------------------------
+#
+# Word hash convention (shared by the Column path, the pandas UDF and the
+# DuckDB oracle in __spark_entry__.py): h = md5(word) hex; signature bit
+# b < 32 tallies bit b of int(h[0:8], 16), bit b >= 32 tallies bit b-32
+# of int(h[8:16], 16).  md5 is computable identically in Spark
+# (md5 + conv(·,16,10)) and DuckDB (md5 + '0x'-prefixed BIGINT cast), so
+# signatures — and therefore near-dup pairs — are independently
+# verifiable by an exact all-pairs SQL oracle.
+
+
+def _simhash_tally_aggs():
+    """The 64 per-bit tally aggregates over exploded (hi, lo) word-hash
+    chunks: sum over words of (2·bit − 1)."""
+    aggs = []
+    for b in range(64):
+        src, j = ("_hi", b) if b < 32 else ("_lo", b - 32)
+        bit = F.shiftright(F.col(src), j).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"_t{b}"))
+    return aggs
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _sig) 64-bit SimHash signatures — pure Column algebra.
+
+    Shape mirrors ``minhash_signature_df``: tokens explode exactly once,
+    each token is md5-hashed ONCE into two 32-bit chunks (JVM codegen —
+    no Python anywhere), and the groupBy computes 64 bit-tally sums with
+    map-side partial aggregation, so the single shuffle carries 64 longs
+    per doc per map partition instead of the text.  Docs with no tokens
+    (null/empty text) get signature 0 via ``explode_outer``."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(words(F.col(text_col))).alias("_w"),
+    ).select(
+        "_id",
+        F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring(F.md5("_w"), 9, 8), 16, 10).cast("long").alias("_lo"),
+    )
+    tallies = toks.groupBy("_id").agg(*_simhash_tally_aggs())
+    sig = None
+    for b in range(64):
+        term = F.shiftleft(
+            (F.coalesce(F.col(f"_t{b}"), F.lit(0)) > 0).cast("long"), b
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return tallies.select("_id", sig.alias("_sig"))
 
 
 @F.pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (vectorized per Arrow batch).
+    """Per-row Column variant of ``simhash_signatures`` (identical
+    signatures — pinned by test_simhash_column_equals_udf).
 
-    Word hashes use blake2b (process-stable — Python's builtin hash()
-    is salted per process and would make signatures nondeterministic
-    across executors)."""
+    Batch-vectorized: the Arrow batch's words are flattened once, md5 is
+    computed once per UNIQUE word (Zipf makes the unique set far smaller
+    than the token stream), and bit tallies are segment-summed with
+    numpy — no per-row Python loop over words."""
     import hashlib
 
-    def word_hash(w: str) -> np.uint64:
-        return np.uint64(
-            int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-        )
-
-    out = np.zeros(len(text), dtype=np.int64)
+    n = len(text)
+    out = np.zeros(n, dtype=np.int64)
+    toks = text.fillna("").astype(str).str.lower().str.strip().str.split()
+    lengths = toks.map(len).to_numpy(dtype=np.int64)
+    flat = [w for ws in toks for w in ws]
+    if not flat:
+        return pd.Series(out)
+    seg = np.repeat(np.arange(n), lengths)
+    uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    for i, w in enumerate(uniq):
+        h = hashlib.md5(w.encode()).hexdigest()
+        uh[i] = np.uint64(int(h[8:16], 16)) << np.uint64(32) | np.uint64(int(h[:8], 16))
+    h64 = uh[inv]
     shifts = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(text):
-        if not t:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for w in str(t).lower().split():
-            bits = (word_hash(w) >> shifts) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        sig = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
+    ones = np.zeros((n, 64), dtype=np.int64)
+    for lo in range(0, len(h64), 1 << 16):  # bound the (chunk, 64) bit matrix
+        chunk = slice(lo, lo + (1 << 16))
+        bits = ((h64[chunk, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        np.add.at(ones, seg[chunk], bits)
+    tally = 2 * ones - lengths[:, None]  # ones - zeros
+    out = ((tally > 0).astype(np.uint64) << shifts).sum(axis=1).view(np.int64)
     return pd.Series(out)
 
 
@@ -351,10 +409,16 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     Hot blocks (identical signatures en masse) are capped like the LSH
     buckets: members ranked by a spillable window, only the first
     ``bucket_cap`` expand quadratically, overflow pairs with the bucket
-    head so groups stay connected."""
+    head so groups stay connected.  The recall guarantee therefore holds
+    exactly for blocks with ≤ ``bucket_cap`` members; in an overflowing
+    block, members beyond the cap are only guaranteed a pair with the
+    block head — consumers needing full groups should run union-find
+    over the verified pairs (or raise ``bucket_cap``; the oracle query
+    passes one larger than the corpus, making output ≡ the exact
+    all-pairs result)."""
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
-    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig"))
+    sig = simhash_signatures(df, id_col, text_col)
     blocks = []
     for i in range(n_blocks):
         lo = i * width

@@ -72,6 +72,38 @@ def test_simhash(spark, docs):
     assert d[0].s == d[1].s
 
 
+def test_simhash_column_equals_udf(spark, docs):
+    """The distributed Column path (explode→md5→bit-tally agg) and the
+    per-row pandas UDF produce IDENTICAL signatures, and both match an
+    independent pure-Python recomputation of the md5 bit-tally spec."""
+    import hashlib
+
+    col_sigs = {r._id: r._sig for r in
+                dedup.simhash_signatures(docs, "doc_id", "text").collect()}
+    udf_sigs = {r.doc_id: r.s for r in
+                docs.select("doc_id", dedup.simhash64(F.col("text")).alias("s")).collect()}
+    assert col_sigs == udf_sigs
+
+    def ref_sig(t):
+        if t is None:
+            t = ""
+        words = t.lower().strip().split()
+        tally = [0] * 64
+        for w in words:
+            h = hashlib.md5(w.encode()).hexdigest()
+            h64 = (int(h[8:16], 16) << 32) | int(h[:8], 16)
+            for b in range(64):
+                tally[b] += 1 if (h64 >> b) & 1 else -1
+        sig = 0
+        for b in range(64):
+            if tally[b] > 0:
+                sig |= 1 << b
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    for r in docs.collect():
+        assert col_sigs[r.doc_id] == ref_sig(r.text), r.doc_id
+
+
 def test_simhash_zero_hamming_and_empty_embeddings(spark, docs):
     """ADVICE r2 edge cases: max_hamming=0 means one 64-bit block — the
     (1<<64)-1 mask literal must not be built (signed-long overflow); and
