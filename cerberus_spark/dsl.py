@@ -107,8 +107,15 @@ def _resolve(ref, registry: Registry, kind: str):
     return ref
 
 
-def expand_rules_set(rules, *, _depth: int = 0) -> dict:
-    """Return a fully-expanded copy of one field's rules-set."""
+def expand_rules_set(rules, *, _depth: int = 0,
+                     extra_rules: frozenset = frozenset()) -> dict:
+    """Return a fully-expanded copy of one field's rules-set.
+
+    ``extra_rules`` are custom rule names registered with the validator
+    (``SparkValidator(rules={...})``) — the analog of the reference's
+    ``_validate_<rule>`` subclass methods (validator.py:1584-1671,
+    docs/customize.rst:21-67); they participate in the rules-set /
+    field-mapping disambiguation below."""
     if _depth > 64:
         raise SchemaError("schema nesting exceeds 64 levels (cycle?)")
     rules = _resolve(rules, rules_set_registry, "rules-set")
@@ -133,40 +140,56 @@ def expand_rules_set(rules, *, _depth: int = 0) -> dict:
         sub = out["schema"]
         sub = _resolve(sub, schema_registry, "schema")
         if isinstance(sub, Mapping):
-            if _looks_like_rules_set(sub):
-                out["schema"] = expand_rules_set(sub, _depth=_depth + 1)
+            if _looks_like_rules_set(sub, extra_rules):
+                out["schema"] = expand_rules_set(sub, _depth=_depth + 1,
+                                                 extra_rules=extra_rules)
             else:
-                out["schema"] = expand_schema(sub, _depth=_depth + 1)
+                out["schema"] = expand_schema(sub, _depth=_depth + 1,
+                                              extra_rules=extra_rules)
     for key in ("keysrules", "valuesrules", "allow_unknown"):
         if isinstance(out.get(key), Mapping):
-            out[key] = expand_rules_set(out[key], _depth=_depth + 1)
+            out[key] = expand_rules_set(out[key], _depth=_depth + 1,
+                                        extra_rules=extra_rules)
     if "items" in out and isinstance(out["items"], Sequence):
-        out["items"] = [expand_rules_set(i, _depth=_depth + 1) for i in out["items"]]
+        out["items"] = [expand_rules_set(i, _depth=_depth + 1,
+                                         extra_rules=extra_rules)
+                        for i in out["items"]]
     for op in LOGICAL_OPS:
         if op in out:
             if not isinstance(out[op], Sequence) or isinstance(out[op], str):
                 raise SchemaError(f"'{op}' constraint must be a list of rules-sets")
-            out[op] = [expand_rules_set(d, _depth=_depth + 1) for d in out[op]]
+            out[op] = [expand_rules_set(d, _depth=_depth + 1,
+                                        extra_rules=extra_rules)
+                       for d in out[op]]
     return out
 
 
-def _looks_like_rules_set(mapping: Mapping) -> bool:
+def _norm_rule_name(name: str) -> str:
+    """Schema references to custom methods may use spaces instead of
+    underscores ('is odd' ≡ 'is_odd', docs/customize.rst:16-18)."""
+    return name.replace(" ", "_")
+
+
+def _looks_like_rules_set(mapping: Mapping,
+                          extra_rules: frozenset = frozenset()) -> bool:
     """Disambiguate `schema`-as-rules-set (list elements) from
     `schema`-as-field-mapping (dict fields), like the reference does by
     attempting both interpretations (schema.py:420-436)."""
     if not mapping:
         return False
-    return all(isinstance(k, str) and k in VALID_RULES or k in DEPRECATED_RENAMES
+    return all(isinstance(k, str) and (k in VALID_RULES or k in DEPRECATED_RENAMES
+               or _norm_rule_name(k) in extra_rules)
                for k in mapping)
 
 
-def expand_schema(schema, *, _depth: int = 0) -> dict:
+def expand_schema(schema, *, _depth: int = 0,
+                  extra_rules: frozenset = frozenset()) -> dict:
     """Expand a full {field: rules_set} schema (reference: schema.py:122-133)."""
     schema = _resolve(schema, schema_registry, "schema")
     if not isinstance(schema, Mapping):
         raise SchemaError("validation schema must be a mapping")
     return {
-        field: expand_rules_set(rules, _depth=_depth + 1)
+        field: expand_rules_set(rules, _depth=_depth + 1, extra_rules=extra_rules)
         for field, rules in schema.items()
     }
 
@@ -180,19 +203,40 @@ def _callable_or_name(x) -> bool:
 
 
 def validate_rules_set(field: str, rules: Mapping,
-                       extra_types: frozenset = frozenset()) -> None:
+                       extra_types: frozenset = frozenset(),
+                       custom_rules: Mapping = {}) -> None:
     """Validate ONE rules-set's constraint shapes, recursing into every
     nested definition (reference: the introspected SchemaValidatorMixin,
     schema.py:252-283 + 310-467 — each ``_validate_*`` docstring pins its
     constraint's own schema; this re-derives the same shape table).
 
     ``extra_types`` are custom type names registered with the validator
-    (the analog of extending ``types_mapping``, docs/customize.rst)."""
+    (the analog of extending ``types_mapping``, docs/customize.rst).
+    ``custom_rules`` maps registered custom rule names to their
+    implementations (the analog of ``_validate_<rule>`` subclass
+    methods); a rule fn may carry a ``check_constraint(c)`` attribute —
+    the engine's version of the reference's docstring constraint schema
+    (docs/customize.rst:61-67) — which gates the constraint shape here,
+    before any Spark job launches."""
     if not isinstance(rules, Mapping):
         raise SchemaError(f"schema definition for field '{field}' must be a dict")
     for rule, c in rules.items():
         if rule not in VALID_RULES:
-            raise SchemaError(f"field '{field}': unknown rule '{rule}'")
+            cname = _norm_rule_name(rule)
+            fn = custom_rules.get(cname)
+            if fn is None:
+                raise SchemaError(f"field '{field}': unknown rule '{rule}'")
+            chk = getattr(fn, "check_constraint", None)
+            if chk is not None:
+                try:
+                    ok = chk(c)
+                except Exception:
+                    ok = False
+                if ok is False:
+                    raise SchemaError(
+                        f"field '{field}': invalid constraint {c!r} for "
+                        f"custom rule '{cname}'")
+            continue
         if rule == "type":
             names = [c] if isinstance(c, str) else list(c) if _is_listish(c) else None
             if names is None:
@@ -250,14 +294,14 @@ def validate_rules_set(field: str, rules: Mapping,
             if not _is_listish(c) or not all(isinstance(d, Mapping) for d in c):
                 raise SchemaError(f"field '{field}': 'items' must be a list of rules-sets")
             for i, d in enumerate(c):
-                validate_rules_set(f"{field}[{i}]", d, extra_types)
+                validate_rules_set(f"{field}[{i}]", d, extra_types, custom_rules)
         elif rule in ("keysrules", "valuesrules"):
             if not isinstance(c, Mapping):
                 raise SchemaError(f"field '{field}': '{rule}' must be a rules-set mapping")
-            validate_rules_set(f"{field}.{rule}", c, extra_types)
+            validate_rules_set(f"{field}.{rule}", c, extra_types, custom_rules)
         elif rule == "allow_unknown":
             if isinstance(c, Mapping):
-                validate_rules_set(f"{field}.allow_unknown", c, extra_types)
+                validate_rules_set(f"{field}.allow_unknown", c, extra_types, custom_rules)
             elif not isinstance(c, bool):
                 raise SchemaError(
                     f"field '{field}': 'allow_unknown' must be boolean or a rules-set")
@@ -273,27 +317,28 @@ def validate_rules_set(field: str, rules: Mapping,
                     raise SchemaError(
                         f"field '{field}': normalization rule(s) {sorted(bad)} "
                         f"not allowed inside '{rule}'")
-                validate_rules_set(f"{field}.{rule}[{i}]", d, extra_types)
+                validate_rules_set(f"{field}.{rule}[{i}]", d, extra_types, custom_rules)
         elif rule == "schema":
             if not isinstance(c, Mapping):
                 raise SchemaError(f"field '{field}': 'schema' must be a mapping")
-            if _looks_like_rules_set(c):
-                validate_rules_set(f"{field}.schema", c, extra_types)
+            if _looks_like_rules_set(c, frozenset(custom_rules)):
+                validate_rules_set(f"{field}.schema", c, extra_types, custom_rules)
             else:
-                validate_schema(c, extra_types)
+                validate_schema(c, extra_types, custom_rules)
         # 'min'/'max'/'contains'/'default'/'meta': any value is legal
         # (reference declares no constraint schema for them)
 
 
 def validate_schema(schema: Mapping,
-                    extra_types: frozenset = frozenset()) -> None:
+                    extra_types: frozenset = frozenset(),
+                    custom_rules: Mapping = {}) -> None:
     """Schema-of-schemas check: raise SchemaError on unknown rules or
     malformed constraints before any Spark job launches
     (reference: schema.py:252-283 + SchemaValidatorMixin checks)."""
     if not isinstance(schema, Mapping):
         raise SchemaError("validation schema must be a mapping")
     for field, rules in schema.items():
-        validate_rules_set(field, rules, extra_types)
+        validate_rules_set(field, rules, extra_types, custom_rules)
 
 
 def _canonicalize(obj):
@@ -324,10 +369,13 @@ def schema_hash(schema: Mapping) -> str:
 class RuleSetSchema:
     """A parsed + expanded + validated schema, ready for compilation."""
 
-    def __init__(self, schema: Mapping, extra_type_names=()):
+    def __init__(self, schema: Mapping, extra_type_names=(),
+                 custom_rules: Mapping | None = None):
         self.raw = dict(schema)
-        self.expanded = expand_schema(schema)
-        validate_schema(self.expanded, frozenset(extra_type_names))
+        custom_rules = dict(custom_rules or {})
+        self.expanded = expand_schema(
+            schema, extra_rules=frozenset(custom_rules))
+        validate_schema(self.expanded, frozenset(extra_type_names), custom_rules)
         self.hash = schema_hash(self.expanded)
 
     def __getitem__(self, field):

@@ -115,8 +115,17 @@ class SparkValidator:
         coercers: Mapping | None = None,
         setters: Mapping | None = None,
         types: Mapping | None = None,
+        rules: Mapping | None = None,
     ):
-        self.schema = RuleSetSchema(schema, extra_type_names=set(types or ()))
+        # ``rules`` registers custom NAMED rules usable in schemas — the
+        # engine's version of subclassing the reference with
+        # ``_validate_<rule>`` methods (docs/customize.rst:21-67); see
+        # RuleCompiler._c_custom_rule for the accepted shapes.
+        self._custom_rules = {
+            str(k).replace(" ", "_"): v for k, v in dict(rules or {}).items()
+        }
+        self.schema = RuleSetSchema(schema, extra_type_names=set(types or ()),
+                                    custom_rules=self._custom_rules)
         self.schema_hash = self.schema.hash
         self.key_cols = tuple(key_cols)
         self.allow_unknown = allow_unknown
@@ -133,6 +142,7 @@ class SparkValidator:
             logical_child_errors=logical_child_errors,
             check_with_registry=dict(check_with or {}),
             custom_types=dict(types or {}),
+            custom_rules=self._custom_rules,
         )
         self.normalizer = Normalizer(coercers, setters, null_semantics)
         self.compiler = RuleCompiler(self.ctx)
@@ -259,7 +269,8 @@ class SparkValidator:
         elif isinstance(self.allow_unknown, Mapping):
             bulk = RuleSetSchema(
                 {n: self.allow_unknown for n, _ in norm_exprs.items()
-                 if n not in self.schema.expanded and n not in self.key_cols}
+                 if n not in self.schema.expanded and n not in self.key_cols},
+                custom_rules=self._custom_rules,
             )
             # reference: bulk-validated unknowns get a '__allow_unknown__'
             # schema crumb at the top level (validator.py:1071-1074)

@@ -323,6 +323,28 @@ def _scalar_checker_udf(fn: Callable, arity: int, field_name: str):
     return _check
 
 
+def _scalar_rule_udf(fn: Callable, constraint):
+    """Wrap a scalar custom-rule predicate ``fn(constraint, value)`` in
+    a vectorized (Arrow-batched) pandas UDF; the constraint is a
+    driver-side literal closed over per compilation.  NULL values pass
+    (the gate already suppresses the rule) and exceptions fail, like
+    ``_scalar_checker_udf``."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _check(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return True
+            try:
+                return bool(fn(constraint, v))
+            except Exception:
+                return False
+
+        return s.map(one)
+
+    return _check
+
+
 # Python-only regex constructs that the JVM dialect can't express → the
 # compiler falls back to an exact-parity vectorized pandas UDF using `re`.
 _PY_ONLY_REGEX = re.compile(r"\(\?P[<=]|\\Z|\(\?\(|\\A")
@@ -374,6 +396,14 @@ class CompileContext:
     #: analog of extending the reference's types_mapping
     #: (docs/customize.rst:73-115; the benchmark's 'path' type)
     custom_types: dict[str, Callable] = dc_field(default_factory=dict)
+    #: custom NAMED rules: name -> fn, the analog of defining
+    #: ``_validate_<rule>`` methods on a Validator subclass
+    #: (validator.py:1584-1671, docs/customize.rst:21-67).  Two shapes,
+    #: resolved by arity: ``fn(constraint, value_col, dtype) -> Column``
+    #: (ok-column, stays in codegen) or ``fn(constraint, value) -> bool``
+    #: (scalar, auto-wrapped in a vectorized pandas UDF).  Rule names in
+    #: schemas may use spaces for underscores, like the reference.
+    custom_rules: dict[str, Callable] = dc_field(default_factory=dict)
 
 
 class Scope:
@@ -765,6 +795,11 @@ class RuleCompiler:
                 out.append(self._c_excludes(constraint, value, g_null_ok & present, doc_path, spath, scope))
             elif rule == "check_with":
                 out.extend(self._c_check_with(constraint, value, dtype, g7, doc_path, spath))
+            elif rule.replace(" ", "_") in ctx.custom_rules:
+                out.append(self._c_custom_rule(
+                    rule.replace(" ", "_"), constraint, value, dtype, g_value,
+                    doc_path, spath,
+                ))
             else:  # pragma: no cover — dsl.validate_schema blocks unknown rules
                 raise SchemaError(f"rule '{rule}' not supported by the compiler")
 
@@ -1088,6 +1123,51 @@ class RuleCompiler:
         return make_violation(
             gate & any_present, E.EXCLUDES_FIELD, doc_path, list(spath) + ["excludes"],
             constraint=list(excluded), info=exclusion_str,
+        )
+
+    def _c_custom_rule(self, name, constraint, value, dtype, gate, doc_path, spath):
+        """Custom NAMED rule registered via ``SparkValidator(rules=...)``
+        — the engine's version of subclassing the reference with a
+        ``_validate_<name>`` method (validator.py:1584-1671,
+        docs/customize.rst:21-67).
+
+        The error crumb matches the reference's ``self._error(field,
+        message)`` path exactly (observed live): code CUSTOM (0x00),
+        EMPTY schema_path, rule None.  Like the reference, the rule runs
+        only on present values (a missing field never reaches a custom
+        rule), and like the rest of the compiler it is suppressed by a
+        type failure on the same field.
+
+        Shapes (resolved by arity):
+
+        * ``fn(constraint, value_col, dtype) -> Column`` — ok-column
+          builder, stays fully inside whole-stage codegen (fast path)
+        * ``fn(constraint, value) -> truthy`` — plain Python predicate
+          over one value, auto-wrapped in a vectorized pandas UDF
+          (Arrow-batched); an exception counts as failure
+
+        ``fn.message`` (optional) customizes the info text;
+        ``fn.check_constraint`` (optional) gates the constraint's shape
+        at schema-validation time (dsl.validate_rules_set) — the
+        engine's version of the docstring constraint schema."""
+        import inspect
+
+        fn = self.ctx.custom_rules[name]
+        try:
+            arity = len(inspect.signature(fn).parameters)
+        except (TypeError, ValueError):
+            arity = 3
+        if arity >= 3:
+            ok_col = fn(constraint, value, dtype)
+        else:
+            ok_col = _scalar_rule_udf(fn, constraint)(value)
+        message = getattr(fn, "message", None) or f"rule '{name}' failed"
+        return make_violation(
+            gate & ~F.coalesce(ok_col, F.lit(True)), E.CUSTOM,
+            doc_path, [],
+            rule=None, constraint=None,
+            value=value, value_dtype=dtype,
+            info=message,
         )
 
     def _c_check_with(self, checks, value, dtype, gate, doc_path, spath):

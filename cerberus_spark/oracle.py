@@ -83,16 +83,19 @@ def flatten_reference_errors(errs) -> list[tuple]:
 
 
 def reference_validate(docs, schema, *, allow_unknown=True, require_all=False,
-                       normalize=True):
+                       normalize=True, validator_cls=None):
     """Run the reference validator over documents.
 
+    ``validator_cls`` swaps in a Validator subclass (custom
+    ``_validate_<rule>`` methods etc. — docs/customize.rst).
     Returns (per-doc error tuple lists, per-doc normalized documents).
     """
     cerberus = load_reference()
     if cerberus is None:
         raise RuntimeError("reference cerberus not importable")
-    v = cerberus.Validator(schema, allow_unknown=allow_unknown,
-                           require_all=require_all)
+    cls = validator_cls or cerberus.Validator
+    v = cls(schema, allow_unknown=allow_unknown,
+            require_all=require_all)
     all_errors, all_normalized = [], []
     for doc in docs:
         ok = v.validate(doc, normalize=normalize)
@@ -111,13 +114,14 @@ def spark_violation_tuples(violation_rows) -> list[tuple]:
 
 
 def compare_per_row(spark_annotated_rows, docs, schema, *, allow_unknown=True,
-                    require_all=False, normalize=True, ignore_codes=frozenset()):
+                    require_all=False, normalize=True, ignore_codes=frozenset(),
+                    validator_cls=None):
     """Compare the Spark engine's per-row violations against the
     reference, row-aligned.  Returns a list of mismatch descriptions
     (empty == parity)."""
     ref_errors, _ = reference_validate(
         docs, schema, allow_unknown=allow_unknown, require_all=require_all,
-        normalize=normalize,
+        normalize=normalize, validator_cls=validator_cls,
     )
     mismatches = []
     for i, (row, expected) in enumerate(zip(spark_annotated_rows, ref_errors)):

@@ -374,3 +374,112 @@ def test_custom_type_registry_parity(spark):
     from cerberus_spark.dsl import SchemaError
     with pytest.raises(SchemaError, match="unknown type"):
         SparkValidator({"p": {"type": "path"}})
+
+
+# ---------------------------------------------------------------------------
+# custom NAMED rules (VERDICT r2 item 2 — docs/customize.rst:21-67)
+# ---------------------------------------------------------------------------
+
+
+class _OddValidator:
+    """Lazy holder: build the reference subclass once per run."""
+
+    _cls = None
+
+    @classmethod
+    def get(cls):
+        if cls._cls is None:
+            class MyValidator(cerberus.Validator):
+                def _validate_is_odd(self, constraint, field, value):
+                    """ {'type': 'boolean'} """
+                    if constraint is True and not bool(value & 1):
+                        self._error(field, "Must be an odd number")
+
+            cls._cls = MyValidator
+        return cls._cls
+
+
+def _is_odd_column(constraint, value, dtype):
+    if constraint is not True:
+        return F.lit(True)
+    return value % 2 != 0
+
+
+def _make_is_odd_scalar():
+    # defined via factory: closures pickle by value (the test module is
+    # not importable on Spark's Python workers — see note above)
+    def is_odd(constraint, value):
+        return constraint is not True or bool(value & 1)
+
+    return is_odd
+
+
+def test_custom_named_rule_parity(spark):
+    """The ported docs/customize.rst `is_odd` example, differentially
+    checked: SparkValidator(rules={'is_odd': fn}) emits the same
+    (doc_path, schema_path, code, rule) crumbs as a reference subclass
+    with _validate_is_odd, for the Column-builder AND the scalar shape,
+    including the 'is odd' space alias and the missing-field skip."""
+    schema = {"amount": {"is odd": True, "type": "integer"}}
+    rows = [(10,), (9,), (None,), (-3,), (0,)]
+    df = spark.createDataFrame(rows, "amount int")
+    docs = [{"amount": r[0]} if r[0] is not None else {} for r in rows]
+    for impl in (_is_odd_column, _make_is_odd_scalar()):
+        v = SparkValidator(schema, allow_unknown=True, rules={"is_odd": impl})
+        got = v.annotate(df).collect()
+        assert compare_per_row(got, docs, schema,
+                               validator_cls=_OddValidator.get()) == [], impl
+
+
+def test_custom_named_rule_type_suppression(spark):
+    """A type failure on the field suppresses the custom rule, like
+    every other value rule (validator.py:1110-1115)."""
+    schema = {"amount": {"is_odd": True, "type": "integer"}}
+    df = spark.createDataFrame([("x",), ("y",)], "amount string")
+    v = SparkValidator(schema, allow_unknown=True,
+                       rules={"is_odd": _make_is_odd_scalar()})
+    rows = v.annotate(df).collect()
+    codes = {int(c["code"]) for r in rows for c in r["violations"]}
+    assert codes == {0x24}  # BAD_TYPE only — custom rule suppressed
+
+
+def test_custom_named_rule_schema_validation():
+    """dsl.validate_schema accepts registered custom rule names and
+    rejects unknown ones; fn.check_constraint gates the constraint
+    (the engine's docstring-constraint-schema analog)."""
+    import pytest as _pytest
+
+    from cerberus_spark.dsl import SchemaError
+
+    def is_odd(constraint, value):
+        return constraint is not True or bool(value & 1)
+
+    is_odd.check_constraint = lambda c: isinstance(c, bool)
+
+    # accepted with registration
+    SparkValidator({"a": {"is_odd": True}}, rules={"is_odd": is_odd})
+    # rejected without registration
+    with _pytest.raises(SchemaError):
+        SparkValidator({"a": {"is_odd": True}})
+    # bad constraint shape rejected by check_constraint
+    with _pytest.raises(SchemaError):
+        SparkValidator({"a": {"is_odd": "yes"}}, rules={"is_odd": is_odd})
+    # custom rule accepted inside nested definitions too
+    SparkValidator(
+        {"xs": {"type": "list", "schema": {"is_odd": True, "type": "integer"}}},
+        rules={"is_odd": is_odd},
+    )
+
+
+def test_custom_named_rule_stays_in_codegen(spark):
+    """The Column-builder shape compiles into the single shuffle-free
+    projection — no BatchEvalPython / ArrowEvalPython stage appears."""
+    from cerberus_spark.plans.explain import assert_shuffle_free, plan_report
+
+    schema = {"amount": {"is_odd": True, "type": "integer"}}
+    df = spark.createDataFrame([(3,), (4,)], "amount int")
+    v = SparkValidator(schema, allow_unknown=True,
+                       rules={"is_odd": _is_odd_column})
+    annotated = v.annotate(df)
+    assert_shuffle_free(annotated)
+    assert not plan_report(annotated)["python_workers"]
