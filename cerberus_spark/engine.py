@@ -212,11 +212,18 @@ class SparkValidator:
             else:
                 col, dtype = F.col(in_name), dtypes[in_name]
             rules = self.schema.expanded.get(out_name)
-            if rules and has_normalization(rules):
+            # validator-level purge_unknown recurses into subdocuments via
+            # the child-validator flag inheritance (validator.py:843-849),
+            # so a nested schema needs the normalization pass even when no
+            # explicit normalization rule appears anywhere in it
+            if rules and (has_normalization(rules)
+                          or (self.purge_unknown and "schema" in rules)):
                 scope_cols = {k: v[0] for k, v in resolved.items()}
                 col, dtype, viol = self.normalizer.normalize_field(
                     out_name, rules, col, dtype, [out_name], [],
                     setter_scope=scope_cols, setter_cycle=cycle,
+                    purge_unknown=self.purge_unknown,
+                    allow_unknown=self.allow_unknown,
                 )
                 norm_violations.append(viol)
             resolved[out_name] = (col, dtype)

@@ -163,6 +163,18 @@ class Normalizer:
 
     # -- per-field value normalization ---------------------------------------
 
+    @staticmethod
+    def _clobbered_key(k: Column, value: Column, renames: Mapping,
+                       key_type: T.DataType) -> Column:
+        """Is map key ``k`` an existing entry that a present rename
+        source is about to overwrite?"""
+        cond = F.lit(False)
+        for src, tgt in renames.items():
+            cond = cond | (
+                (k == F.lit(tgt).cast(key_type)) & F.map_contains_key(value, src)
+            )
+        return cond
+
     def _coerce_chain(self, chain) -> list[CoercerFn]:
         chain = [chain] if isinstance(chain, str) or callable(chain) else list(chain)
         fns = []
@@ -183,6 +195,7 @@ class Normalizer:
         self, fname: str, rules: Mapping, value: Column, dtype: T.DataType,
         doc_path: list, spath: list,
         setter_scope: Mapping | None = None, setter_cycle: bool = False,
+        purge_unknown: bool = False, allow_unknown: object = False,
     ) -> tuple[Column, T.DataType, Column]:
         """Returns (normalized value, output dtype, violations array).
 
@@ -190,7 +203,14 @@ class Normalizer:
         2-arg default_setters; ``setter_cycle`` marks this field as part
         of a setter dependency cycle (reference: iterative resolution
         with circular detection → SETTING_DEFAULT_FAILED,
-        validator.py:965-1005)."""
+        validator.py:965-1005).
+
+        ``purge_unknown``/``allow_unknown`` are the INHERITED flags for
+        container recursion: the reference's child validators receive
+        ``rules.get('purge_unknown', self.purge_unknown)`` etc.
+        (validator.py:843-849), and purging fires only when the
+        effective purge flag is set AND unknowns are not allowed
+        (validator.py:698-699)."""
         violations = []          # when-guarded violation structs
         nested_arrays = []       # array<violation> columns from recursion
         original, original_dtype = value, dtype
@@ -272,21 +292,67 @@ class Normalizer:
             sub = rules["schema"]
             if isinstance(dtype, T.StructType) and isinstance(sub, Mapping) \
                     and not _looks_like_rules(sub):
+                # child-validator flag inheritance (validator.py:843-849):
+                # rule-level overrides, else the validator-level values
+                eff_allow = rules.get("allow_unknown", allow_unknown)
+                eff_purge = bool(rules.get("purge_unknown", purge_unknown)) \
+                    and eff_allow is False
+                # nested rename (validator.py:900-918 via the child
+                # validator): source field k moves to sub[k]['rename'];
+                # a present source clobbers an existing target field
+                in_names = {f.name: f for f in dtype.fields}
+                renames = {k: r["rename"] for k, r in sub.items()
+                           if isinstance(r, Mapping) and "rename" in r
+                           and k in in_names}
                 new_fields, sub_types = [], []
                 for f in dtype.fields:
-                    sv, sdt = value.getField(f.name), f.dataType
-                    srules = sub.get(f.name)
+                    if f.name in renames:
+                        continue  # moved to its target slot below
+                    out_name, sv, sdt = f.name, value.getField(f.name), f.dataType
+                    src = next((s for s, t in renames.items() if t == f.name), None)
+                    if src is not None:
+                        # rename only fires for PRESENT source keys: a NULL
+                        # (absent) source keeps the target's own value
+                        if in_names[src].dataType.simpleString() != sdt.simpleString():
+                            raise SchemaError(
+                                f"rename '{src}'→'{f.name}' joins struct fields of "
+                                f"different types")
+                        sv = F.coalesce(value.getField(src), sv)
+                    if eff_purge and out_name not in sub:
+                        continue
+                    srules = sub.get(out_name)
                     if srules and not NORM_KEYS.isdisjoint(srules):
                         sv, sdt, v2 = self.normalize_field(
-                            f.name, srules, sv, sdt, doc_path + [f.name],
+                            out_name, srules, sv, sdt, doc_path + [out_name],
                             spath + [fname, "schema"],
+                            purge_unknown=eff_purge, allow_unknown=eff_allow,
                         )
                         # nested violations only apply when the parent exists
                         nested_arrays.append(
                             F.when(original.isNotNull(), v2).otherwise(empty_violations())
                         )
-                    new_fields.append(sv.alias(f.name))
-                    sub_types.append(T.StructField(f.name, sdt, True))
+                    new_fields.append(sv.alias(out_name))
+                    sub_types.append(T.StructField(out_name, sdt, True))
+                # renamed fields whose target is NOT an existing struct
+                # field gain a new slot
+                for src, tgt in renames.items():
+                    if tgt in in_names:
+                        continue
+                    if eff_purge and tgt not in sub:
+                        continue
+                    sv, sdt = value.getField(src), in_names[src].dataType
+                    srules = sub.get(tgt)
+                    if srules and not NORM_KEYS.isdisjoint(srules):
+                        sv, sdt, v2 = self.normalize_field(
+                            tgt, srules, sv, sdt, doc_path + [tgt],
+                            spath + [fname, "schema"],
+                            purge_unknown=eff_purge, allow_unknown=eff_allow,
+                        )
+                        nested_arrays.append(
+                            F.when(original.isNotNull(), v2).otherwise(empty_violations())
+                        )
+                    new_fields.append(sv.alias(tgt))
+                    sub_types.append(T.StructField(tgt, sdt, True))
                 value = F.when(original.isNotNull(), F.struct(*new_fields))
                 dtype = T.StructType(sub_types)
             elif isinstance(dtype, T.MapType) and isinstance(sub, Mapping) \
@@ -298,40 +364,91 @@ class Normalizer:
                 # map's uniform value type.  A declared key enters the map
                 # when the input had it OR a default is declared (reference
                 # defaults fire on missing keys, validator.py:947-956).
-                vdt = dtype.valueType
+                vdt, kt = dtype.valueType, dtype.keyType
+                eff_allow = rules.get("allow_unknown", allow_unknown)
+                eff_purge = bool(rules.get("purge_unknown", purge_unknown)) \
+                    and eff_allow is False
+                # The whole map normalization (rename -> purge -> declared
+                # defaults/coercions) runs as ONE entries-array pipeline
+                # ending in a single map_from_entries: the entry list is
+                # duplicate-free by construction, so no Catalyst
+                # evaluation-order rewrite can trip DUPLICATED_MAP_KEY
+                # (a map_concat fed into map_filter measurably can, under
+                # the interpreted HOF path).
+                renames = {k: r["rename"] for k, r in sub.items()
+                           if isinstance(r, Mapping) and "rename" in r}
                 declared = [k for k, r in sub.items()
-                            if isinstance(r, Mapping) and not NORM_KEYS.isdisjoint(r)]
-                if declared:
-                    base = F.map_filter(
-                        value, lambda k, _v: ~k.isin(*declared)
-                    )
-                    entry_arrays = []
-                    for k in declared:
-                        srules = sub[k]
-                        sv, sdt, v2 = self.normalize_field(
-                            k, srules, value.getItem(k), vdt,
-                            doc_path + [k], spath + [fname, "schema"],
+                            if isinstance(r, Mapping)
+                            and not (NORM_KEYS - {"rename"}).isdisjoint(r)]
+                if renames or eff_purge or declared:
+                    entry_t = (f"array<struct<key:{kt.simpleString()},"
+                               f"value:{vdt.simpleString()}>>")
+                    entries = F.map_entries(value)
+                    if renames:
+                        # a present source clobbers an existing target
+                        # entry (validator.py:900-918 dict move semantics)
+                        entries = F.filter(
+                            entries,
+                            lambda e: ~self._clobbered_key(
+                                e.getField("key"), value, renames, kt),
                         )
-                        if not sdt.simpleString() == vdt.simpleString():
-                            raise SchemaError(
-                                f"map-value normalization for key '{k}' changes the "
-                                f"value type {vdt.simpleString()} → {sdt.simpleString()}; "
-                                "a map column's values share one type")
-                        nested_arrays.append(
-                            F.when(original.isNotNull(), v2).otherwise(empty_violations())
+
+                        def _rename_entry(e):
+                            new_key = e.getField("key")
+                            for src, tgt in renames.items():
+                                new_key = F.when(
+                                    e.getField("key") == F.lit(src).cast(kt),
+                                    F.lit(tgt).cast(kt),
+                                ).otherwise(new_key)
+                            return F.struct(new_key.alias("key"),
+                                            e.getField("value").alias("value"))
+
+                        entries = F.transform(entries, _rename_entry)
+                    if eff_purge:
+                        known = [k for k in sub]
+                        entries = (
+                            F.filter(entries,
+                                     lambda e: e.getField("key").isin(*known))
+                            if known else F.slice(entries, 1, 0)
                         )
-                        keep = F.map_contains_key(value, k) | F.lit("default" in srules)
-                        entry_t = (f"array<struct<key:{dtype.keyType.simpleString()},"
-                                   f"value:{vdt.simpleString()}>>")
-                        entry_arrays.append(
-                            F.when(
-                                keep & sv.isNotNull(),
-                                F.array(F.struct(F.lit(k).cast(dtype.keyType).alias("key"),
-                                                 sv.alias("value"))),
-                            ).otherwise(F.array().cast(entry_t))
-                        )
-                    rebuilt = F.map_concat(base, F.map_from_entries(F.concat(*entry_arrays)))
-                    value = F.when(original.isNotNull(), rebuilt)
+                    if declared:
+                        post = entries  # post-rename/purge view
+
+                        def _entry_value(k):
+                            hit = F.filter(
+                                post, lambda e: e.getField("key") == F.lit(k).cast(kt))
+                            return F.get(hit, 0).getField("value")  # NULL when absent (no ANSI index error)
+
+                        base_entries = F.filter(
+                            post, lambda e: ~e.getField("key").isin(*declared))
+                        decl_arrays = []
+                        for k in declared:
+                            srules = sub[k]
+                            sv, sdt, v2 = self.normalize_field(
+                                k, srules, _entry_value(k), vdt,
+                                doc_path + [k], spath + [fname, "schema"],
+                                purge_unknown=eff_purge, allow_unknown=eff_allow,
+                            )
+                            if not sdt.simpleString() == vdt.simpleString():
+                                raise SchemaError(
+                                    f"map-value normalization for key '{k}' changes the "
+                                    f"value type {vdt.simpleString()} -> {sdt.simpleString()}; "
+                                    "a map column's values share one type")
+                            nested_arrays.append(
+                                F.when(original.isNotNull(), v2).otherwise(empty_violations())
+                            )
+                            present = F.exists(
+                                post, lambda e: e.getField("key") == F.lit(k).cast(kt))
+                            keep = present | F.lit("default" in srules)
+                            decl_arrays.append(
+                                F.when(
+                                    keep & sv.isNotNull(),
+                                    F.array(F.struct(F.lit(k).cast(kt).alias("key"),
+                                                     sv.alias("value"))),
+                                ).otherwise(F.array().cast(entry_t))
+                            )
+                        entries = F.concat(base_entries, *decl_arrays)
+                    value = F.when(original.isNotNull(), F.map_from_entries(entries))
             elif isinstance(dtype, T.ArrayType) and isinstance(sub, Mapping) \
                     and _looks_like_rules(sub) and "coerce" in sub:
                 elem_dt = dtype.elementType

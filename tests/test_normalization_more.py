@@ -13,7 +13,8 @@ cerberus = load_reference()
 
 def _norm_rows(spark, schema, rows, ddl, **kw):
     df = spark.createDataFrame(rows, ddl)
-    v = SparkValidator(schema, allow_unknown=True, **kw)
+    kw.setdefault("allow_unknown", True)
+    v = SparkValidator(schema, **kw)
     return v.annotate(df).collect()
 
 
@@ -119,3 +120,104 @@ def test_map_value_type_change_rejected(spark):
     df = spark.createDataFrame([({"a": "1"},)], "payload map<string,string>")
     with pytest.raises(SchemaError, match="share one type"):
         SparkValidator(schema, allow_unknown=True).annotate(df)
+
+
+def test_nested_struct_rename_and_purge(spark):
+    """Container normalization applies rename + purge_unknown INSIDE
+    struct subdocuments (VERDICT r2 item 3; reference: child-validator
+    flag inheritance validator.py:843-849, rename 900-918, purge
+    effective only when unknowns are not allowed, 698-699)."""
+    schema = {"d": {"type": "dict", "purge_unknown": True, "schema": {
+        "a": {"rename": "b"},
+        "b": {"coerce": "strip"},
+        "c": {"type": "string"},
+    }}}
+    rows = [((" hi ", "q", "k"),), ((None, "q2", "k2"),), (None,)]
+    ddl = "d struct<a:string, z:string, c:string>"
+    got = _norm_rows(spark, schema, rows, ddl, allow_unknown=False)
+    assert got[0]["d"].asDict() == {"c": "k", "b": "hi"}
+    # NULL (absent) source: rename does not fire, no b value appears
+    assert got[1]["d"].asDict() == {"c": "k2", "b": None}
+    assert got[2]["d"] is None
+
+    if cerberus is not None:
+        ref_schema = {"d": {"type": "dict", "purge_unknown": True, "schema": {
+            "a": {"rename": "b"}, "b": {"coerce": str.strip},
+            "c": {"type": "string"}}}}
+        v = cerberus.Validator(ref_schema, allow_unknown=False)
+        r0 = v.normalized({"d": {"a": " hi ", "z": "q", "c": "k"}})
+        assert r0["d"] == {"c": "k", "b": "hi"}
+        r1 = v.normalized({"d": {"z": "q2", "c": "k2"}})
+        assert r1["d"] == {"c": "k2"}
+
+
+def test_nested_struct_purge_skipped_when_unknown_allowed(spark):
+    """purge_unknown fires only when unknowns are NOT allowed
+    (validator.py:698-699) — with allow_unknown=True the undeclared
+    struct field survives, exactly like the reference."""
+    schema = {"d": {"type": "dict", "purge_unknown": True, "schema": {
+        "a": {"coerce": "strip"},
+    }}}
+    rows = [((" hi ", "keep"),)]
+    got = _norm_rows(spark, schema, rows, "d struct<a:string, z:string>",
+                     allow_unknown=True)
+    assert got[0]["d"].asDict() == {"a": "hi", "z": "keep"}
+
+    if cerberus is not None:
+        v = cerberus.Validator(
+            {"d": {"type": "dict", "purge_unknown": True,
+                   "schema": {"a": {"coerce": str.strip}}}},
+            allow_unknown=True)
+        assert v.normalized({"d": {"a": " hi ", "z": "keep"}})["d"] == \
+            {"a": "hi", "z": "keep"}
+
+
+def test_validator_level_purge_recurses_into_struct(spark):
+    """Validator-level purge_unknown=True reaches subdocuments through
+    the child-validator inheritance even when the nested schema has no
+    explicit normalization rule (reference v4 shape)."""
+    schema = {"d": {"type": "dict", "schema": {"a": {"type": "string"}}}}
+    from cerberus_spark import SparkValidator
+
+    df = spark.createDataFrame([(("x", "y"),)], "d struct<a:string, z:string>")
+    v = SparkValidator(schema, purge_unknown=True)
+    got = v.normalized(df).collect()
+    assert got[0]["d"].asDict() == {"a": "x"}
+
+    if cerberus is not None:
+        rv = cerberus.Validator(schema, purge_unknown=True)
+        assert rv.normalized({"d": {"a": "x", "z": "y"}})["d"] == {"a": "x"}
+
+
+def test_nested_map_rename_and_purge(spark):
+    """Nested rename + purge over a dynamic map subdocument: the entry
+    moves to its target key (clobbering an existing one), the target's
+    coercion applies to the moved value, and undeclared keys purge."""
+    schema = {"payload": {"type": "dict", "purge_unknown": True, "schema": {
+        "a": {"rename": "b"},
+        "b": {"coerce": "strip"},
+        "keep": {"type": "string"},
+    }}}
+    rows = [
+        ({"a": " hi ", "z": "drop", "keep": "y"},),
+        ({"a": " new ", "b": "old", "keep": "y"},),  # clobber existing b
+        ({"keep": "y"},),
+        (None,),
+    ]
+    got = _norm_rows(spark, schema, rows, "payload map<string,string>",
+                     allow_unknown=False)
+    assert got[0]["payload"] == {"b": "hi", "keep": "y"}
+    assert got[1]["payload"] == {"b": "new", "keep": "y"}
+    assert got[2]["payload"] == {"keep": "y"}
+    assert got[3]["payload"] is None
+
+    if cerberus is not None:
+        ref_schema = {"payload": {"type": "dict", "purge_unknown": True, "schema": {
+            "a": {"rename": "b"}, "b": {"coerce": str.strip},
+            "keep": {"type": "string"}}}}
+        v = cerberus.Validator(ref_schema, allow_unknown=False)
+        assert v.normalized({"payload": {"a": " hi ", "z": "drop", "keep": "y"}})[
+            "payload"] == {"b": "hi", "keep": "y"}
+        assert v.normalized({"payload": {"a": " new ", "b": "old", "keep": "y"}})[
+            "payload"] == {"b": "new", "keep": "y"}
+        assert v.normalized({"payload": {"keep": "y"}})["payload"] == {"keep": "y"}
