@@ -105,14 +105,17 @@ def referential_violations(
     fk: str,
     pk: str | None = None,
     keys: list[str] | None = None,
-    broadcast_dim: bool = True,
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """Rows of ``df`` whose ``fk`` has no match in ``dim.pk`` →
     ORPHAN_REFERENCE (0x102) violation rows.
 
-    Uses LEFT ANTI join; the dim side is distinct-projected first and
-    broadcast when small (at 100 TB scale set broadcast_dim=False and
-    let AQE pick broadcast/sort-merge from runtime stats)."""
+    Uses LEFT ANTI join; the dim side is distinct-projected first.  The
+    safe-at-scale DEFAULT lets AQE pick broadcast vs shuffled join from
+    runtime stats (a small dim still broadcasts at runtime — plan-tested
+    — while a dim that turns out huge cannot OOM the executors on a
+    forced hint).  Pass ``broadcast_dim=True`` to force the hint when
+    the dim is known-small and the statistics are known-bad."""
     pk = pk or fk
     keys = keys or [fk]
     dim_keys = dim.select(F.col(pk).alias(fk)).distinct()

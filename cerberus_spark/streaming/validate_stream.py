@@ -129,3 +129,77 @@ def foreach_batch_runner(validator: SparkValidator, out_dir: str,
         viol.write.mode("overwrite").parquet(f"{out_dir}/violations/epoch={epoch_id}")
 
     return _run
+
+
+def dataset_checks_foreach_batch(out_dir: str,
+                                 key_cols: tuple = ("conv_id", "turn_idx"),
+                                 conversations: DataFrame | None = None,
+                                 conv_col: str = "conv_id",
+                                 n_salt: int = 16):
+    """Streaming parity for the BATCH dataset checks: a foreachBatch
+    callback running the salted uniqueness check and the referential
+    anti-join per micro-batch (the north rule's dataset constraints over
+    an unbounded source).
+
+    Cross-batch uniqueness works through a durable seen-keys store under
+    ``{out_dir}/seen_keys/epoch=N``: each batch's duplicates are
+
+    * within-batch — the same salted two-stage groupBy the batch
+      operator uses (operators.dataset.salted_counts), AND
+    * cross-batch — a semi-join of this batch's keys against all
+      EARLIER epochs' committed keys (epoch partition-pruned to
+      ``epoch < current``, so a retried epoch never flags itself).
+
+    Exactly-once without transactions: violations and the key commit are
+    epoch-suffixed overwrites — reprocessing an epoch rewrites the same
+    paths, and the ``epoch <`` filter keeps its half-committed keys out
+    of its own cross-batch comparison.  State is the key set on DISK,
+    not executor memory: the store scales to 10^12 keys because the
+    semi-join is just another shuffle join over bucketable parquet.
+
+    Ordering has its own genuinely-stateful operator
+    (``ordering_violations_stream``); drift aggregates through
+    ``violation_rate_stream``-style windowing.
+    """
+    from ..operators import dataset as D
+
+    keys = list(key_cols)
+
+    def _run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = f"{out_dir}/seen_keys"
+
+        within = D.uniqueness_violations(batch_df, keys, n_salt=n_salt)
+        try:
+            seen = spark.read.parquet(store).filter(F.col("epoch") < epoch_id)
+            cross_keys = (batch_df.select(*keys)
+                          .join(seen, keys, "left_semi").distinct())
+        except Exception:  # first epoch: no store yet
+            cross_keys = None
+        viol = within
+        if cross_keys is not None:
+            # a cross-batch duplicate may be UNIQUE within this batch —
+            # build its violation rows directly from the matched keys
+            kj = F.to_json(F.struct(*[F.col(k) for k in keys]))
+            from ..operators.dataset import _violation_struct
+            from .. import errors as E
+            v = _violation_struct(
+                E.NOT_UNIQUE,
+                F.array(*[F.lit(k) for k in keys]),
+                ["__dataset__", "unique"],
+                ",".join(keys), kj, F.lit("cross-batch"),
+            )
+            cross_viol = cross_keys.select(*keys, v.alias("v")).select(*keys, "v.*")
+            viol = viol.unionByName(cross_viol)
+        if conversations is not None:
+            orphans = D.referential_violations(
+                batch_df, conversations, conv_col, keys=keys)
+            viol = viol.unionByName(orphans)
+
+        viol.write.mode("overwrite").parquet(
+            f"{out_dir}/dataset_violations/epoch={epoch_id}")
+        # commit this epoch's keys only after its violations are durable
+        (batch_df.select(*keys).distinct()
+         .write.mode("overwrite").parquet(f"{store}/epoch={epoch_id}"))
+
+    return _run

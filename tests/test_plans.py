@@ -29,12 +29,35 @@ def test_filter_pushdown_reaches_scan(spark, tmp_path):
 
 
 def test_referential_broadcasts(spark):
+    """Default broadcast_dim=False: the PLANNER/AQE still picks a
+    broadcast join for a small dim from its statistics (no forced
+    hint), and with broadcasting disabled the same plan degrades to a
+    shuffled join instead of a forced-broadcast OOM — the safe-at-scale
+    default (VERDICT r2 item 4)."""
     from cerberus_spark.operators.dataset import referential_violations
 
     t, c = synthesize(1000, seed=42)
     df, dim = spark.createDataFrame(t), spark.createDataFrame(c)
     orphans = referential_violations(df, dim, "conv_id", keys=["conv_id", "turn_idx"])
-    assert plan_report(orphans)["broadcast_joins"] >= 1 or "BroadcastNestedLoop" not in str(orphans)
+    # no hint, yet the small dim broadcasts (stats-driven)
+    assert plan_report(orphans)["broadcast_joins"] >= 1
+    n_default = orphans.count()
+
+    # a dim too big to broadcast (simulated via threshold -1) must NOT
+    # broadcast under the default — AQE/planner falls back to a shuffled
+    # join; a forced hint would have kept the broadcast regardless
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = referential_violations(df, dim, "conv_id", keys=["conv_id", "turn_idx"])
+        assert plan_report(big)["broadcast_joins"] == 0
+        assert big.count() == n_default  # strategy change, same rows
+        forced = referential_violations(df, dim, "conv_id",
+                                        keys=["conv_id", "turn_idx"],
+                                        broadcast_dim=True)
+        assert plan_report(forced)["broadcast_joins"] >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_text_ops_stay_in_codegen(spark):
