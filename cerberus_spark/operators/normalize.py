@@ -215,28 +215,6 @@ class Normalizer:
         nested_arrays = []       # array<violation> columns from recursion
         original, original_dtype = value, dtype
 
-        # coerce chain (reference: validator.py:712-767)
-        if "coerce" in rules:
-            chain = rules["coerce"]
-            if isinstance(chain, str) or callable(chain):
-                chain = [chain]
-            for c in chain:
-                name = c if isinstance(c, str) else getattr(c, "__name__", None)
-                fn = self.coercers.get(name) if isinstance(c, str) else c
-                if fn is None:
-                    raise SchemaError(f"coerce: no registered coercer named '{c}'")
-                value, dtype = fn(value, dtype)
-            # COERCION_FAILED: result NULL though input wasn't
-            # (reference keeps the old value + files 0x61; validator.py:762-767)
-            failed = value.isNull() & original.isNotNull()
-            violations.append(
-                make_violation(
-                    failed, E.COERCION_FAILED, doc_path, spath + [fname, "coerce"],
-                    constraint=str(rules["coerce"]),
-                    value=original, value_dtype=original_dtype,
-                )
-            )
-
         # default fill (reference: validator.py:947-963 — fires on missing
         # key, or on None when the field is not nullable)
         if "default" in rules:
@@ -284,6 +262,32 @@ class Normalizer:
                     computed = None
                 if computed is not None:
                     value = F.coalesce(value, computed.cast(dtype))
+
+        # coerce chain — AFTER defaults, matching the reference's stage
+        # order (__normalize_mapping: default fields, THEN coerce,
+        # validator.py:690-710), so an inserted default value is itself
+        # coerced (reference: validator.py:712-767)
+        if "coerce" in rules:
+            pre_coerce, pre_dtype = value, dtype
+            chain = rules["coerce"]
+            if isinstance(chain, str) or callable(chain):
+                chain = [chain]
+            for c in chain:
+                name = c if isinstance(c, str) else getattr(c, "__name__", None)
+                fn = self.coercers.get(name) if isinstance(c, str) else c
+                if fn is None:
+                    raise SchemaError(f"coerce: no registered coercer named '{c}'")
+                value, dtype = fn(value, dtype)
+            # COERCION_FAILED: result NULL though input wasn't
+            # (reference keeps the old value + files 0x61; validator.py:762-767)
+            failed = value.isNull() & pre_coerce.isNotNull()
+            violations.append(
+                make_violation(
+                    failed, E.COERCION_FAILED, doc_path, spath + [fname, "coerce"],
+                    constraint=str(rules["coerce"]),
+                    value=original, value_dtype=original_dtype,
+                )
+            )
 
         # container normalization (reference: validator.py:769-885 recurses
         # into dict/list values) — rebuild struct / transform array elements
@@ -353,6 +357,32 @@ class Normalizer:
                         )
                     new_fields.append(sv.alias(tgt))
                     sub_types.append(T.StructField(tgt, sdt, True))
+                # declared sub-fields entirely MISSING from the struct
+                # that carry a default gain a synthesized slot — the
+                # nested analog of the reference inserting defaults for
+                # missing keys (validator.py:947-963; its coerce chain
+                # then applies to the inserted value), which also lets a
+                # nested `required` pass, like the reference.
+                produced = {sf.name for sf in sub_types}
+                for fld, srules in sub.items():
+                    if fld in produced or not isinstance(srules, Mapping):
+                        continue
+                    if srules.get("default") is None:
+                        continue
+                    try:
+                        fdt = T._infer_type(srules["default"])
+                    except Exception:
+                        continue
+                    sv, sdt, v2 = self.normalize_field(
+                        fld, srules, F.lit(None).cast(fdt), fdt,
+                        doc_path + [fld], spath + [fname, "schema"],
+                        purge_unknown=eff_purge, allow_unknown=eff_allow,
+                    )
+                    nested_arrays.append(
+                        F.when(original.isNotNull(), v2).otherwise(empty_violations())
+                    )
+                    new_fields.append(sv.alias(fld))
+                    sub_types.append(T.StructField(fld, sdt, True))
                 value = F.when(original.isNotNull(), F.struct(*new_fields))
                 dtype = T.StructType(sub_types)
             elif isinstance(dtype, T.MapType) and isinstance(sub, Mapping) \

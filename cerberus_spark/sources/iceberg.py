@@ -15,8 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    # Class.forName raises when the class is absent; a bare
+    # `_jvm.org.apache.iceberg.Table` would NOT (py4j returns a silent
+    # JavaPackage proxy for any unresolved path)
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")  # noqa: SLF001
         return True
     except Exception:
         return False

@@ -221,3 +221,31 @@ def test_nested_map_rename_and_purge(spark):
         assert v.normalized({"payload": {"a": " new ", "b": "old", "keep": "y"}})[
             "payload"] == {"b": "new", "keep": "y"}
         assert v.normalized({"payload": {"keep": "y"}})["payload"] == {"keep": "y"}
+
+
+def test_nested_struct_default_for_missing_field(spark):
+    """A declared sub-field entirely MISSING from the struct gains a
+    synthesized slot filled with its default, the default value runs
+    through the field's coerce chain (reference stage order: defaults
+    THEN coerce, validator.py:690-710), and a nested `required`
+    passes."""
+    schema = {"d": {"type": "dict", "schema": {
+        "a": {"type": "string"},
+        "b": {"default": "z", "coerce": "upper"},
+        "r": {"type": "string", "required": True, "default": "rr"},
+    }}}
+    rows = [(("x",),), (None,)]
+    got = _norm_rows(spark, schema, rows, "d struct<a:string>",
+                     allow_unknown=False)
+    assert got[0]["d"].asDict() == {"a": "x", "b": "Z", "r": "rr"}
+    assert got[0]["violations"] == []
+    assert got[1]["d"] is None
+
+    if cerberus is not None:
+        v = cerberus.Validator({"d": {"type": "dict", "schema": {
+            "a": {"type": "string"},
+            "b": {"default": "z", "coerce": str.upper},
+            "r": {"type": "string", "required": True, "default": "rr"},
+        }}})
+        assert v.validate({"d": {"a": "x"}}) is True
+        assert v.document["d"] == {"a": "x", "b": "Z", "r": "rr"}
