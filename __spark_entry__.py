@@ -136,6 +136,49 @@ def q_drift_event_type_profile(spark, sf_dir):
     )
 
 
+def q_drift_metrics_events(spark, sf_dir):
+    """The drift MATH itself, oracle-checked: KL(current‖baseline) and
+    PSI per profile key between the first and second half of the events
+    stream, over two profile keys (categorical event_type + props-length
+    histogram), computed one-scan-per-half via multi_profile and
+    aggregated distributed via drift_metrics_df."""
+    ev = _read(spark, sf_dir, "events")
+    mid = ev.agg(F.max("event_id")).first()[0] // 2
+    specs = [("event_type", "event_type"),
+             ("props_len", D.length_bucket("props", 2, 10))]
+    cur = D.multi_profile(ev.filter(F.col("event_id") <= mid), specs)
+    base = D.multi_profile(ev.filter(F.col("event_id") > mid), specs)
+    m = D.drift_metrics_df(cur, base)
+    return m.select("key", F.round("kl", 6).alias("kl"),
+                    F.round("psi", 6).alias("psi"))
+
+
+def q_ivf_topk_embeddings(spark, sf_dir):
+    """ANN top-k through the IVF coarse-quantizer path (k-means-lite
+    codebook → nprobe nearest cells → in-cell exact rerank) over the
+    planted-cluster corpus of q_lsh_topk_embeddings.  The planted
+    near-copies of vec 0 (cos ≥ 0.99) sit deep inside the query's
+    Voronoi cell, so probing the nearest cells provably covers the true
+    top-10 and the ANN answer equals the brute-force oracle."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") == 0).crossJoin(
+        spark.range(1, 21).select(F.col("id").cast("int").alias("i"))
+    ).select(
+        (F.lit(2_000_000) + F.col("i")).alias("vec_id"),
+        F.zip_with("embedding", F.reverse("embedding"),
+                   lambda x, r: x + 0.01 * F.col("i") * r).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    cent = similarity.train_centroids(corpus, "embedding", n_cells=8,
+                                      sample=1024, seed=42)
+    top = similarity.ivf_topk(corpus, "embedding", qvec, cent, k=10,
+                              id_col="vec_id", nprobe=2)
+    return top.select("vec_id", F.round("score", 4).alias("score"))
+
+
 def q_dedup_exact_props(spark, sf_dir):
     """Exact dedup groups over the events.props payload column."""
     ev = _read(spark, sf_dir, "events")
@@ -391,6 +434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile_lineitem": q_stats_profile_lineitem,
         "ordering_events": q_ordering_events,
         "drift_event_type_profile": q_drift_event_type_profile,
+        "drift_metrics_events": q_drift_metrics_events,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "dedup_exact_props": q_dedup_exact_props,
         "lang_id_documents": q_lang_id_documents,
         "token_stats_documents": q_token_stats_documents,
@@ -704,6 +749,42 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id
             LIMIT 10
         """,
+        "drift_metrics_events": """
+            WITH mid AS (SELECT max(event_id) // 2 AS m FROM events),
+            cur_raw AS (
+                SELECT 'event_type' AS key, coalesce(event_type, '<null>') AS bucket,
+                       count(*)::DOUBLE AS n
+                FROM events WHERE event_id <= (SELECT m FROM mid) GROUP BY 2
+                UNION ALL
+                SELECT 'props_len',
+                       least(floor(coalesce(length(props), -1) / 2.0), 9)::BIGINT::VARCHAR,
+                       count(*)::DOUBLE
+                FROM events WHERE event_id <= (SELECT m FROM mid) GROUP BY 2
+            ),
+            base_raw AS (
+                SELECT 'event_type' AS key, coalesce(event_type, '<null>') AS bucket,
+                       count(*)::DOUBLE AS n
+                FROM events WHERE event_id > (SELECT m FROM mid) GROUP BY 2
+                UNION ALL
+                SELECT 'props_len',
+                       least(floor(coalesce(length(props), -1) / 2.0), 9)::BIGINT::VARCHAR,
+                       count(*)::DOUBLE
+                FROM events WHERE event_id > (SELECT m FROM mid) GROUP BY 2
+            ),
+            cur AS (SELECT key, bucket, n / sum(n) OVER (PARTITION BY key) AS p FROM cur_raw),
+            base AS (SELECT key, bucket, n / sum(n) OVER (PARTITION BY key) AS q FROM base_raw),
+            j AS (
+                SELECT coalesce(c.key, b.key) AS key,
+                       greatest(coalesce(c.p, 0), 1e-6) AS p,
+                       greatest(coalesce(b.q, 0), 1e-6) AS q
+                FROM cur c FULL OUTER JOIN base b
+                  ON c.key = b.key AND c.bucket = b.bucket
+            )
+            SELECT key, round(sum(p * ln(p / q)), 6) AS kl,
+                   round(sum((p - q) * ln(p / q)), 6) AS psi
+            FROM j GROUP BY key
+        """,
+        "ivf_topk_embeddings": _LSH_TOPK_PLANTED_SQL,
         # dedup/ANN family: exact all-pairs ground truth (recall AND
         # precision of the LSH/banding paths pinned to 1.0 on the fixture)
         "simhash_near_dups_documents": _simhash_pairs_sql(8),

@@ -21,7 +21,6 @@ columns, so they union cleanly with per-row rule violations.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -285,26 +284,36 @@ def multi_profile(df: DataFrame, specs: list[tuple[str, Column | str]]) -> DataF
     return counts.select("key", "bucket", (F.col("n") / total).alias("freq"))
 
 
+def drift_metrics_df(current: DataFrame, baseline: DataFrame,
+                     eps: float = 1e-6) -> DataFrame:
+    """KL(current‖baseline) and PSI per profile key, computed
+    DISTRIBUTED: full-outer join of the two (key, bucket, freq)
+    profiles on (key, bucket) — a bucket absent on one side contributes
+    with the ``eps`` floor exactly like the reference formulation —
+    then one per-key aggregation.  Profiles are tiny post-aggregation
+    frames, but keeping the math in Columns makes it oracle-checkable
+    and composes with arbitrarily many profile keys without driver
+    round-trips.  Returns (key, kl, psi)."""
+    cur = current.select("key", "bucket", F.col("freq").alias("_p"))
+    base = baseline.select("key", "bucket", F.col("freq").alias("_q"))
+    joined = cur.join(base, ["key", "bucket"], "full_outer").select(
+        "key",
+        F.greatest(F.coalesce("_p", F.lit(0.0)), F.lit(eps)).alias("p"),
+        F.greatest(F.coalesce("_q", F.lit(0.0)), F.lit(eps)).alias("q"),
+    )
+    ratio = F.log(F.col("p") / F.col("q"))
+    return joined.groupBy("key").agg(
+        F.sum(F.col("p") * ratio).alias("kl"),
+        F.sum((F.col("p") - F.col("q")) * ratio).alias("psi"),
+    )
+
+
 def drift_metrics(current: DataFrame, baseline: DataFrame, eps: float = 1e-6) -> list[dict]:
-    """KL(current‖baseline) and PSI per profile key.  Both inputs are
-    small aggregated profiles (key, bucket, freq); the math runs
-    driver-side on collected rows (SURVEY.md §2.5)."""
-    cur = {(r["key"], r["bucket"]): r["freq"] for r in current.collect()}
-    base = {(r["key"], r["bucket"]): r["freq"] for r in baseline.collect()}
-    keys = sorted({k for k, _ in cur} | {k for k, _ in base})
-    out = []
-    for key in keys:
-        buckets = sorted(
-            {b for (k, b) in cur if k == key} | {b for (k, b) in base if k == key}
-        )
-        kl = psi = 0.0
-        for b in buckets:
-            p = max(cur.get((key, b), 0.0), eps)
-            q = max(base.get((key, b), 0.0), eps)
-            kl += p * math.log(p / q)
-            psi += (p - q) * math.log(p / q)
-        out.append({"key": key, "kl": kl, "psi": psi})
-    return out
+    """Driver-side convenience wrapper over ``drift_metrics_df``
+    (SURVEY.md §2.5): collects the per-key metrics, sorted by key."""
+    rows = drift_metrics_df(current, baseline, eps).orderBy("key").collect()
+    return [{"key": r["key"], "kl": float(r["kl"]), "psi": float(r["psi"])}
+            for r in rows]
 
 
 def stats_bound_violations(df: DataFrame, bounds: Mapping) -> DataFrame:
