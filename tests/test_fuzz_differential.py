@@ -1,0 +1,259 @@
+"""Seeded differential fuzzing: random schemas × random documents,
+Spark engine vs the reference, exact violation-tuple parity.
+
+Deterministic (seed 42) so failures reproduce; the generator draws from
+the rule pool the engine claims full parity for (SURVEY.md §2.1) and
+deliberately includes type-mismatched declarations, nulls, empty
+strings, boundary numerics, dependencies/excludes field references and
+require_all — the combinations no hand-written table covers
+exhaustively.  Each schema validates one 40-row DataFrame in a single
+annotate() pass, so the suite stays ~1 Spark job per schema.
+"""
+
+import random
+import string as _string
+
+import pytest
+
+from cerberus_spark import SparkValidator
+from cerberus_spark.oracle import compare_per_row, load_reference
+
+cerberus = load_reference()
+pytestmark = pytest.mark.skipif(cerberus is None, reason="reference not importable")
+
+N_SCHEMAS = 15
+N_DOCS = 40
+
+DTYPES = {
+    "int": ("int", "integer"),
+    "bigint": ("bigint", "integer"),
+    "double": ("double", "float"),
+    "string": ("string", "string"),
+    "boolean": ("boolean", "boolean"),
+}
+TYPE_NAMES = ["integer", "float", "number", "string", "boolean"]
+
+_STR_POOL = ["", "a", "ab", "abc", "hello", "Hello World", "  pad  ",
+             "xyz-1", "zzz", "1234", "true"]
+_INT_POOL = [0, 1, -1, 5, 10, 42, -100, 999]
+_FLT_POOL = [0.0, 1.5, -2.25, 10.0, 0.001, -0.5, 99.75]
+
+
+def _rand_value(rng, dtype):
+    if rng.random() < 0.25:
+        return None
+    if dtype in ("int", "bigint"):
+        return rng.choice(_INT_POOL)
+    if dtype == "double":
+        return float(rng.choice(_FLT_POOL + _INT_POOL))
+    if dtype == "boolean":
+        return rng.choice([True, False])
+    return rng.choice(_STR_POOL)
+
+
+def _rand_rules(rng, fname, dtype, all_fields):
+    rules = {}
+    if rng.random() < 0.8:
+        # 30% of the time declare a type that may NOT match the column
+        declared = DTYPES[dtype][1] if rng.random() < 0.7 else rng.choice(TYPE_NAMES)
+        rules["type"] = declared
+    if rng.random() < 0.3:
+        rules["required"] = rng.random() < 0.8
+    if rng.random() < 0.2:
+        rules["nullable"] = True
+    if dtype in ("int", "bigint", "double"):
+        if rng.random() < 0.4:
+            rules["min"] = rng.choice(_INT_POOL)
+        if rng.random() < 0.4:
+            rules["max"] = rng.choice(_INT_POOL)
+        if rng.random() < 0.25:
+            rules["allowed"] = rng.sample(_INT_POOL, k=rng.randint(2, 5))
+    elif dtype == "string":
+        if rng.random() < 0.3:
+            rules["minlength"] = rng.randint(0, 3)
+        if rng.random() < 0.3:
+            rules["maxlength"] = rng.randint(3, 8)
+        if rng.random() < 0.3:
+            rules["allowed"] = rng.sample(_STR_POOL, k=rng.randint(2, 5))
+        if rng.random() < 0.25:
+            rules["forbidden"] = rng.sample(_STR_POOL, k=rng.randint(1, 3))
+        if rng.random() < 0.3:
+            rules["regex"] = rng.choice([r"[a-z]+", r"[A-Za-z ]+", r"a.*",
+                                         r"[0-9]{4}", r".{2,6}"])
+        if rng.random() < 0.2:
+            rules["empty"] = rng.random() < 0.5
+    others = [f for f in all_fields if f != fname]
+    if others and rng.random() < 0.25:
+        dep = rng.sample(others, k=min(len(others), rng.randint(1, 2)))
+        rules["dependencies"] = dep if len(dep) > 1 else dep[0]
+    if others and rng.random() < 0.15:
+        rules["excludes"] = rng.choice(others)
+    return rules
+
+
+def _gen_case(rng):
+    n_fields = rng.randint(3, 5)
+    fields = [f"f{i}" for i in range(n_fields)]
+    dtypes = {f: rng.choice(list(DTYPES)) for f in fields}
+    schema = {f: _rand_rules(rng, f, dtypes[f], fields) for f in fields}
+    # a rules-less field is not a valid schema entry for the engine's
+    # purposes — give it at least a type
+    for f in fields:
+        if not schema[f]:
+            schema[f] = {"type": DTYPES[dtypes[f]][1]}
+    ddl = ", ".join(f"{f} {DTYPES[dtypes[f]][0]}" for f in fields)
+    rows = [tuple(_rand_value(rng, dtypes[f]) for f in fields)
+            for _ in range(N_DOCS)]
+    require_all = rng.random() < 0.2
+    return schema, ddl, fields, rows, require_all
+
+
+def test_fuzz_flat_schemas_match_reference(spark):
+    rng = random.Random(42)
+    failures = []
+    for case_i in range(N_SCHEMAS):
+        schema, ddl, fields, rows, require_all = _gen_case(rng)
+        df = spark.createDataFrame(rows, ddl)
+        v = SparkValidator(schema, allow_unknown=True, require_all=require_all)
+        annotated = v.annotate(df).collect()
+        docs = [{f: val for f, val in zip(fields, r) if val is not None}
+                for r in rows]
+        mismatches = compare_per_row(annotated, docs, schema,
+                                     require_all=require_all, normalize=False)
+        if mismatches:
+            failures.append(
+                {"case": case_i, "schema": schema,
+                 "first_mismatch": mismatches[0], "n": len(mismatches)})
+    assert failures == [], failures[:2]
+
+
+# ---------------------------------------------------------------------------
+# dynamic map payloads (runtime per-value type checks) — the quirkiest
+# surface: bool⊂int⊂float, number-excludes-bool, TypeError-pass min/max,
+# regex/length gated on str-denoting literals
+# ---------------------------------------------------------------------------
+
+_DYN_LITERALS = ["5", "-3", "0", "2.5", "-0.75", "1e3", ".5", "true", "false",
+                 "TRUE", "hello", "a b c", "", "2021-04-05", "xyz", "42"]
+_DYN_KEYS = list("abcde")
+
+import datetime as _dt
+import re as _re
+
+_INT_RE = _re.compile(r"^[+-]?[0-9]+$")
+_FLOAT_RE = _re.compile(r"^[+-]?([0-9]+[.][0-9]*|[.]?[0-9]+)([eE][+-]?[0-9]+)?$")
+_DATE_RE = _re.compile(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+
+
+def _parse_back(s):
+    if s is None:
+        return None
+    if s.lower() in ("true", "false"):
+        return s.lower() == "true"
+    if _INT_RE.match(s):
+        return int(s)
+    if _FLOAT_RE.match(s):
+        return float(s)
+    if _DATE_RE.match(s):
+        try:
+            return _dt.date.fromisoformat(s)
+        except ValueError:
+            return s
+    try:
+        return _dt.datetime.fromisoformat(s)
+    except ValueError:
+        return s
+
+
+def _rand_valuesrules(rng):
+    rules = {}
+    if rng.random() < 0.8:
+        rules["type"] = rng.choice(["integer", "float", "number", "string", "boolean"])
+    if rng.random() < 0.4:
+        rules["min"] = rng.choice(_INT_POOL)
+    if rng.random() < 0.4:
+        rules["max"] = rng.choice(_INT_POOL)
+    if rng.random() < 0.3:
+        rules["regex"] = rng.choice([r"[a-z ]+", r"[0-9]+", r"h.*"])
+    if rng.random() < 0.3:
+        rules["minlength"] = rng.randint(0, 3)
+    if rng.random() < 0.3:
+        rules["maxlength"] = rng.randint(3, 8)
+    return rules or {"type": "string"}
+
+
+def test_fuzz_dynamic_payload_matches_reference(spark):
+    rng = random.Random(7)
+    failures = []
+    for case_i in range(12):
+        vr = _rand_valuesrules(rng)
+        schema = {"payload": {"type": "dict", "valuesrules": vr}}
+        rows = []
+        for _ in range(30):
+            if rng.random() < 0.1:
+                rows.append((None,))
+            else:
+                ks = rng.sample(_DYN_KEYS, k=rng.randint(0, 4))
+                rows.append(({k: rng.choice(_DYN_LITERALS) for k in ks},))
+        df = spark.createDataFrame(rows, "payload map<string,string>")
+        v = SparkValidator(schema, dynamic_types=True, allow_unknown=True)
+        annotated = v.annotate(df).collect()
+        docs = [
+            {"payload": {k: _parse_back(x) for k, x in r[0].items()}}
+            if r[0] is not None else {}
+            for r in rows
+        ]
+        mismatches = compare_per_row(annotated, docs, schema, normalize=False)
+        if mismatches:
+            failures.append({"case": case_i, "valuesrules": vr,
+                             "first": mismatches[0], "n": len(mismatches)})
+    assert failures == [], failures[:2]
+
+
+# ---------------------------------------------------------------------------
+# nested struct subdocuments — sub-schema rules + cross-sibling
+# dependencies/excludes inside the struct
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_nested_struct_matches_reference(spark):
+    rng = random.Random(99)
+    failures = []
+    for case_i in range(10):
+        sub_fields = [f"s{i}" for i in range(rng.randint(2, 3))]
+        sub_dtypes = {f: rng.choice(["int", "string", "double"]) for f in sub_fields}
+        sub_schema = {f: _rand_rules(rng, f, sub_dtypes[f], sub_fields)
+                      for f in sub_fields}
+        for f in sub_fields:
+            if not sub_schema[f]:
+                sub_schema[f] = {"type": DTYPES[sub_dtypes[f]][1]}
+        schema = {"d": {"type": "dict", "schema": sub_schema},
+                  "top": {"type": "string"}}
+        ddl = ("d struct<" + ", ".join(f"{f}:{DTYPES[sub_dtypes[f]][0]}"
+                                       for f in sub_fields) + ">, top string")
+        rows = []
+        for _ in range(30):
+            if rng.random() < 0.15:
+                rows.append((None, _rand_value(rng, "string")))
+            else:
+                rows.append((
+                    tuple(_rand_value(rng, sub_dtypes[f]) for f in sub_fields),
+                    _rand_value(rng, "string"),
+                ))
+        df = spark.createDataFrame(rows, ddl)
+        v = SparkValidator(schema, allow_unknown=True)
+        annotated = v.annotate(df).collect()
+        docs = []
+        for d, top in rows:
+            doc = {}
+            if d is not None:
+                doc["d"] = {f: val for f, val in zip(sub_fields, d)
+                            if val is not None}
+            if top is not None:
+                doc["top"] = top
+            docs.append(doc)
+        mismatches = compare_per_row(annotated, docs, schema, normalize=False)
+        if mismatches:
+            failures.append({"case": case_i, "schema": schema,
+                             "first": mismatches[0], "n": len(mismatches)})
+    assert failures == [], failures[:2]
