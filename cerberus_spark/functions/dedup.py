@@ -341,9 +341,14 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("_id"),
         F.explode_outer(words(F.col(text_col))).alias("_w"),
     ).select(
+        # materialize the digest once per token; the two chunk extractions
+        # read the same string (projection collapse must not duplicate the
+        # md5 computation — measured ~20% of the job)
+        "_id", F.md5("_w").alias("_d"),
+    ).select(
         "_id",
-        F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long").alias("_hi"),
-        F.conv(F.substring(F.md5("_w"), 9, 8), 16, 10).cast("long").alias("_lo"),
+        F.conv(F.substring("_d", 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring("_d", 9, 8), 16, 10).cast("long").alias("_lo"),
     )
     tallies = toks.groupBy("_id").agg(*_simhash_tally_aggs())
     sig = None
@@ -373,21 +378,27 @@ def simhash64(text: pd.Series) -> pd.Series:
     flat = [w for ws in toks for w in ws]
     if not flat:
         return pd.Series(out)
-    seg = np.repeat(np.arange(n), lengths)
     uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
     uh = np.empty(len(uniq), dtype=np.uint64)
     for i, w in enumerate(uniq):
         h = hashlib.md5(w.encode()).hexdigest()
         uh[i] = np.uint64(int(h[8:16], 16)) << np.uint64(32) | np.uint64(int(h[:8], 16))
-    h64 = uh[inv]
     shifts = np.arange(64, dtype=np.uint64)
-    ones = np.zeros((n, 64), dtype=np.int64)
-    for lo in range(0, len(h64), 1 << 16):  # bound the (chunk, 64) bit matrix
-        chunk = slice(lo, lo + (1 << 16))
-        bits = ((h64[chunk, None] >> shifts) & np.uint64(1)).astype(np.int64)
-        np.add.at(ones, seg[chunk], bits)
-    tally = 2 * ones - lengths[:, None]  # ones - zeros
-    out = ((tally > 0).astype(np.uint64) << shifts).sum(axis=1).view(np.int64)
+    # bit matrix per UNIQUE word only (Zipf keeps it small); each doc
+    # tallies by slicing its word-index range — no batch-wide
+    # (n_words, 64) materialization
+    bits_u = ((uh[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+    offs = np.concatenate(([0], np.cumsum(lengths)))
+    shifts_u = shifts  # uint64 shift vector for the final pack
+    for i in range(n):
+        s, e = offs[i], offs[i + 1]
+        if s == e:
+            continue
+        ones = bits_u[inv[s:e]].sum(axis=0)
+        tally = 2 * ones - (e - s)
+        out[i] = np.int64(
+            (((tally > 0).astype(np.uint64) << shifts_u).sum()).astype(np.int64)
+        )
     return pd.Series(out)
 
 
