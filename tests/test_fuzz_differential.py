@@ -257,3 +257,53 @@ def test_fuzz_nested_struct_matches_reference(spark):
             failures.append({"case": case_i, "schema": schema,
                              "first": mismatches[0], "n": len(mismatches)})
     assert failures == [], failures[:2]
+
+
+# ---------------------------------------------------------------------------
+# normalization: coerce chains + defaults over string columns, comparing
+# the NORMALIZED VALUES against the reference's normalized documents
+# ---------------------------------------------------------------------------
+
+_COERCERS = {  # engine name -> reference callable
+    "strip": str.strip,
+    "lower": str.lower,
+    "upper": str.upper,
+}
+
+
+def test_fuzz_normalization_matches_reference(spark):
+    rng = random.Random(1234)
+    failures = []
+    for case_i in range(12):
+        n_fields = rng.randint(2, 4)
+        fields = [f"f{i}" for i in range(n_fields)]
+        eng_schema, ref_schema = {}, {}
+        for f in fields:
+            chain = rng.sample(list(_COERCERS), k=rng.randint(0, 2))
+            er, rr = {"type": "string"}, {"type": "string"}
+            if chain:
+                er["coerce"] = list(chain)
+                rr["coerce"] = [_COERCERS[c] for c in chain]
+            if rng.random() < 0.5:
+                d = rng.choice(_STR_POOL[1:])  # non-empty default
+                er["default"] = d
+                rr["default"] = d
+            eng_schema[f], ref_schema[f] = er, rr
+        ddl = ", ".join(f"{f} string" for f in fields)
+        rows = [tuple(_rand_value(rng, "string") for _ in fields)
+                for _ in range(25)]
+        df = spark.createDataFrame(rows, ddl)
+        v = SparkValidator(eng_schema, allow_unknown=True)
+        got = v.normalized(df).collect()
+
+        ref = cerberus.Validator(ref_schema, allow_unknown=True)
+        for row_i, (r, spark_row) in enumerate(zip(rows, got)):
+            doc = {f: val for f, val in zip(fields, r) if val is not None}
+            ref_doc = ref.normalized(doc)
+            eng_doc = {f: spark_row[f] for f in fields
+                       if spark_row[f] is not None}
+            if ref_doc != eng_doc:
+                failures.append({"case": case_i, "row": row_i,
+                                 "schema": eng_schema, "in": doc,
+                                 "ref": ref_doc, "eng": eng_doc})
+    assert failures == [], failures[:3]
