@@ -281,14 +281,25 @@ class ValidationRun:
         for extra in (orphans, ordering):
             if extra is not None:
                 ds_viol = ds_viol.unionByName(extra)
-        ds_viol.write.mode("overwrite").parquet(self._path("dataset_violations"))
-        # count per check from the written files — never re-execute the
+        # per-check counts ride along on the write job itself
+        # (df.observe collects aggregates during the action) — no
+        # re-read job, and never a re-execution of the
         # uniqueness/join/window DAGs just for the report
-        return {
-            int(r["code"]): int(r["n"])
-            for r in spark.read.parquet(self._path("dataset_violations"))
-            .groupBy("code").agg(F.count(F.lit(1)).alias("n")).collect()
+        from pyspark.sql import Observation
+
+        obs = Observation("ds_checks")
+        codes = {
+            "unique": E.NOT_UNIQUE.code,
+            "orphan": E.ORPHAN_REFERENCE.code,
+            "ordering": E.ORDERING_VIOLATION.code,
         }
+        ds_viol = ds_viol.observe(obs, *[
+            F.sum((F.col("code") == c).cast("long")).alias(name)
+            for name, c in codes.items()
+        ])
+        ds_viol.write.mode("overwrite").parquet(self._path("dataset_violations"))
+        got = obs.get
+        return {c: int(got[name] or 0) for name, c in codes.items()}
 
     def _run_drift(self, spark, df) -> list:
         cfg = self.config
