@@ -30,7 +30,6 @@ from .operators.compile import (
     RuleCompiler,
     Scope,
     collect_violations,
-    empty_violations,
     make_violation,
 )
 from .operators.normalize import Normalizer, has_normalization

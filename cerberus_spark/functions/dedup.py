@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
-from .text import normalized_text, words, fingerprint
+from .text import words, fingerprint
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,6 @@ annotate() pass, so the suite stays ~1 Spark job per schema.
 """
 
 import random
-import string as _string
 
 import pytest
 
