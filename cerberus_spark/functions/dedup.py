@@ -417,6 +417,15 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     prefix blocking dropped any near-dup whose flips hit the prefix).
     Candidates are verified by exact Hamming distance.
 
+    SCALE LIMIT (inherent to pigeonhole banding, not this
+    implementation): block width is 64/(h+1) bits, so the block keyspace
+    is 2^(64/(h+1)) — at ``max_hamming=3`` that's 65k distinct 16-bit
+    buckets (fine to ~billions of docs with caps), but ``max_hamming=8``
+    leaves 7-bit blocks (128 buckets): beyond ~10^5 docs every bucket
+    saturates its cap and the guarantee degrades to head-connectivity.
+    At 100 TB keep h ≤ 3 (the conventional SimHash operating point) or
+    verify with exact Jaccard via the MinHash path instead.
+
     Hot blocks (identical signatures en masse) are capped like the LSH
     buckets: members ranked by a spillable window, only the first
     ``bucket_cap`` expand quadratically, overflow pairs with the bucket
