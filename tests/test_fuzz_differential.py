@@ -306,3 +306,74 @@ def test_fuzz_normalization_matches_reference(spark):
                                  "schema": eng_schema, "in": doc,
                                  "ref": ref_doc, "eng": eng_doc})
     assert failures == [], failures[:3]
+
+
+# ---------------------------------------------------------------------------
+# logical *of operators and list-element schemas
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_logical_ops_match_reference(spark):
+    rng = random.Random(555)
+    failures = []
+    for case_i in range(12):
+        op = rng.choice(["anyof", "allof", "noneof", "oneof"])
+        n_defs = rng.randint(2, 3)
+        defs = []
+        for _ in range(n_defs):
+            d = {}
+            if rng.random() < 0.6:
+                d["min"] = rng.choice(_INT_POOL)
+            if rng.random() < 0.6:
+                d["max"] = rng.choice(_INT_POOL)
+            if rng.random() < 0.3:
+                d["allowed"] = rng.sample(_INT_POOL, k=rng.randint(2, 4))
+            if not d:
+                d["min"] = 0
+            defs.append(d)
+        schema = {"n": {"type": "integer", op: defs},
+                  "s": {"type": "string",
+                        "anyof_regex": [r"[a-z]+", r"[0-9]+"]}
+                  if rng.random() < 0.5 else {"type": "string"}}
+        rows = [(rng.choice(_INT_POOL + [None]),
+                 _rand_value(rng, "string")) for _ in range(30)]
+        df = spark.createDataFrame(rows, "n int, s string")
+        v = SparkValidator(schema, allow_unknown=True)
+        annotated = v.annotate(df).collect()
+        docs = [{k: val for k, val in zip(("n", "s"), r) if val is not None}
+                for r in rows]
+        mismatches = compare_per_row(annotated, docs, schema, normalize=False)
+        if mismatches:
+            failures.append({"case": case_i, "op": op, "schema": schema,
+                             "first": mismatches[0], "n": len(mismatches)})
+    assert failures == [], failures[:2]
+
+
+def test_fuzz_list_element_schemas_match_reference(spark):
+    rng = random.Random(321)
+    failures = []
+    for case_i in range(10):
+        elem_rules = {"type": "string"}
+        if rng.random() < 0.5:
+            elem_rules["minlength"] = rng.randint(1, 3)
+        if rng.random() < 0.5:
+            elem_rules["regex"] = rng.choice([r"[a-z]+", r"[a-z ]+", r".{1,5}"])
+        if rng.random() < 0.4:
+            elem_rules["allowed"] = rng.sample(_STR_POOL[1:], k=rng.randint(2, 4))
+        schema = {"xs": {"type": "list", "schema": elem_rules}}
+        rows = []
+        for _ in range(25):
+            if rng.random() < 0.2:
+                rows.append((None,))
+            else:
+                rows.append(([rng.choice(_STR_POOL)
+                              for _ in range(rng.randint(0, 4))],))
+        df = spark.createDataFrame(rows, "xs array<string>")
+        v = SparkValidator(schema, allow_unknown=True)
+        annotated = v.annotate(df).collect()
+        docs = [{"xs": list(r[0])} if r[0] is not None else {} for r in rows]
+        mismatches = compare_per_row(annotated, docs, schema, normalize=False)
+        if mismatches:
+            failures.append({"case": case_i, "schema": schema,
+                             "first": mismatches[0], "n": len(mismatches)})
+    assert failures == [], failures[:2]
