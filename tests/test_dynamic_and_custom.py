@@ -483,3 +483,18 @@ def test_custom_named_rule_stays_in_codegen(spark):
     annotated = v.annotate(df)
     assert_shuffle_free(annotated)
     assert not plan_report(annotated)["python_workers"]
+
+
+def test_regex_python_dialect_fallback_parity(spark):
+    """Python-only regex constructs (named groups, \\A/\\Z anchors,
+    conditionals) can't compile in the JVM dialect — the compiler falls
+    back to the exact-parity `re` pandas UDF; differential vs the
+    reference's re.match(pattern + '$') semantics."""
+    rows = [("abc",), ("abcd",), ("xabc",), ("",), (None,), ("ABC",)]
+    df = spark.createDataFrame(rows, "s string")
+    docs = [{"s": r[0]} if r[0] is not None else {} for r in rows]
+    for pattern in (r"(?P<word>[a-z]+)", r"abc\Z", r"\Aabc",
+                    r"(?P<a>a)(?(a)bc|xy)"):
+        schema = {"s": {"regex": pattern}}
+        got = SparkValidator(schema, allow_unknown=True).annotate(df).collect()
+        assert compare_per_row(got, docs, schema) == [], pattern
