@@ -158,8 +158,8 @@ def dataset_checks_foreach_batch(out_dir: str,
     semi-join is just another shuffle join over bucketable parquet.
 
     Ordering has its own genuinely-stateful operator
-    (``ordering_violations_stream``); drift aggregates through
-    ``violation_rate_stream``-style windowing.
+    (``ordering_violations_stream``); per-batch DRIFT runs through
+    ``drift_foreach_batch`` below.
     """
     from ..operators import dataset as D
 
@@ -201,5 +201,44 @@ def dataset_checks_foreach_batch(out_dir: str,
         # commit this epoch's keys only after its violations are durable
         (batch_df.select(*keys).distinct()
          .write.mode("overwrite").parquet(f"{store}/epoch={epoch_id}"))
+
+    return _run
+
+
+def drift_foreach_batch(out_dir: str, specs: list | None = None,
+                        baseline: DataFrame | None = None):
+    """Streaming drift: per micro-batch frequency profiles (ONE scan via
+    ``multi_profile``) compared against a checkpointed baseline with the
+    distributed KL/PSI math (``drift_metrics_df``).
+
+    The baseline resolves, in order: the ``baseline`` frame passed in, a
+    previously persisted ``{out_dir}/drift_baseline`` dir, else the
+    FIRST batch's own profiles (persisted for every later batch) — the
+    streaming analog of ``ValidationRun._run_drift``'s
+    first-run-writes-baseline behavior.  Per-epoch metrics land at
+    ``{out_dir}/drift_metrics/epoch=N`` (idempotent overwrite)."""
+    from pyspark.sql import functions as SF
+
+    from ..operators import dataset as D
+    from ..plans.checkpoint import fs_exists
+
+    specs = specs or [("role", "role"), ("tool", "tool"),
+                      ("text_len", D.length_bucket("text"))]
+    base_path = f"{out_dir}/drift_baseline"
+
+    def _run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        profiles = D.multi_profile(batch_df, specs)
+        if baseline is not None:
+            base = baseline
+        elif fs_exists(spark, base_path):
+            base = spark.read.parquet(base_path)
+        else:
+            profiles.write.mode("overwrite").parquet(base_path)
+            return  # first batch defines the baseline; nothing to compare
+        metrics = D.drift_metrics_df(profiles, base).withColumn(
+            "epoch", SF.lit(int(epoch_id)))
+        metrics.write.mode("overwrite").parquet(
+            f"{out_dir}/drift_metrics/epoch={epoch_id}")
 
     return _run

@@ -438,3 +438,37 @@ def test_streaming_dataset_checks_cross_batch(spark, tmp_path):
     # no false positives: (c1,0) and (c2,0-second-batch?) — c1 turn 0
     # appears once overall and must not be flagged
     assert not any(r[0] == "c1" and r[1] == 0 for r in rows)
+
+
+def test_streaming_drift_foreach_batch(spark, tmp_path):
+    """Per-micro-batch drift: batch 1 defines the baseline, batch 2's
+    shifted role distribution yields a positive PSI against it."""
+    from cerberus_spark.streaming.validate_stream import drift_foreach_batch
+
+    src = str(tmp_path / "drift_src")
+    out = str(tmp_path / "drift_out")
+    ddl = "conv_id string, role string, tool string, text string"
+    spark.createDataFrame(
+        [("c1", "user", None, "hi"), ("c1", "assistant", "t", "yo"),
+         ("c2", "user", None, "ok")], ddl
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("c3", "system", None, "zz"), ("c3", "system", None, "zz"),
+         ("c4", "system", "t", "zz")], ddl
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (stream.writeStream.foreachBatch(drift_foreach_batch(out))
+         .option("checkpointLocation", str(tmp_path / "drift_ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    metrics = spark.read.parquet(out + "/drift_metrics")
+    rows = {r["key"]: r for r in metrics.filter("epoch = 1").collect()}
+    # batch 2 is all-system vs batch-1's user/assistant split → big PSI
+    assert rows["role"]["psi"] > 1.0
+    assert rows["role"]["kl"] > 0.5
