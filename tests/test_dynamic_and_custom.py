@@ -498,3 +498,24 @@ def test_regex_python_dialect_fallback_parity(spark):
         schema = {"s": {"regex": pattern}}
         got = SparkValidator(schema, allow_unknown=True).annotate(df).collect()
         assert compare_per_row(got, docs, schema) == [], pattern
+
+
+def test_custom_named_rule_error_tree_matches_reference(spark):
+    """error_tree renders a custom rule's failure exactly like the
+    reference's validator.errors: {field: [message]}."""
+    from cerberus_spark.errors import error_tree
+
+    def is_odd(constraint, value):
+        return constraint is not True or bool(value & 1)
+    is_odd.message = "Must be an odd number"
+
+    v = SparkValidator({"amount": {"is_odd": True, "type": "integer"}},
+                       allow_unknown=True, rules={"is_odd": is_odd})
+    df = spark.createDataFrame([(10,)], "amount int")
+    row = v.annotate(df).collect()[0]
+    got = error_tree(row["violations"])
+
+    mv = _OddValidator.get()({"amount": {"is_odd": True, "type": "integer"}},
+                             allow_unknown=True)
+    mv.validate({"amount": 10})
+    assert got == mv.errors == {"amount": ["Must be an odd number"]}
