@@ -90,23 +90,26 @@ _STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 
 def q_stats_profile_lineitem(spark, sf_dir):
+    """One aggregation pass, unpivoted to one row per column with
+    ``stack`` — fully declarative (no driver collect + re-create; the
+    whole profile is one Spark plan)."""
     li = _read(spark, sf_dir, "lineitem")
     aggs = []
     for c in _STATS_COLS:
         aggs += [
             F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__nr"),
             F.countDistinct(c).alias(f"{c}__nd"),
-            F.min(c).alias(f"{c}__min"),
-            F.max(c).alias(f"{c}__max"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
         ]
-    r = li.agg(*aggs).first()
-    rows = [
-        (c, float(r[f"{c}__nr"]), int(r[f"{c}__nd"]),
-         float(r[f"{c}__min"]), float(r[f"{c}__max"]))
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nr`, CAST(`{c}__nd` AS BIGINT), `{c}__min`, `{c}__max`"
         for c in _STATS_COLS
-    ]
-    return spark.createDataFrame(
-        rows, "col_name string, null_rate double, n_distinct long, min_v double, max_v double"
+    )
+    return wide.selectExpr(
+        f"stack({len(_STATS_COLS)}, {stack_args}) AS "
+        "(col_name, null_rate, n_distinct, min_v, max_v)"
     )
 
 
