@@ -276,6 +276,25 @@ def q_stats_bounds_events(spark, sf_dir):
     )
 
 
+def q_multi_topk_embeddings(spark, sf_dir):
+    """Batched multi-query exact top-k: 5 query vectors broadcast over
+    the corpus, scored in one pass, ranked per query by a window — the
+    many-queries shape (one shuffle on query_id, no per-query scans).
+    Oracled by a per-partition ROW_NUMBER in DuckDB."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    top = similarity.brute_force_topk_multi(emb, "embedding", queries, k=3,
+                                            id_col="vec_id")
+    return top.select("query_id", "vec_id",
+                      F.round("score", 4).alias("score"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_topk_embeddings_cosine(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -449,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_bounds_events": q_stats_bounds_events,
         "media_meta_documents": q_media_meta_documents,
         "topk_embeddings_cosine": q_topk_embeddings_cosine,
+        "multi_topk_embeddings": q_multi_topk_embeddings,
         # dedup/ANN family — oracled by exact all-pairs SQL twins
         "minhash_near_dups_documents": q_minhash_near_dups_documents,
         "simhash_near_dups_documents": q_simhash_near_dups_documents,
@@ -788,6 +808,23 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY key
         """,
         "ivf_topk_embeddings": _LSH_TOPK_PLANTED_SQL,
+        "multi_topk_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb) AS s
+                FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+                SELECT query_id, vec_id, s,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, round(s, 4) AS score, rank::INT AS rank
+            FROM ranked WHERE rank <= 3
+        """,
         # dedup/ANN family: exact all-pairs ground truth (recall AND
         # precision of the LSH/banding paths pinned to 1.0 on the fixture)
         "simhash_near_dups_documents": _simhash_pairs_sql(8),
