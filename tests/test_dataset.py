@@ -233,3 +233,26 @@ def test_stats_bound_violations(spark, data):
     assert fired == {("text", "null_rate_max"), ("turn_idx", "min"),
                      ("role", "n_distinct_max")}
     assert all(r["code"] == 0x105 for r in got)
+
+
+def test_salted_counts_equal_plain_counts_fuzz(spark):
+    """The salted two-stage aggregation is EXACTLY the plain groupBy
+    count for any key distribution (including a pathological hot key)
+    and any salt width — fuzzed over random multiplicities."""
+    import random
+
+    from cerberus_spark.operators.dataset import salted_counts
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(11)
+    rows = []
+    for k in range(40):
+        mult = rng.choice([1, 1, 1, 2, 3, 7, 500 if k == 0 else 1])
+        rows += [(f"k{k}", i % 5) for i in range(mult)]
+    df = spark.createDataFrame(rows, "a string, b int").repartition(7)
+    for n_salt in (1, 4, 16):
+        salted = {tuple(r[:2]): r["n"]
+                  for r in salted_counts(df, ["a", "b"], n_salt).collect()}
+        plain = {tuple(r[:2]): r["n"] for r in
+                 df.groupBy("a", "b").agg(SF.count(SF.lit(1)).alias("n")).collect()}
+        assert salted == plain, n_salt
