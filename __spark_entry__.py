@@ -232,6 +232,14 @@ def q_text_signals_documents(spark, sf_dir):
     )
 
 
+def q_quality_score_documents(spark, sf_dir):
+    """The COMPOSITE quality heuristic (length/alpha/stopword/word-length/
+    punctuation weighted sum), oracle-checked end-to-end — not just its
+    component signals."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score(F.col("text")).alias("q"))
+
+
 def q_dedup_exact_documents(spark, sf_dir):
     """Row-level exact dedup (keep min doc_id per normalized text) —
     the production-path variant (window row_number, no id lists)."""
@@ -463,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_documents": q_token_stats_documents,
         "quality_documents": q_quality_documents,
         "text_signals_documents": q_text_signals_documents,
+        "quality_score_documents": q_quality_score_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "normalize_events": q_normalize_events,
         "stats_bounds_events": q_stats_bounds_events,
@@ -703,6 +712,38 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(coalesce(text, ''),
                                           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe
             FROM documents
+        """,
+        "quality_score_documents": f"""
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS t,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                   x -> length(x) > 0) AS ws
+                FROM documents
+            ), sig AS (
+                SELECT doc_id,
+                       len(ws) AS n_tok,
+                       CASE WHEN length(t) > 0
+                            THEN length(regexp_replace(t, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(t)
+                            ELSE 0.0 END AS alpha,
+                       CASE WHEN len(ws) > 0
+                            THEN len(list_filter(ws, x -> list_contains([{_SW['en']}], x)))::DOUBLE / len(ws)
+                            ELSE 0.0 END AS sw,
+                       CASE WHEN len(ws) > 0
+                            THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+                            ELSE 0.0 END AS mwl,
+                       CASE WHEN length(t) > 0
+                            THEN length(regexp_replace(t, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(t)
+                            ELSE 0.0 END AS punct
+                FROM base
+            )
+            SELECT doc_id,
+                   round(
+                     (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.3 END) * 0.25
+                     + least(alpha * 1.25, 1.0) * 0.25
+                     + least(sw * 4, 1.0) * 0.25
+                     + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.15
+                     + (1.0 - least(punct * 4, 1.0)) * 0.10, 6) AS q
+            FROM sig
         """,
         "quality_documents": """
             SELECT doc_id,
