@@ -149,7 +149,10 @@ def spark_type_matches(dtype: T.DataType, name: str) -> bool:
     if name == "integer":
         return isinstance(dtype, _INT_TYPES + (T.BooleanType,))
     if name == "float":
-        return isinstance(dtype, _FLOAT_TYPES + _INT_TYPES)
+        # bool ⊂ int ⊂ float: TypeDefinition('float', (float, _int_types), ())
+        # with bool subclassing int (validator.py:118-131) — a boolean
+        # column passes 'float' exactly like it passes 'integer'
+        return isinstance(dtype, _FLOAT_TYPES + _INT_TYPES + (T.BooleanType,))
     if name == "number":
         return isinstance(dtype, _FLOAT_TYPES + _INT_TYPES)
     if name == "boolean":
@@ -500,9 +503,19 @@ class RuleCompiler:
             f_required = rules.get("required", self.ctx.require_all) is True
             if not f_required:
                 continue
+            f_col, f_dtype = scope.fields.get(fname, (None, None))
+            # the waiver exists only if the declarer's excludes handler
+            # actually RAN: a type failure on the declarer breaks its rule
+            # queue before excludes (validator.py:1110-1115), so its
+            # targets stay required (verified live: a present excluder
+            # with a failing type does NOT waive the target's required;
+            # an EMPTY-failing one still does — empty doesn't suppress)
+            if ("type" in rules and f_dtype is not None
+                    and not check_type(f_dtype, rules["type"],
+                                       self.ctx.custom_types)):
+                continue
             excluded = rules["excludes"]
             excluded = [excluded] if isinstance(excluded, str) else list(excluded)
-            f_col, _ = scope.fields.get(fname, (None, None))
             excl_group.add(fname)
             if f_col is not None:
                 unrequire_guard.setdefault(fname, []).append(f_col.isNotNull())
@@ -535,12 +548,17 @@ class RuleCompiler:
             col, dtype = scope.fields.get(fname, (None, None))
             if col is None:
                 # column absent from the DataFrame entirely: required fields
-                # fail on every row; other rules can never fire.
+                # fail on every row; other rules can never fire.  The
+                # excludes waiver still applies — a present excluder
+                # relieves even a field the frame doesn't carry.
                 if self._is_required(schema_path, fname, rules):
+                    req_cond = F.lit(True)
+                    for guard in unrequire_guard.get(fname, ()):
+                        req_cond = req_cond & ~guard
                     arrays.append(
                         collect_violations([
                             make_violation(
-                                F.lit(True), E.REQUIRED_FIELD,
+                                req_cond, E.REQUIRED_FIELD,
                                 list(scope.doc_path) + [fname],
                                 list(schema_path) + [fname, "required"],
                                 constraint=True,

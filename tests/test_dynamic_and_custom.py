@@ -519,3 +519,42 @@ def test_custom_named_rule_error_tree_matches_reference(spark):
                              allow_unknown=True)
     mv.validate({"amount": 10})
     assert got == mv.errors == {"amount": ["Must be an odd number"]}
+
+
+def test_static_bool_column_passes_float_parity(spark):
+    """Fuzz-soak find (r3): a BOOLEAN column must pass {'type':'float'}
+    statically (bool ⊂ int ⊂ float), so downstream rules (dependencies,
+    excludes) run instead of being suppressed by a spurious BAD_TYPE."""
+    schema = {"f0": {"type": "float", "dependencies": ["f1", "f2"]},
+              "f1": {"type": "string"},
+              "f2": {"type": "boolean", "required": True, "nullable": True}}
+    rows = [(True, None, None), (False, "x", True), (None, None, True)]
+    df = spark.createDataFrame(rows, "f0 boolean, f1 string, f2 boolean")
+    docs = [{k: v for k, v in zip(("f0", "f1", "f2"), r) if v is not None}
+            for r in rows]
+    got = SparkValidator(schema, allow_unknown=True).annotate(df).collect()
+    assert compare_per_row(got, docs, schema) == []
+
+
+def test_excludes_waiver_gated_on_declarer_type_parity(spark):
+    """Fuzz-soak find (r3): a present excluder whose own TYPE check
+    fails never runs its excludes handler in the reference, so the
+    target's `required` still fires; an EMPTY-failing excluder does
+    still waive it (empty does not suppress excludes)."""
+    # type-failing excluder: waiver must NOT apply
+    s1 = {"f3": {"required": True, "excludes": "f4"},
+          "f4": {"type": "string", "required": True, "excludes": "f3"}}
+    df1 = spark.createDataFrame([(None, -100), (None, None)],
+                                "f3 string, f4 int")
+    docs1 = [{"f4": -100}, {}]
+    got1 = SparkValidator(s1, allow_unknown=True).annotate(df1).collect()
+    assert compare_per_row(got1, docs1, s1) == []
+
+    # empty-failing excluder: waiver still applies
+    s2 = {"a": {"type": "string", "empty": False, "required": True,
+                "excludes": "b"},
+          "b": {"required": True, "excludes": "a"}}
+    df2 = spark.createDataFrame([("",), ("x",)], "a string")
+    docs2 = [{"a": ""}, {"a": "x"}]
+    got2 = SparkValidator(s2, allow_unknown=True).annotate(df2).collect()
+    assert compare_per_row(got2, docs2, s2) == []
