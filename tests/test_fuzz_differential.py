@@ -220,7 +220,8 @@ def test_fuzz_nested_struct_matches_reference(spark):
     failures = []
     for case_i in range(10):
         sub_fields = [f"s{i}" for i in range(rng.randint(2, 3))]
-        sub_dtypes = {f: rng.choice(["int", "string", "double"]) for f in sub_fields}
+        sub_dtypes = {f: rng.choice(["int", "string", "double", "boolean"])
+                      for f in sub_fields}
         sub_schema = {f: _rand_rules(rng, f, sub_dtypes[f], sub_fields)
                       for f in sub_fields}
         for f in sub_fields:
