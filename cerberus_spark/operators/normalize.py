@@ -303,25 +303,43 @@ class Normalizer:
                     and eff_allow is False
                 # nested rename (validator.py:900-918 via the child
                 # validator): source field k moves to sub[k]['rename'];
-                # a present source clobbers an existing target field
+                # renames apply SEQUENTIALLY in schema order like the
+                # reference's dict moves — a present source clobbers an
+                # existing target field, and when several sources share a
+                # target the LAST present one in schema order wins
+                # (earlier ones fall through when it is absent)
                 in_names = {f.name: f for f in dtype.fields}
                 renames = {k: r["rename"] for k, r in sub.items()
                            if isinstance(r, Mapping) and "rename" in r
                            and k in in_names}
+                by_target: dict[str, list[str]] = {}
+                for src, tgt in renames.items():
+                    by_target.setdefault(tgt, []).append(src)
+
+                def _target_value(tgt, existing_sv, existing_sdt):
+                    """coalesce(last source, ..., first source, existing)
+                    — reference sequential-move semantics."""
+                    anchor = (existing_sdt
+                              or in_names[by_target[tgt][0]].dataType)
+                    parts = []
+                    for src in reversed(by_target[tgt]):
+                        if in_names[src].dataType.simpleString() != \
+                                anchor.simpleString():
+                            raise SchemaError(
+                                f"rename '{src}'→'{tgt}' joins struct fields of "
+                                f"different types")
+                        parts.append(value.getField(src))
+                    if existing_sv is not None:
+                        parts.append(existing_sv)
+                    return parts[0] if len(parts) == 1 else F.coalesce(*parts)
+
                 new_fields, sub_types = [], []
                 for f in dtype.fields:
                     if f.name in renames:
                         continue  # moved to its target slot below
                     out_name, sv, sdt = f.name, value.getField(f.name), f.dataType
-                    src = next((s for s, t in renames.items() if t == f.name), None)
-                    if src is not None:
-                        # rename only fires for PRESENT source keys: a NULL
-                        # (absent) source keeps the target's own value
-                        if in_names[src].dataType.simpleString() != sdt.simpleString():
-                            raise SchemaError(
-                                f"rename '{src}'→'{f.name}' joins struct fields of "
-                                f"different types")
-                        sv = F.coalesce(value.getField(src), sv)
+                    if f.name in by_target:
+                        sv = _target_value(f.name, sv, sdt)
                     if eff_purge and out_name not in sub:
                         continue
                     srules = sub.get(out_name)
@@ -337,14 +355,15 @@ class Normalizer:
                         )
                     new_fields.append(sv.alias(out_name))
                     sub_types.append(T.StructField(out_name, sdt, True))
-                # renamed fields whose target is NOT an existing struct
-                # field gain a new slot
-                for src, tgt in renames.items():
+                # rename targets that are NOT existing struct fields gain
+                # ONE new slot each (all their sources coalesced)
+                for tgt, srcs in by_target.items():
                     if tgt in in_names:
                         continue
                     if eff_purge and tgt not in sub:
                         continue
-                    sv, sdt = value.getField(src), in_names[src].dataType
+                    sv = _target_value(tgt, None, None)
+                    sdt = in_names[srcs[0]].dataType
                     srules = sub.get(tgt)
                     if srules and not NORM_KEYS.isdisjoint(srules):
                         sv, sdt, v2 = self.normalize_field(
@@ -416,11 +435,32 @@ class Normalizer:
                     entries = F.map_entries(value)
                     if renames:
                         # a present source clobbers an existing target
-                        # entry (validator.py:900-918 dict move semantics)
+                        # entry, and when several sources share a target
+                        # the LAST present one in schema order wins — its
+                        # earlier co-sources drop (the reference's
+                        # sequential dict moves, validator.py:900-918)
+                        srcs_in_order = list(renames)
+
+                        def _superseded(k):
+                            cond = F.lit(False)
+                            for i, s in enumerate(srcs_in_order):
+                                later = [s2 for s2 in srcs_in_order[i + 1:]
+                                         if renames[s2] == renames[s]]
+                                if not later:
+                                    continue
+                                later_present = F.lit(False)
+                                for s2 in later:
+                                    later_present = later_present | \
+                                        F.map_contains_key(value, s2)
+                                cond = cond | (
+                                    (k == F.lit(s).cast(kt)) & later_present)
+                            return cond
+
                         entries = F.filter(
                             entries,
                             lambda e: ~self._clobbered_key(
-                                e.getField("key"), value, renames, kt),
+                                e.getField("key"), value, renames, kt)
+                            & ~_superseded(e.getField("key")),
                         )
 
                         def _rename_entry(e):

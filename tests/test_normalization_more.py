@@ -249,3 +249,38 @@ def test_nested_struct_default_for_missing_field(spark):
         }}})
         assert v.validate({"d": {"a": "x"}}) is True
         assert v.document["d"] == {"a": "x", "b": "Z", "r": "rr"}
+
+
+def test_same_target_renames_last_wins(spark):
+    """Fuzz-soak find (r3): several sources renaming to the SAME target
+    follow the reference's sequential dict moves — the last present
+    source in schema order wins; earlier ones fall through when it is
+    absent; an untouched target survives.  Previously two present
+    sources raised DUPLICATED_MAP_KEY (map) / built a duplicate struct
+    field."""
+    sub = {"a": {"rename": "g"}, "b": {"rename": "g"}}
+    ref_sub = dict(sub)
+    # map subdocument
+    schema = {"payload": {"type": "dict", "schema": sub}}
+    rows = [({"a": "A", "b": "B"},), ({"a": "A"},), ({"b": "B"},),
+            ({"a": "A", "g": "G"},), ({"g": "G"},)]
+    got = _norm_rows(spark, schema, rows, "payload map<string,string>")
+    payloads = [dict(r["payload"]) for r in got]
+    if cerberus is not None:
+        v = cerberus.Validator({"payload": {"type": "dict", "schema": ref_sub}},
+                               allow_unknown=True)
+        expected = [v.normalized({"payload": dict(r[0])})["payload"] for r in rows]
+        assert payloads == expected
+    assert payloads[0] == {"g": "B"} and payloads[1] == {"g": "A"}
+    assert payloads[3] == {"g": "A"} and payloads[4] == {"g": "G"}
+
+    # struct subdocument (same semantics over fixed fields)
+    s2 = {"d": {"type": "dict", "schema": {"a": {"rename": "g"},
+                                           "b": {"rename": "g"}}}}
+    rows2 = [(("A", "B"),), (("A", None),), ((None, "B"),), ((None, None),)]
+    got2 = _norm_rows(spark, s2, rows2, "d struct<a:string, b:string>")
+    vals = [r["d"].asDict() if r["d"] is not None else None for r in got2]
+    assert vals[0] == {"g": "B"}
+    assert vals[1] == {"g": "A"}
+    assert vals[2] == {"g": "B"}
+    assert vals[3] == {"g": None}
