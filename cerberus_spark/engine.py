@@ -273,15 +273,28 @@ class SparkValidator:
                     ])
                 )
         elif isinstance(self.allow_unknown, Mapping):
+            # requirement semantics never apply to unknown fields: the
+            # reference validates unknowns through a child validator that
+            # only sees fields PRESENT in the document
+            # (validator.py:1065-1078), so neither require_all nor an
+            # explicit 'required' in the bulk rules-set can fire for an
+            # absent unknown (verified live) — compile the bulk set with
+            # a requirement-free context
+            import dataclasses
+
+            bulk_rules = {k: v for k, v in self.allow_unknown.items()
+                          if k != "required"}
             bulk = RuleSetSchema(
-                {n: self.allow_unknown for n, _ in norm_exprs.items()
+                {n: bulk_rules for n, _ in norm_exprs.items()
                  if n not in self.schema.expanded and n not in self.key_cols},
                 custom_rules=self._custom_rules,
             )
+            bulk_compiler = RuleCompiler(
+                dataclasses.replace(self.ctx, require_all=False))
             # reference: bulk-validated unknowns get a '__allow_unknown__'
             # schema crumb at the top level (validator.py:1071-1074)
             unknown_violations.append(
-                self.compiler.compile_schema(bulk, scope, ["__allow_unknown__"])
+                bulk_compiler.compile_schema(bulk, scope, ["__allow_unknown__"])
             )
 
         all_arrays = norm_violations + [rule_violations] + unknown_violations

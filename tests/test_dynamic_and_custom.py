@@ -558,3 +558,20 @@ def test_excludes_waiver_gated_on_declarer_type_parity(spark):
     docs2 = [{"a": ""}, {"a": "x"}]
     got2 = SparkValidator(s2, allow_unknown=True).annotate(df2).collect()
     assert compare_per_row(got2, docs2, s2) == []
+
+
+def test_require_all_never_applies_to_unknown_columns(spark):
+    """Fuzz-soak find (r3): requirement semantics never apply to unknown
+    fields — the reference validates unknowns through a child validator
+    that only sees PRESENT fields, so neither require_all nor an
+    explicit 'required' in the allow_unknown rules-set fires for an
+    absent unknown column."""
+    schema = {"a": {"type": "integer"}}
+    rows = [(1, None, 7), (2, 3, None)]
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    docs = [{k: v for k, v in zip("abc", r) if v is not None} for r in rows]
+    for au in ({"type": "integer"}, {"required": True}):
+        v = SparkValidator(schema, allow_unknown=au, require_all=True)
+        got = v.annotate(df).collect()
+        assert compare_per_row(got, docs, schema, allow_unknown=au,
+                               require_all=True) == [], au
