@@ -828,12 +828,49 @@ class RuleCompiler:
 
     # -- individual rules ---------------------------------------------------
 
+    @staticmethod
+    def _membership(value: Column, dtype: T.DataType, consts) -> Column:
+        """Type-safe ``value IN consts`` with the reference's Python
+        equality semantics: a constant the column type can never equal
+        (e.g. an int against a string column) contributes False instead
+        of letting ANSI mode raise CAST_INVALID_INPUT at runtime, and
+        the bool↔int equivalence (True == 1) is preserved.  NULL-safe
+        (NULL value → False)."""
+        numeric = _FLOAT_TYPES + _INT_TYPES
+        keep = []
+        for v in consts:
+            if isinstance(dtype, T.StringType):
+                if isinstance(v, str):
+                    keep.append(v)
+            elif isinstance(dtype, numeric):
+                if isinstance(v, bool):
+                    keep.append(int(v))  # True == 1 in the reference
+                elif isinstance(v, (int, float)):
+                    keep.append(v)
+            elif isinstance(dtype, T.BooleanType):
+                if isinstance(v, bool):
+                    keep.append(v)
+                elif isinstance(v, int) and v in (0, 1):
+                    keep.append(bool(v))
+            elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+                if isinstance(v, _dt.datetime):
+                    keep.append(v)
+            elif isinstance(dtype, T.DateType):
+                if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                    keep.append(v)
+            else:
+                keep.append(v)
+        if not keep:
+            return F.lit(False)
+        return F.coalesce(value.isin(*keep), F.lit(False))
+
     def _c_allowed(self, allowed, value, dtype, gate, doc_path, spath):
         """reference: validator.py:1128-1136"""
         spath2 = list(spath) + ["allowed"]
         if isinstance(dtype, T.ArrayType):
+            elem_dt = dtype.elementType
             offenders = F.filter(
-                value, lambda x: x.isNull() | ~F.coalesce(x.isin(*allowed), F.lit(False))
+                value, lambda x: x.isNull() | ~self._membership(x, elem_dt, allowed)
             )
             return make_violation(
                 gate & (F.size(offenders) > 0), E.UNALLOWED_VALUES, doc_path, spath2,
@@ -841,7 +878,7 @@ class RuleCompiler:
                 info=F.to_json(offenders),
             )
         return make_violation(
-            gate & ~F.coalesce(value.isin(*allowed), F.lit(False)),
+            gate & ~self._membership(value, dtype, allowed),
             E.UNALLOWED_VALUE, doc_path, spath2,
             constraint=list(allowed), value=value, value_dtype=dtype,
             info=stringify(value, dtype),
@@ -851,8 +888,9 @@ class RuleCompiler:
         """reference: validator.py:1262-1270"""
         spath2 = list(spath) + ["forbidden"]
         if isinstance(dtype, T.ArrayType):
+            elem_dt = dtype.elementType
             offenders = F.array_distinct(
-                F.filter(value, lambda x: F.coalesce(x.isin(*forbidden), F.lit(False)))
+                F.filter(value, lambda x: self._membership(x, elem_dt, forbidden))
             )
             return make_violation(
                 gate & (F.size(offenders) > 0), E.FORBIDDEN_VALUES, doc_path, spath2,
@@ -860,7 +898,7 @@ class RuleCompiler:
                 info=F.to_json(offenders),
             )
         return make_violation(
-            gate & F.coalesce(value.isin(*forbidden), F.lit(False)),
+            gate & self._membership(value, dtype, forbidden),
             E.FORBIDDEN_VALUE, doc_path, spath2,
             constraint=list(forbidden), value=value, value_dtype=dtype,
             info=stringify(value, dtype),
@@ -1096,7 +1134,7 @@ class RuleCompiler:
                     unmet_parts.append(F.lit(True))
                     info_parts.append(F.lit(f"{dep_name}=<missing>"))
                 else:
-                    bad = ~F.coalesce(col.isin(*dep_values), F.lit(False))
+                    bad = ~self._membership(col, _dt, dep_values)
                     unmet_parts.append(bad)
                     info_parts.append(
                         F.when(bad, F.concat(F.lit(dep_name + "="), F.coalesce(col.cast("string"), F.lit("None"))))

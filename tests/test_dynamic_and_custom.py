@@ -575,3 +575,19 @@ def test_require_all_never_applies_to_unknown_columns(spark):
         got = v.annotate(df).collect()
         assert compare_per_row(got, docs, schema, allow_unknown=au,
                                require_all=True) == [], au
+
+
+def test_membership_cross_type_constants_parity(spark):
+    """Fuzz-soak find (r3): allowed/forbidden constants of a type the
+    column can never equal behave like Python equality (never a member)
+    instead of raising CAST_INVALID_INPUT under ANSI mode; the bool↔int
+    equivalence (True == 1) is preserved."""
+    schema = {"s": {"allowed": [5, 10, "abc"]},
+              "n": {"forbidden": ["zzz", 7]},
+              "b": {"allowed": [1, "x"]},
+              "m": {"type": "integer", "allowed": [True, 5]}}
+    rows = [("abc", 7, True, 1), ("hello", 3, False, 5), ("", 7, None, 2)]
+    df = spark.createDataFrame(rows, "s string, n int, b boolean, m int")
+    docs = [{k: v for k, v in zip("snbm", r) if v is not None} for r in rows]
+    got = SparkValidator(schema, allow_unknown=True).annotate(df).collect()
+    assert compare_per_row(got, docs, schema) == []

@@ -67,6 +67,10 @@ def _rand_rules(rng, fname, dtype, all_fields):
             rules["max"] = rng.choice(_INT_POOL)
         if rng.random() < 0.25:
             rules["allowed"] = rng.sample(_INT_POOL, k=rng.randint(2, 5))
+        if rng.random() < 0.1:
+            # cross-type constants: never equal per Python semantics —
+            # must contribute False, not an ANSI cast error
+            rules.setdefault("allowed", []).extend(rng.sample(_STR_POOL[1:], k=2))
     elif dtype == "string":
         if rng.random() < 0.3:
             rules["minlength"] = rng.randint(0, 3)
@@ -76,6 +80,8 @@ def _rand_rules(rng, fname, dtype, all_fields):
             rules["allowed"] = rng.sample(_STR_POOL, k=rng.randint(2, 5))
         if rng.random() < 0.25:
             rules["forbidden"] = rng.sample(_STR_POOL, k=rng.randint(1, 3))
+        if rng.random() < 0.1:
+            rules.setdefault("allowed", []).extend(rng.sample(_INT_POOL, k=2))
         if rng.random() < 0.3:
             rules["regex"] = rng.choice([r"[a-z]+", r"[A-Za-z ]+", r"a.*",
                                          r"[0-9]{4}", r".{2,6}"])
