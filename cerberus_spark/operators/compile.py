@@ -829,37 +829,46 @@ class RuleCompiler:
     # -- individual rules ---------------------------------------------------
 
     @staticmethod
-    def _membership(value: Column, dtype: T.DataType, consts) -> Column:
-        """Type-safe ``value IN consts`` with the reference's Python
-        equality semantics: a constant the column type can never equal
-        (e.g. an int against a string column) contributes False instead
-        of letting ANSI mode raise CAST_INVALID_INPUT at runtime, and
-        the bool↔int equivalence (True == 1) is preserved.  NULL-safe
-        (NULL value → False)."""
+    def _compat_consts(dtype: T.DataType, consts) -> tuple[list, list]:
+        """Partition constraint constants into (comparable-with-this-
+        column-type — converted where needed, never-equal).  Implements
+        the reference's Python equality semantics: cross-type constants
+        can never match (so they are not castable errors waiting to
+        happen under ANSI mode), while bool↔int equivalence (True == 1)
+        is preserved."""
         numeric = _FLOAT_TYPES + _INT_TYPES
-        keep = []
+        keep, dropped = [], []
         for v in consts:
             if isinstance(dtype, T.StringType):
-                if isinstance(v, str):
-                    keep.append(v)
+                (keep if isinstance(v, str) else dropped).append(v)
             elif isinstance(dtype, numeric):
                 if isinstance(v, bool):
                     keep.append(int(v))  # True == 1 in the reference
                 elif isinstance(v, (int, float)):
                     keep.append(v)
+                else:
+                    dropped.append(v)
             elif isinstance(dtype, T.BooleanType):
                 if isinstance(v, bool):
                     keep.append(v)
                 elif isinstance(v, int) and v in (0, 1):
                     keep.append(bool(v))
+                else:
+                    dropped.append(v)
             elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-                if isinstance(v, _dt.datetime):
-                    keep.append(v)
+                (keep if isinstance(v, _dt.datetime) else dropped).append(v)
             elif isinstance(dtype, T.DateType):
-                if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
-                    keep.append(v)
+                (keep if isinstance(v, _dt.date)
+                 and not isinstance(v, _dt.datetime) else dropped).append(v)
             else:
                 keep.append(v)
+        return keep, dropped
+
+    @classmethod
+    def _membership(cls, value: Column, dtype: T.DataType, consts) -> Column:
+        """Type-safe ``value IN consts`` (see ``_compat_consts``);
+        NULL-safe (NULL value → False)."""
+        keep, _ = cls._compat_consts(dtype, consts)
         if not keep:
             return F.lit(False)
         return F.coalesce(value.isin(*keep), F.lit(False))
@@ -915,13 +924,24 @@ class RuleCompiler:
             dtype = T.ArrayType(dtype.keyType)
         if not isinstance(dtype, T.ArrayType):
             return make_violation(F.lit(False), E.MISSING_MEMBERS, doc_path, spath2)
-        missing = F.array_except(
-            F.array(*[F.lit(e) for e in expected]).cast(dtype), value
-        )
+        # expected members of a type the elements can never equal are
+        # ALWAYS missing (reference Python-equality semantics) — they
+        # must not enter the literal array, where ANSI mode would raise
+        # CAST_INVALID_INPUT coercing them to the element type
+        compat, never = self._compat_consts(dtype.elementType, expected)
+        if compat:
+            missing = F.array_except(
+                F.array(*[F.lit(e) for e in compat]).cast(dtype), value
+            )
+        else:
+            missing = F.array().cast(dtype)
+        cond = gate & ((F.size(missing) > 0) | F.lit(bool(never)))
+        info = (F.to_json(missing) if not never else
+                F.concat(F.to_json(missing), F.lit(" +never-equal " + repr(never))))
         return make_violation(
-            gate & (F.size(missing) > 0), E.MISSING_MEMBERS, doc_path, spath2,
+            cond, E.MISSING_MEMBERS, doc_path, spath2,
             constraint=expected, value=value, value_dtype=dtype,
-            info=F.to_json(missing),
+            info=info,
         )
 
     def _c_regex(self, pattern, value, dtype, gate, doc_path, spath):

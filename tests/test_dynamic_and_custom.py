@@ -585,9 +585,14 @@ def test_membership_cross_type_constants_parity(spark):
     schema = {"s": {"allowed": [5, 10, "abc"]},
               "n": {"forbidden": ["zzz", 7]},
               "b": {"allowed": [1, "x"]},
-              "m": {"type": "integer", "allowed": [True, 5]}}
-    rows = [("abc", 7, True, 1), ("hello", 3, False, 5), ("", 7, None, 2)]
-    df = spark.createDataFrame(rows, "s string, n int, b boolean, m int")
-    docs = [{k: v for k, v in zip("snbm", r) if v is not None} for r in rows]
+              "m": {"type": "integer", "allowed": [True, 5]},
+              "xs": {"contains": [5, "a"]}}
+    rows = [("abc", 7, True, 1, ["a", "b"]),
+            ("hello", 3, False, 5, ["x"]),
+            ("", 7, None, 2, None)]
+    df = spark.createDataFrame(
+        rows, "s string, n int, b boolean, m int, xs array<string>")
+    docs = [{k: v for k, v in zip(("s", "n", "b", "m", "xs"), r)
+             if v is not None} for r in rows]
     got = SparkValidator(schema, allow_unknown=True).annotate(df).collect()
     assert compare_per_row(got, docs, schema) == []
