@@ -497,6 +497,7 @@ class RuleCompiler:
         # member (the xor support block at validator.py:1473-1477).
         unrequire_guard: dict[str, list[Column]] = {}
         excl_group: set[str] = set()
+        group_ran: list[Column] = []
         for fname, rules in expanded.items():
             if "excludes" not in rules:
                 continue
@@ -510,12 +511,27 @@ class RuleCompiler:
             # targets stay required (verified live: a present excluder
             # with a failing type does NOT waive the target's required;
             # an EMPTY-failing one still does — empty doesn't suppress)
-            if ("type" in rules and f_dtype is not None
-                    and not check_type(f_dtype, rules["type"],
-                                       self.ctx.custom_types)):
-                continue
+            static_type_ok = not (
+                "type" in rules and f_dtype is not None
+                and not check_type(f_dtype, rules["type"], self.ctx.custom_types))
             excluded = rules["excludes"]
             excluded = [excluded] if isinstance(excluded, str) else list(excluded)
+            if self.ctx.null_semantics == "none":
+                # present-None declarers skip the type rule entirely, so
+                # their excludes handler runs even when the static type
+                # can never match a NON-null value — registration is
+                # therefore per-row: always for a type-sound declarer,
+                # only on None for a type-mismatched one
+                if f_col is None:
+                    continue
+                group_ran.append(F.lit(True) if static_type_ok else f_col.isNull())
+                excl_group.add(fname)
+                for ex in excluded:
+                    if ex in expanded:
+                        excl_group.add(ex)
+                continue
+            if not static_type_ok:
+                continue  # 'absent': non-null values always fail type → never runs
             excl_group.add(fname)
             if f_col is not None:
                 unrequire_guard.setdefault(fname, []).append(f_col.isNotNull())
@@ -526,20 +542,31 @@ class RuleCompiler:
 
         arrays: list[Column] = []
 
-        if self.ctx.null_semantics == "none" and excl_group and not self.ctx.update:
+        if self.ctx.null_semantics == "none" and group_ran and not self.ctx.update:
             # at least one member of the exclusion group must be non-null
+            # — checked only when some declarer's excludes handler RAN on
+            # this row (validator.py:1473-1477 guarded by a non-empty
+            # _unrequired_by_excludes)
             members = [
                 (u, scope.fields.get(u, (None, None))[0]) for u in sorted(excl_group)
             ]
             all_null = F.lit(True)
             for _u, c in members:
                 all_null = all_null & (F.lit(True) if c is None else c.isNull())
+            ran_any = group_ran[0]
+            for g in group_ran[1:]:
+                ran_any = ran_any | g
             arrays.append(
                 collect_violations([
                     make_violation(
-                        all_null, E.REQUIRED_FIELD,
+                        ran_any & all_null, E.REQUIRED_FIELD,
                         list(scope.doc_path) + [u],
-                        list(schema_path) + [u, "required"], constraint=True,
+                        # reference path quirk: required-by-require_all
+                        # carries the literal '__require_all__' crumb
+                        (list(schema_path) + [u, "required"]
+                         if "required" in expanded.get(u, {})
+                         else ["__require_all__"]),
+                        constraint=True,
                     )
                     for u, _c in members
                 ])
@@ -810,7 +837,12 @@ class RuleCompiler:
                 )
                 out.extend(dep_violation)
             elif rule == "excludes":
-                out.append(self._c_excludes(constraint, value, g_null_ok & present, doc_path, spath, scope))
+                # 'none' semantics: excludes is NOT in the None drop list
+                # (validator.py:1376-1394) — it runs on a present-None
+                # field too
+                ex_gate = (g_null_ok if ctx.null_semantics == "none"
+                           else g_null_ok & present)
+                out.append(self._c_excludes(constraint, value, ex_gate, doc_path, spath, scope))
             elif rule == "check_with":
                 out.extend(self._c_check_with(constraint, value, dtype, g7, doc_path, spath))
             elif rule.replace(" ", "_") in ctx.custom_rules:
@@ -1175,7 +1207,16 @@ class RuleCompiler:
                 deps = [deps]
             for dep in deps:
                 col, _dt = scope.lookup(dep)
-                missing = F.lit(True) if col is None else col.isNull()
+                # 'none' semantics: every resolvable column is a PRESENT
+                # key (even with a None value), so a dependency on it is
+                # always met — key-presence is what the reference tests
+                # (validator.py:1182-1200 membership in the document)
+                if col is None:
+                    missing = F.lit(True)
+                elif self.ctx.null_semantics == "none":
+                    missing = F.lit(False)
+                else:
+                    missing = col.isNull()
                 out.append(
                     make_violation(
                         gate & missing, E.DEPENDENCIES_FIELD, doc_path, spath2,
@@ -1194,7 +1235,11 @@ class RuleCompiler:
         for ex in excluded:
             col, _dt = scope.lookup(ex)
             if col is not None:
-                any_present = any_present | col.isNotNull()
+                # 'none' semantics: the excluded key is present whenever
+                # the column exists, regardless of a None value
+                any_present = any_present | (
+                    F.lit(True) if self.ctx.null_semantics == "none"
+                    else col.isNotNull())
         exclusion_str = ", ".join(f"'{x}'" for x in excluded)
         return make_violation(
             gate & any_present, E.EXCLUDES_FIELD, doc_path, list(spath) + ["excludes"],

@@ -384,3 +384,25 @@ def test_fuzz_list_element_schemas_match_reference(spark):
             failures.append({"case": case_i, "schema": schema,
                              "first": mismatches[0], "n": len(mismatches)})
     assert failures == [], failures[:2]
+
+
+def test_fuzz_none_semantics_matches_reference(spark):
+    """null_semantics='none' (present-None convention): nullable fires,
+    excludes runs on None values with key-existence co-presence,
+    dependencies are met by any existing column, and the exclusion-group
+    required check registers per-row (type-mismatched declarers only on
+    None).  All pinned fuzz-soak finds of round 3."""
+    rng = random.Random(9753)
+    failures = []
+    for case_i in range(12):
+        schema, ddl, fields, rows, require_all = _gen_case(rng)
+        df = spark.createDataFrame(rows, ddl)
+        v = SparkValidator(schema, allow_unknown=True, require_all=require_all,
+                           null_semantics="none")
+        annotated = v.annotate(df).collect()
+        docs = [dict(zip(fields, r)) for r in rows]  # Nones KEPT: present keys
+        m = compare_per_row(annotated, docs, schema, require_all=require_all,
+                            normalize=False)
+        if m:
+            failures.append({"case": case_i, "schema": schema, "first": m[0]})
+    assert failures == [], failures[:2]
