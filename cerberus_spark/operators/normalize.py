@@ -20,6 +20,18 @@ Stage mapping (reference → Spark):
                        violation row (value kept as NULL — documented
                        deviation: the reference keeps the un-coerced value,
                        a single-typed Spark column cannot)
+
+Documented deviations (both corner cases, both deliberate):
+
+* rename CHAINS (``a→b`` plus ``b→c``) — the reference applies renames
+  sequentially in schema-dict order, so whether ``a`` ends up at ``b``
+  or travels on to ``c`` depends on key order; the engine applies every
+  rename as a SINGLE step (deterministic, order-independent).  Same-
+  target renames (``a→g``, ``b→g``) DO follow the reference's
+  last-present-wins semantics (test_same_target_renames_last_wins).
+* keysrules key coercions that COLLIDE (two keys coerce to the same
+  string) — the reference warns and clobbers; the engine surfaces
+  Spark's DUPLICATED_MAP_KEY instead of silently dropping an entry.
 """
 
 from __future__ import annotations
