@@ -37,7 +37,13 @@ _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
 def _lower_trimmed(text: Column) -> Column:
-    return F.trim(F.lower(F.coalesce(text, F.lit(""))))
+    # F.trim strips only ASCII spaces; a leading tab/newline would
+    # survive and make split() emit an empty '' token, diverging from
+    # the DuckDB oracle spec (len(x) > 0 filter) and from the SimHash
+    # pandas UDF (Python str.strip) — regexp-strip ALL edge whitespace
+    return F.regexp_replace(
+        F.lower(F.coalesce(text, F.lit(""))), r"^\s+|\s+$", ""
+    )
 
 
 def words(text: Column) -> Column:

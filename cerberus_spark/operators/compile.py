@@ -868,6 +868,7 @@ class RuleCompiler:
         can never match (so they are not castable errors waiting to
         happen under ANSI mode), while bool↔int equivalence (True == 1)
         is preserved."""
+        import decimal as _decimal
         numeric = _FLOAT_TYPES + _INT_TYPES
         keep, dropped = [], []
         for v in consts:
@@ -878,6 +879,14 @@ class RuleCompiler:
                     keep.append(int(v))  # True == 1 in the reference
                 elif isinstance(v, (int, float)):
                     keep.append(v)
+                elif isinstance(v, _decimal.Decimal) and v.is_finite():
+                    # Decimal('1') == 1 == 1.0 under the reference's
+                    # Python equality — comparable with numeric columns.
+                    # Integral decimals become int (exact at any width);
+                    # fractional ones become float (the column-side
+                    # comparison is float anyway for non-Decimal columns)
+                    keep.append(int(v) if v == v.to_integral_value()
+                                else float(v))
                 else:
                     dropped.append(v)
             elif isinstance(dtype, T.BooleanType):
@@ -885,6 +894,8 @@ class RuleCompiler:
                     keep.append(v)
                 elif isinstance(v, int) and v in (0, 1):
                     keep.append(bool(v))
+                elif isinstance(v, _decimal.Decimal) and v in (0, 1):
+                    keep.append(bool(v))  # Decimal(1) == True in Python
                 else:
                     dropped.append(v)
             elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):

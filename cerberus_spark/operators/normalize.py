@@ -345,6 +345,17 @@ class Normalizer:
                         parts.append(existing_sv)
                     return parts[0] if len(parts) == 1 else F.coalesce(*parts)
 
+                def _needs_recurse(srules):
+                    # recurse for normalization rules OR, when purging,
+                    # for any sub-schema at all — child validators inherit
+                    # purge_unknown at EVERY level (validator.py:843-849),
+                    # so a field whose rules are only {'type','schema'}
+                    # must still be descended into to purge its unknowns
+                    return isinstance(srules, Mapping) and (
+                        not NORM_KEYS.isdisjoint(srules)
+                        or (eff_purge and "schema" in srules)
+                    )
+
                 new_fields, sub_types = [], []
                 for f in dtype.fields:
                     if f.name in renames:
@@ -355,7 +366,7 @@ class Normalizer:
                     if eff_purge and out_name not in sub:
                         continue
                     srules = sub.get(out_name)
-                    if srules and not NORM_KEYS.isdisjoint(srules):
+                    if _needs_recurse(srules):
                         sv, sdt, v2 = self.normalize_field(
                             out_name, srules, sv, sdt, doc_path + [out_name],
                             spath + [fname, "schema"],
@@ -377,7 +388,7 @@ class Normalizer:
                     sv = _target_value(tgt, None, None)
                     sdt = in_names[srcs[0]].dataType
                     srules = sub.get(tgt)
-                    if srules and not NORM_KEYS.isdisjoint(srules):
+                    if _needs_recurse(srules):
                         sv, sdt, v2 = self.normalize_field(
                             tgt, srules, sv, sdt, doc_path + [tgt],
                             spath + [fname, "schema"],
@@ -440,7 +451,8 @@ class Normalizer:
                            if isinstance(r, Mapping) and "rename" in r}
                 declared = [k for k, r in sub.items()
                             if isinstance(r, Mapping)
-                            and not (NORM_KEYS - {"rename"}).isdisjoint(r)]
+                            and (not (NORM_KEYS - {"rename"}).isdisjoint(r)
+                                 or (eff_purge and "schema" in r))]
                 if renames or eff_purge or declared:
                     entry_t = (f"array<struct<key:{kt.simpleString()},"
                                f"value:{vdt.simpleString()}>>")

@@ -170,11 +170,16 @@ def dataset_checks_foreach_batch(out_dir: str,
         store = f"{out_dir}/seen_keys"
 
         within = D.uniqueness_violations(batch_df, keys, n_salt=n_salt)
-        try:
+        # existence-gate instead of catching Exception: a transient/real
+        # read failure (corrupt file, storage error) must propagate so
+        # the streaming query retries the batch — swallowing it would
+        # silently disable cross-batch duplicate detection for the batch
+        from ..plans.checkpoint import fs_exists
+        if fs_exists(spark, store):
             seen = spark.read.parquet(store).filter(F.col("epoch") < epoch_id)
             cross_keys = (batch_df.select(*keys)
                           .join(seen, keys, "left_semi").distinct())
-        except Exception:  # first epoch: no store yet
+        else:  # first epoch: no store yet
             cross_keys = None
         viol = within
         if cross_keys is not None:

@@ -18,6 +18,7 @@ def docs(spark):
         (5, "zzz qqq xxx"),
         (6, None),
         (7, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (8, "\thello world\n"),   # tab/newline edges: no '' token (r3 ADVICE)
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -41,6 +42,9 @@ def test_text_analysis(spark, docs):
     assert by_id[0].q > by_id[5].q
     assert by_id[0].fp == by_id[1].fp == by_id[7].fp  # normalization folds case/ws
     assert by_id[6].n_tok == 0
+    # tab/newline-edged text: '' is not a token (F.trim only strips
+    # spaces; the regexp edge-strip keeps the count at 2 — r3 ADVICE)
+    assert by_id[8].n_tok == 2
 
 
 def test_exact_dedup(spark, docs):

@@ -284,3 +284,40 @@ def test_same_target_renames_last_wins(spark):
     assert vals[1] == {"g": "A"}
     assert vals[2] == {"g": "B"}
     assert vals[3] == {"g": None}
+
+
+def test_depth2_purge_unknown_recursion(spark):
+    """purge_unknown inherits at EVERY depth (r3 ADVICE item 1;
+    reference: child validators inherit the flag, validator.py:843-849):
+    a nested field whose rules are only {'type','schema'} — no
+    normalization rule of its own — must still be descended into so its
+    depth-2 unknown sub-fields purge."""
+    schema = {"d": {"type": "dict", "schema": {
+        "a": {"type": "dict", "schema": {"x": {"type": "integer"}}},
+    }}}
+    df = spark.createDataFrame(
+        [(((1, "drop"), "dropme"),)],
+        "d struct<a:struct<x:int, z:string>, w:string>")
+    v = SparkValidator(schema, purge_unknown=True)
+    got = v.normalized(df).collect()
+    assert got[0]["d"].asDict(recursive=True) == {"a": {"x": 1}}
+
+    if cerberus is not None:
+        rv = cerberus.Validator(schema, purge_unknown=True)
+        assert rv.normalized(
+            {"d": {"a": {"x": 1, "z": "drop"}, "w": "dropme"}}
+        ) == {"d": {"a": {"x": 1}}}
+
+
+def test_depth2_purge_unknown_map_values(spark):
+    """Depth-2 purge through a MAP subdocument: a declared map key whose
+    rules are only {'schema'} still recurses when purging (the nested
+    value type must be preserved, so the purged field set must equal
+    the declared one here — covered by the string-typed map)."""
+    schema = {"payload": {"type": "dict", "purge_unknown": True, "schema": {
+        "keep": {"type": "string"},
+    }}}
+    rows = [({"keep": "y", "z": "drop"},)]
+    got = _norm_rows(spark, schema, rows, "payload map<string,string>",
+                     allow_unknown=False)
+    assert got[0]["payload"] == {"keep": "y"}

@@ -303,3 +303,35 @@ def test_array_element_coercion(spark):
     )
     df = spark.createDataFrame([([" a ", "b "],)], "xs array<string>")
     assert v.normalized(df).first().xs == ["a", "b"]
+
+
+@pytest.mark.skipif(cerberus is None, reason="reference not importable")
+def test_decimal_constants_numeric_equality(spark):
+    """decimal.Decimal constants compare under the reference's Python
+    equality (Decimal('1') == 1 == 1.0) — allowed/forbidden with
+    Decimal constants must not drop them as never-equal on numeric or
+    boolean columns (r3 ADVICE item 4)."""
+    from decimal import Decimal
+
+    schema = {
+        "n": {"allowed": [Decimal("1"), Decimal("2.5")]},
+        "m": {"forbidden": [Decimal("3")]},
+        "b": {"allowed": [Decimal(1)]},
+    }
+    rows = [(1, 3, True), (2, 4, False), (None, None, None)]
+    df = spark.createDataFrame(rows, "n int, m int, b boolean")
+    a, d = _run(spark, df, schema)
+    _assert_parity(spark, a, d, schema)
+    # row 0: n=1 allowed (Decimal('1')==1), m=3 forbidden, b=True allowed
+    codes0 = sorted(v["code"] for v in a[0]["violations"])
+    assert codes0 == [0x46]  # only the forbidden hit
+    # row 1: n=2 not in allowed, m=4 fine, b=False not allowed
+    codes1 = sorted(v["code"] for v in a[1]["violations"])
+    assert codes1 == [0x44, 0x44]
+
+    # float column matches the fractional Decimal
+    schema_f = {"x": {"allowed": [Decimal("2.5")]}}
+    dff = spark.createDataFrame([(2.5,), (2.4,)], "x double")
+    af, df_docs = _run(spark, dff, schema_f)
+    _assert_parity(spark, af, df_docs, schema_f)
+    assert af[0]["violations"] == [] and len(af[1]["violations"]) == 1
