@@ -315,14 +315,23 @@ def q_topk_embeddings_cosine(spark, sf_dir):
 # -- rows-only (not expressible in ANSI SQL / DuckDB) ------------------------
 
 
+#: committed parquet dump of sources.transcripts.synthesize(5000, seed=42)
+#: (scripts/make_transcripts_fixture.py regenerates it) — both the Spark
+#: flagship query and its DuckDB oracle twin read THIS file, so the last
+#: formerly rows-only query is now hash-matched end-to-end
+_TRANSCRIPTS_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "fixtures", "transcripts_oracle.parquet")
+
+
 def q_flagship_transcripts(spark, sf_dir):
     """Full per-turn rule validation over the deterministic synthetic
     transcripts (the north-star workload); violation rows keyed by
-    (conv_id, turn_idx)."""
-    from cerberus_spark.sources.transcripts import TURN_SCHEMA, synthesize
+    (conv_id, turn_idx).  Reads the committed fixture parquet so the
+    DuckDB twin sees byte-identical input."""
+    from cerberus_spark.sources.transcripts import TURN_SCHEMA
 
-    t, _ = synthesize(5000, seed=42)
-    df = spark.createDataFrame(t)
+    df = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
     res = SparkValidator(TURN_SCHEMA, key_cols=("conv_id", "turn_idx")).validate(df)
     return res.violations.select(
         "conv_id", "turn_idx",
@@ -484,7 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features_documents": q_multimodal_features_documents,
-        # rows-only (the transcripts table is synthesized, not a DuckDB view)
+        # flagship: reads the committed transcripts fixture parquet, so
+        # its DuckDB twin hash-matches on identical input
         "flagship_transcripts": q_flagship_transcripts,
     }
 
@@ -520,6 +530,47 @@ UNION ALL
 SELECT event_id, 'user_id', 66, 'min' FROM events
  WHERE user_id IS NOT NULL AND user_id < 0
 """.format()
+
+# DuckDB twin of the TURN_SCHEMA rule-set (sources/transcripts.py:176-187)
+# over the committed fixture parquet — mirrors the compiled violation
+# projection branch-for-branch (required=2, empty=34, regex=65, min=66,
+# max=67, allowed=68, maxlength=40, dependencies=5; regex is anchored
+# full-match like the engine's RLIKE '^(?:...$)' wrapping)
+_TRANSCRIPTS_VIOLATIONS_SQL = f"""
+WITH t AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}'))
+SELECT conv_id, turn_idx, 'conv_id' AS field, 2 AS code, 'required' AS rule
+  FROM t WHERE conv_id IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'conv_id', 34, 'empty' FROM t
+ WHERE conv_id IS NOT NULL AND length(conv_id) = 0
+UNION ALL
+SELECT conv_id, turn_idx, 'conv_id', 65, 'regex' FROM t
+ WHERE conv_id IS NOT NULL AND length(conv_id) > 0
+   AND NOT regexp_matches(conv_id, '^(?:c-[0-9a-f]{{12}}$)')
+UNION ALL
+SELECT conv_id, turn_idx, 'turn_idx', 2, 'required' FROM t WHERE turn_idx IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'turn_idx', 66, 'min' FROM t
+ WHERE turn_idx IS NOT NULL AND turn_idx < 0
+UNION ALL
+SELECT conv_id, turn_idx, 'turn_idx', 67, 'max' FROM t
+ WHERE turn_idx IS NOT NULL AND turn_idx > 100000
+UNION ALL
+SELECT conv_id, turn_idx, 'role', 2, 'required' FROM t WHERE role IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'role', 68, 'allowed' FROM t
+ WHERE role IS NOT NULL AND role NOT IN ('system','user','assistant','tool')
+UNION ALL
+SELECT conv_id, turn_idx, 'text', 2, 'required' FROM t WHERE text IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'text', 40, 'maxlength' FROM t
+ WHERE text IS NOT NULL AND length(text) > 100000
+UNION ALL
+SELECT conv_id, turn_idx, 'tool', 5, 'dependencies' FROM t
+ WHERE tool IS NOT NULL AND (role IS NULL OR role NOT IN ('assistant','tool'))
+UNION ALL
+SELECT conv_id, turn_idx, 'ts', 2, 'required' FROM t WHERE ts IS NULL
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -877,4 +928,5 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(coalesce(text, ''))) AS n_payload_bytes
             FROM documents WHERE doc_id < 50
         """,
+        "flagship_transcripts": _TRANSCRIPTS_VIOLATIONS_SQL,
     }

@@ -106,15 +106,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     collision probability 1-(1-j^r)^bands (r = num_perm/bands) — near 1
     well above the threshold; the exact-Jaccard verify step makes
     precision 1."""
+    sh64 = _sh64_df(df, id_col, text_col, k)
     cands = minhash_lsh_candidates(df, id_col, text_col, k=k,
                                    num_perm=num_perm, bands=bands,
-                                   bucket_cap=bucket_cap)
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+                                   bucket_cap=bucket_cap, _sh64=sh64)
+    # exact Jaccard from the SAME pre-hashed exploded relation the
+    # signatures aggregate (r3 VERDICT item 5): |A∩B| = matching-hash
+    # count per pair, |A∪B| = n_a + n_b - inter.  Shuffles 8-byte hash
+    # rows instead of array<string> shingle columns, and the sizes/
+    # signature aggregations share an identical exchange child
+    # (ReusedExchange-eligible).  64-bit collisions (~s²/2⁶⁴) are the
+    # only divergence from string-set Jaccard — negligible at any
+    # realistic shingle count, and the DuckDB string-set oracle pins it.
+    sizes = sh64.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh64.select(F.col("_id").alias("id_a"), "_sh64")
+    b = sh64.select(F.col("_id").alias("id_b"), "_sh64")
+    inter = (
+        cands.join(a, "id_a").join(b, ["id_b", "_sh64"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("_nb"))
     return (
-        cands.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        inter.join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("_inter")
+             / (F.col("_na") + F.col("_nb") - F.col("_inter"))).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -152,20 +171,30 @@ def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
     hashed once and each of the num_perm permutations mixes 8 fixed
     bytes, instead of re-hashing the string num_perm times (the
     dominant cost at ~20 chars/shingle × 32 permutations)."""
-    sh = df.select(
+    return _sig_from_sh64(_sh64_df(df, id_col, text_col, k), num_perm)
+
+
+def _sh64_df(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Exploded pre-hashed shingle relation (_id, _sh64) — the shared
+    base of the signature aggregation AND the exact-Jaccard verify."""
+    return df.select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(F.col(text_col), k)).alias("_sh"),
     ).select("_id", F.xxhash64("_sh").alias("_sh64"))
+
+
+def _sig_from_sh64(sh64: DataFrame, num_perm: int) -> DataFrame:
     aggs = [
         F.min(F.xxhash64(F.col("_sh64"), F.lit(i))).alias(f"_h{i}")
         for i in range(num_perm)
     ]
-    return sh.groupBy("_id").agg(*aggs)
+    return sh64.groupBy("_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_perm: int = 32, bands: int = 8, k: int = 3,
-                           bucket_cap: int = 200) -> DataFrame:
+                           bucket_cap: int = 200,
+                           _sh64: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH.
 
     rows-per-band = num_perm/bands; two docs collide when any band's
@@ -183,7 +212,10 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     the union-find pass) — only redundant intra-group pairs are
     dropped."""
     rows_per_band = num_perm // bands
-    sig = minhash_signature_df(df, id_col, text_col, num_perm, k)
+    sig = _sig_from_sh64(
+        _sh64 if _sh64 is not None else _sh64_df(df, id_col, text_col, k),
+        num_perm,
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -252,7 +284,10 @@ def embedding_near_dups(df: DataFrame, id_col: str, emb_col: str,
     are exactly verified — never a cross join.  Hot buckets are capped
     with head-pairing (same bounded shape as the MinHash/SimHash
     paths)."""
-    from .similarity import cosine, hyperplanes, lsh_bucket
+    from .similarity import (
+        LSH_PLAN_LITERAL_BUDGET, cosine, hyperplanes, lsh_bucket,
+        lsh_buckets_udf,
+    )
 
     if dim is None:
         # lazy fallback only — callers that know the embedding width should
@@ -264,14 +299,26 @@ def embedding_near_dups(df: DataFrame, id_col: str, emb_col: str,
             return df.sparkSession.createDataFrame(
                 [], f"id_a {id_type}, id_b {id_type}, cosine double")
         dim = len(probe[0])
-    tables = F.array(*[
-        F.struct(
-            F.lit(t).alias("tbl"),
-            lsh_bucket(F.col(emb_col), hyperplanes(dim, n_bits, seed + t)).alias("bkt"),
-        )
-        for t in range(n_tables)
-    ])
-    banded = df.select(F.col(id_col).alias("_id"), tables.alias("_ts")).select(
+    planes = [hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
+    if dim * n_bits * n_tables <= LSH_PLAN_LITERAL_BUDGET:
+        tables = F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col(emb_col), planes[t]).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ])
+        banded = df.select(F.col(id_col).alias("_id"), tables.alias("_ts"))
+    else:
+        # high-dim path: ONE Arrow matmul yields every table's bucket id
+        # (the Column form would plant dim × n_bits × n_tables literal
+        # multiply-adds in a single projection — Catalyst analysis and
+        # codegen blow up at production embedding widths)
+        bkts = lsh_buckets_udf(planes)(F.col(emb_col))
+        tables = F.transform(
+            bkts, lambda b, i: F.struct(i.alias("tbl"), b.alias("bkt")))
+        banded = df.select(F.col(id_col).alias("_id"), tables.alias("_ts"))
+    banded = banded.select(
         "_id", F.explode("_ts").alias("tb")
     ).select("_id", "tb.tbl", "tb.bkt")
     ranked = banded.withColumn(

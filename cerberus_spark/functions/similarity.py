@@ -90,6 +90,47 @@ def lsh_bucket(emb: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+#: above this many literal multiply-adds (dim × total_bits) in one
+#: projection, sign-signatures switch from Column algebra to the Arrow
+#: batched matmul — at production embedding widths (768-1536), 4 tables
+#: × 12 bits × 1536 dims ≈ 74k expression nodes would blow up Catalyst
+#: analysis/codegen (r3 VERDICT item 4)
+LSH_PLAN_LITERAL_BUDGET = 4096
+
+
+def lsh_buckets_udf(planes_list: list[np.ndarray]) -> Column:
+    """Factory: Arrow-batched multi-table LSH signature.  ONE
+    (batch × dim) @ (dim × total_bits) matmul covers every table; bits
+    sign-pack per table into ``array<long>`` (one bucket id per table).
+    Bit-for-bit identical to ``lsh_bucket`` per table (pinned by
+    test_lsh_udf_equals_column)."""
+    P = np.vstack([np.asarray(p, dtype=np.float64) for p in planes_list])
+    sizes = [int(np.asarray(p).shape[0]) for p in planes_list]
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(int)
+    packs = [np.left_shift(np.int64(1), np.arange(n, dtype=np.int64))
+             for n in sizes]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(emb: pd.Series) -> pd.Series:
+        X = np.vstack(emb.to_numpy())
+        B = (X @ P.T) > 0  # (n, total_bits)
+        cols = [B[:, o:o + n].astype(np.int64) @ packs[t]
+                for t, (o, n) in enumerate(zip(offsets, sizes))]
+        M = np.stack(cols, axis=1)  # (n, n_tables)
+        return pd.Series(list(M))
+
+    return _buckets
+
+
+def lsh_bucket_auto(emb: Column, planes: np.ndarray) -> Column:
+    """Single-table signature, path picked by plan size: Column algebra
+    below ``LSH_PLAN_LITERAL_BUDGET`` literal terms, Arrow matmul above."""
+    n_bits, dim = planes.shape
+    if n_bits * dim <= LSH_PLAN_LITERAL_BUDGET:
+        return lsh_bucket(emb, planes)
+    return F.get(lsh_buckets_udf([planes])(emb), 0)
+
+
 def lsh_topk(df: DataFrame, emb_col: str, query, k: int = 10,
              id_col: str = "doc_id", n_bits: int = 12, seed: int = 42,
              dim: int | None = None, multiprobe: int = 0) -> DataFrame:
@@ -105,7 +146,7 @@ def lsh_topk(df: DataFrame, emb_col: str, query, k: int = 10,
     probes = [qbucket]
     for flip in range(min(multiprobe, n_bits)):
         probes.append(qbucket ^ (1 << flip))
-    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(emb_col), planes))
+    bucketed = df.withColumn("_bucket", lsh_bucket_auto(F.col(emb_col), planes))
     cand = bucketed.filter(F.col("_bucket").isin(probes))
     return brute_force_topk(cand, emb_col, query, k, id_col)
 
@@ -118,15 +159,41 @@ def lsh_topk(df: DataFrame, emb_col: str, query, k: int = 10,
 def train_centroids(df: DataFrame, emb_col: str, n_cells: int = 16,
                     sample: int = 2048, iters: int = 5, seed: int = 42) -> np.ndarray:
     """k-means-lite on a seeded driver-side sample (the coarse quantizer
-    codebook is tiny and broadcast; training cost is O(sample))."""
-    rows = df.select(emb_col).limit(sample).collect()
+    codebook is tiny and broadcast; training cost is O(sample)).
+
+    The sample SPANS partitions: ``orderBy(rand(seed)).limit(n)`` is a
+    per-partition partial top-k merged on the driver (TakeOrderedAndProject
+    — one scan, no full sort).  A bare ``limit(n)`` would take rows from
+    the first partitions scanned, so at 100 TB the codebook would train
+    on one file's worth of possibly-sorted data and silently degrade
+    every probe's recall."""
+    rows = (df.select(emb_col)
+            .orderBy(F.rand(seed))
+            .limit(sample).collect())
     X = np.asarray([r[0] for r in rows], dtype=float)
+    # lexicographic sort → the codebook depends only on the sample SET,
+    # not on partition arrival order (deterministic across reruns)
+    X = X[np.lexsort(X.T[::-1])]
     rng = np.random.default_rng(seed)
-    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    k = min(n_cells, len(X))
+    # k-means++ seeding (incremental min-distance update — O(n·dim) per
+    # centroid, no n×k×dim temporary)
+    cent = np.empty((k, X.shape[1]), dtype=float)
+    cent[0] = X[rng.integers(len(X))]
+    d2 = ((X - cent[0]) ** 2).sum(1)
+    for c in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            cent[c:] = X[rng.integers(len(X), size=k - c)]
+            break
+        cent[c] = X[rng.choice(len(X), p=d2 / total)]
+        d2 = np.minimum(d2, ((X - cent[c]) ** 2).sum(1))
+    x_sq = (X * X).sum(1)
     for _ in range(iters):
-        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        # ||x-c||² = ||x||² - 2x·c + ||c||² via matmul (no 3-D temporary)
+        d = x_sq[:, None] - 2.0 * (X @ cent.T) + (cent * cent).sum(1)[None, :]
         assign = d.argmin(1)
-        for c in range(len(cent)):
+        for c in range(k):
             members = X[assign == c]
             if len(members):
                 cent[c] = members.mean(0)

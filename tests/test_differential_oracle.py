@@ -194,3 +194,24 @@ def test_per_turn_text_equality_under_stable_ordering(spark):
     assert len(got) == len(ref_norm)
     for g, r in zip(got, ref_norm):
         assert g.text == (r or {}).get("text"), (g.conv_id, g.turn_idx, g.text, r)
+
+
+def test_transcripts_fixture_in_sync():
+    """The committed flagship fixture parquet equals a fresh
+    synthesize(5000, seed=42) — guards against editing the synthesizer
+    without rerunning scripts/make_transcripts_fixture.py (the DuckDB
+    flagship oracle reads the committed file)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    fix = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "tests", "fixtures", "transcripts_oracle.parquet")
+    got = pq.read_table(fix).to_pandas()
+    want, _ = synthesize(5000, seed=42)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) == 5000
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)

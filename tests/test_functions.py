@@ -476,3 +476,60 @@ def test_streaming_drift_foreach_batch(spark, tmp_path):
     # batch 2 is all-system vs batch-1's user/assistant split → big PSI
     assert rows["role"]["psi"] > 1.0
     assert rows["role"]["kl"] > 0.5
+
+
+def test_train_centroids_spans_sorted_input(spark):
+    """r3 VERDICT item 3: the codebook sample must span partitions.
+    Input sorted by norm (partition 0 holds only tiny vectors) must
+    still yield centroids spanning the value range — a bare limit(n)
+    would train the whole codebook on the small-norm head."""
+    import numpy as np
+
+    rows = [(i, [float(i), float(i)]) for i in range(2000)]
+    df = (spark.createDataFrame(rows, "doc_id long, emb array<double>")
+          .repartitionByRange(8, "doc_id"))  # sorted layout, 8 partitions
+    cent = similarity.train_centroids(df, "emb", n_cells=8, sample=256, seed=7)
+    norms = np.linalg.norm(cent, axis=1)
+    # with a biased first-partition sample every centroid would sit
+    # below ~250*sqrt(2); spanning centroids must reach the top quartile
+    assert norms.max() > 1500 * np.sqrt(2)
+    assert norms.min() < 500 * np.sqrt(2)
+
+
+def test_lsh_udf_equals_column(spark):
+    """The Arrow-batched multi-table signature is bit-for-bit the
+    Column-algebra lsh_bucket, table by table (16-dim identity), and the
+    768-dim path builds/plans without literal blow-up."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, emb array<double>")
+    planes = [similarity.hyperplanes(16, 12, seed=42 + t) for t in range(4)]
+    col_side = df.select(
+        "doc_id",
+        F.array(*[similarity.lsh_bucket(F.col("emb"), p) for p in planes]).alias("b"),
+    )
+    udf_side = df.select(
+        "doc_id", similarity.lsh_buckets_udf(planes)(F.col("emb")).alias("b"))
+    got_c = {r.doc_id: list(r.b) for r in col_side.collect()}
+    got_u = {r.doc_id: list(r.b) for r in udf_side.collect()}
+    assert got_c == got_u
+
+    # 768-dim: forced onto the UDF path; near-identical embeddings pair up
+    base = rng.standard_normal(768)
+    wide_rows = [(i, [float(x) for x in base + 1e-4 * rng.standard_normal(768)])
+                 for i in range(6)]
+    wide_rows += [(100 + i, [float(x) for x in rng.standard_normal(768)])
+                  for i in range(6)]
+    wdf = spark.createDataFrame(wide_rows, "doc_id long, emb array<double>")
+    pairs = dedup.embedding_near_dups(wdf, "doc_id", "emb", threshold=0.99,
+                                      dim=768)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expect = {(a, b) for a in range(6) for b in range(6) if a < b}
+    assert got == expect
+
+    # single-query ANN over 768-dim also picks the UDF path
+    top = similarity.lsh_topk(wdf, "emb", wide_rows[0][1], k=3,
+                              id_col="doc_id", n_bits=12, multiprobe=2)
+    assert top.first().doc_id in range(6)
