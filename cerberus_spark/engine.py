@@ -32,7 +32,7 @@ from .operators.compile import (
     collect_violations,
     make_violation,
 )
-from .operators.normalize import Normalizer, has_normalization
+from .operators.normalize import Normalizer, Slot, has_normalization
 
 
 class ValidationResult:
@@ -115,6 +115,7 @@ class SparkValidator:
         setters: Mapping | None = None,
         types: Mapping | None = None,
         rules: Mapping | None = None,
+        on_key_collision: str = "error",
     ):
         # ``rules`` registers custom NAMED rules usable in schemas — the
         # engine's version of subclassing the reference with
@@ -143,7 +144,11 @@ class SparkValidator:
             custom_types=dict(types or {}),
             custom_rules=self._custom_rules,
         )
-        self.normalizer = Normalizer(coercers, setters, null_semantics)
+        if on_key_collision not in ("error", "last_wins"):
+            raise ValueError(
+                "on_key_collision must be 'error' or 'last_wins'")
+        self.normalizer = Normalizer(coercers, setters, null_semantics,
+                                     on_key_collision=on_key_collision)
         self.compiler = RuleCompiler(self.ctx)
         # compile-once memo per input schema (reference analog: the
         # schema-validation cache, validator.py:136-140) — the Column
@@ -163,12 +168,12 @@ class SparkValidator:
         return df.select(*exprs)
 
     def _build_select(self, df: DataFrame) -> list[Column]:
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
         colmap = self.normalizer.plan_columns(
-            self.schema.expanded, df.columns,
+            self.schema.expanded, df.columns, dtypes,
             purge_unknown=self.purge_unknown, purge_readonly=self.purge_readonly,
             key_cols=self.key_cols, rename_handler=self.rename_handler,
         )
-        dtypes = {f.name: f.dataType for f in df.schema.fields}
 
         # 0. materialize literal defaults for schema fields missing from
         # the DataFrame (reference: normalization inserts the default into
@@ -181,7 +186,7 @@ class SparkValidator:
             except Exception:
                 continue
             synth = f"__default__{fname}"
-            colmap[fname] = synth
+            colmap[fname] = Slot(None, synth)
             dtypes[synth] = lit_type
 
         # 1. normalization pass — build normalized value expressions.
@@ -204,12 +209,13 @@ class SparkValidator:
         norm_violations: list[Column] = []
 
         def _resolve_field(out_name: str, cycle: bool = False) -> None:
-            in_name = colmap[out_name]
-            if in_name.startswith("__default__"):
-                col = F.lit(self.schema.expanded[out_name]["default"]).cast(dtypes[in_name])
-                dtype = dtypes[in_name]
+            slot = colmap[out_name]
+            if slot.expr is None:
+                col = F.lit(self.schema.expanded[out_name]["default"]).cast(
+                    dtypes[slot.anchor])
+                dtype = dtypes[slot.anchor]
             else:
-                col, dtype = F.col(in_name), dtypes[in_name]
+                col, dtype = slot.expr, dtypes[slot.anchor]
             rules = self.schema.expanded.get(out_name)
             # validator-level purge_unknown recurses into subdocuments via
             # the child-validator flag inheritance (validator.py:843-849),
@@ -248,8 +254,8 @@ class SparkValidator:
         # `readonly` test pre-normalization presence (absent fields that
         # gained a default must not trip readonly)
         originals = {
-            name: (F.lit(None) if colmap[name].startswith("__default__")
-                   else F.col(colmap[name]))
+            name: (F.lit(None) if colmap[name].expr is None
+                   else colmap[name].expr)
             for name in colmap
         }
         scope = Scope(dict(norm_exprs), originals=originals)

@@ -21,17 +21,21 @@ Stage mapping (reference → Spark):
                        deviation: the reference keeps the un-coerced value,
                        a single-typed Spark column cannot)
 
-Documented deviations (both corner cases, both deliberate):
+Rename semantics (parity since r4): renames apply SEQUENTIALLY over
+the ORIGINAL document keys in layout order, exactly like the
+reference's dict moves (validator.py:900-918) — chains (``a→b`` plus
+``b→c``) compose when the intermediate key was originally present, a
+present source clobbers an existing target, shared targets resolve
+last-present-wins; runtime presence is non-NULL, compiled into CASE
+expressions by ``fold_renames``.
 
-* rename CHAINS (``a→b`` plus ``b→c``) — the reference applies renames
-  sequentially in schema-dict order, so whether ``a`` ends up at ``b``
-  or travels on to ``c`` depends on key order; the engine applies every
-  rename as a SINGLE step (deterministic, order-independent).  Same-
-  target renames (``a→g``, ``b→g``) DO follow the reference's
-  last-present-wins semantics (test_same_target_renames_last_wins).
+Documented deviation (corner case, deliberate, opt-out available):
+
 * keysrules key coercions that COLLIDE (two keys coerce to the same
-  string) — the reference warns and clobbers; the engine surfaces
-  Spark's DUPLICATED_MAP_KEY instead of silently dropping an entry.
+  string) — the reference warns and clobbers (last wins); the engine
+  default surfaces Spark's DUPLICATED_MAP_KEY instead of silently
+  dropping an entry.  ``SparkValidator(on_key_collision='last_wins')``
+  selects the reference behavior.
 """
 
 from __future__ import annotations
@@ -128,64 +132,128 @@ def _upper(col, dtype):
     return F.upper(col), T.StringType()
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class Slot:
+    """A planned output column: the rename-resolved value expression
+    and the input column anchoring its dtype.  ``expr is None`` marks a
+    synthesized literal-default slot (engine materializes it)."""
+    expr: "Column | None"
+    anchor: str
+
+
+def fold_renames(schema: Mapping, slots: dict[str, Column],
+                 slot_dtypes: dict[str, T.DataType], order: list[str],
+                 presence: dict[str, Column],
+                 ) -> tuple[dict[str, Column], dict[str, str]]:
+    """Reference rename semantics (validator.py:900-918): the reference
+    iterates the ORIGINAL document keys — ``for field in tuple(mapping)``
+    — in document layout order; each visited key whose rules carry
+    ``rename`` moves its CURRENT value (which may be an earlier move's
+    deposit) onto the target, clobbering it, and deletes itself.  So a
+    chain ``a→b`` + ``b→c`` forwards ``a``'s value to ``c`` only when
+    ``b`` was itself originally present (otherwise the value parks at
+    ``b``), and layout order — not schema order — sequences the moves.
+
+    Compiled here as a symbolic fold: per input slot a CASE expression
+    conditioned on the ORIGINAL runtime presence (non-NULL) of each
+    visited key.  Statically-dead slots (provably always NULL) are
+    dropped from the result.
+
+    Returns ``(slot exprs, anchor input name per slot)`` — the anchor
+    carries the slot's dtype and must agree across joined chains."""
+    state = dict(slots)
+    anchor = {k: k for k in slots}
+    maybe = {k: True for k in slots}    # slot can hold a value at all
+    foreign = {k: False for k in slots}  # slot may hold a deposited value
+    for f in order:
+        rules = schema.get(f)
+        if not (isinstance(rules, Mapping) and "rename" in rules):
+            continue
+        if not maybe.get(f):
+            continue  # statically always-absent: the move never fires
+        tgt = rules["rename"]
+        p = presence[f]
+        cur_f = state[f]
+        f_dt = slot_dtypes[anchor[f]]
+        if tgt in anchor and \
+                slot_dtypes[anchor[tgt]].simpleString() != f_dt.simpleString():
+            raise SchemaError(
+                f"rename '{f}'→'{tgt}' joins fields of different types "
+                f"({f_dt.simpleString()} vs "
+                f"{slot_dtypes[anchor[tgt]].simpleString()})")
+        old_t = state.get(tgt) if maybe.get(tgt) else None
+        state[tgt] = (F.when(p, cur_f).otherwise(old_t)
+                      if old_t is not None else F.when(p, cur_f))
+        anchor.setdefault(tgt, anchor[f])
+        maybe[tgt], foreign[tgt] = True, True
+        # f emptied when present; an earlier deposit survives only when
+        # f was originally absent
+        if foreign[f]:
+            state[f] = F.when(p, F.lit(None).cast(f_dt)).otherwise(cur_f)
+            maybe[f] = True
+        else:
+            state[f] = F.lit(None).cast(f_dt)
+            maybe[f] = False
+    return ({k: v for k, v in state.items() if maybe.get(k)},
+            {k: a for k, a in anchor.items() if maybe.get(k)})
+
+
 class Normalizer:
     """Compiles the normalization rules of a schema into
     (normalized column map, violations array, output dtypes)."""
 
     def __init__(self, coercers: Mapping[str, CoercerFn] | None = None,
                  setters: Mapping[str, Callable] | None = None,
-                 null_semantics: str = "absent"):
+                 null_semantics: str = "absent",
+                 on_key_collision: str = "error"):
         self.coercers = dict(_BUILTIN_COERCERS)
         if coercers:
             self.coercers.update(coercers)
         self.setters = dict(setters or {})
         self.null_semantics = null_semantics
+        self.on_key_collision = on_key_collision
 
     # -- compile-time column-set operations ---------------------------------
 
     def plan_columns(self, schema: Mapping, input_cols: list[str],
+                     input_dtypes: Mapping[str, T.DataType],
                      *, purge_unknown: bool = False, purge_readonly: bool = False,
                      key_cols: tuple = (),
-                     rename_handler=None) -> dict[str, str]:
-        """Resolve rename/purge into an {output_name: input_name} map.
+                     rename_handler=None) -> "dict[str, Slot]":
+        """Resolve rename/purge into an {output_name: Slot} map (a Slot
+        carries the rename-resolved value expression and the input
+        column anchoring its dtype).
 
-        reference: rename validator.py:900-918, rename_handler 920-937
+        reference: rename validator.py:900-918 (sequential document-order
+        dict moves — see ``fold_renames``), rename_handler 920-937
         (applied to unknown fields), purge_unknown 893-898,
-        purge_readonly 887-891 — all compile-time for fixed columns.
+        purge_readonly 887-891.
         """
-        renames = {}
-        readonly_fields = set()
-        for fname, rules in schema.items():
-            if "rename" in rules:
-                renames[fname] = rules["rename"]
-            if rules.get("readonly"):
-                readonly_fields.add(fname)
-        out: dict[str, str] = {}
+        readonly_fields = {f for f, r in schema.items() if r.get("readonly")}
+        exprs, anchors = fold_renames(
+            schema,
+            {c: F.col(c) for c in input_cols},
+            dict(input_dtypes),
+            list(input_cols),
+            {c: F.col(c).isNotNull() for c in input_cols},
+        )
         known_targets = set(schema) | set(key_cols)
-        for col in input_cols:
-            target = renames.get(col, col)
-            if target not in known_targets and rename_handler is not None:
-                target = rename_handler(target)
-            if purge_unknown and target not in known_targets:
+        out: dict[str, Slot] = {}
+        for target in exprs:
+            name = target
+            if name not in known_targets and rename_handler is not None:
+                name = rename_handler(name)
+            if purge_unknown and name not in known_targets:
                 continue
-            if purge_readonly and target in readonly_fields:
+            if purge_readonly and name in readonly_fields:
                 continue
-            out[target] = col
+            out[name] = Slot(exprs[target], anchors[target])
         return out
 
     # -- per-field value normalization ---------------------------------------
-
-    @staticmethod
-    def _clobbered_key(k: Column, value: Column, renames: Mapping,
-                       key_type: T.DataType) -> Column:
-        """Is map key ``k`` an existing entry that a present rename
-        source is about to overwrite?"""
-        cond = F.lit(False)
-        for src, tgt in renames.items():
-            cond = cond | (
-                (k == F.lit(tgt).cast(key_type)) & F.map_contains_key(value, src)
-            )
-        return cond
 
     def _coerce_chain(self, chain) -> list[CoercerFn]:
         chain = [chain] if isinstance(chain, str) or callable(chain) else list(chain)
@@ -313,37 +381,19 @@ class Normalizer:
                 eff_allow = rules.get("allow_unknown", allow_unknown)
                 eff_purge = bool(rules.get("purge_unknown", purge_unknown)) \
                     and eff_allow is False
-                # nested rename (validator.py:900-918 via the child
-                # validator): source field k moves to sub[k]['rename'];
-                # renames apply SEQUENTIALLY in schema order like the
-                # reference's dict moves — a present source clobbers an
-                # existing target field, and when several sources share a
-                # target the LAST present one in schema order wins
-                # (earlier ones fall through when it is absent)
+                # nested rename: the reference's document-order dict
+                # moves via the child validator (validator.py:900-918),
+                # compiled by the shared fold (see fold_renames) over
+                # the struct's field layout
                 in_names = {f.name: f for f in dtype.fields}
-                renames = {k: r["rename"] for k, r in sub.items()
-                           if isinstance(r, Mapping) and "rename" in r
-                           and k in in_names}
-                by_target: dict[str, list[str]] = {}
-                for src, tgt in renames.items():
-                    by_target.setdefault(tgt, []).append(src)
-
-                def _target_value(tgt, existing_sv, existing_sdt):
-                    """coalesce(last source, ..., first source, existing)
-                    — reference sequential-move semantics."""
-                    anchor = (existing_sdt
-                              or in_names[by_target[tgt][0]].dataType)
-                    parts = []
-                    for src in reversed(by_target[tgt]):
-                        if in_names[src].dataType.simpleString() != \
-                                anchor.simpleString():
-                            raise SchemaError(
-                                f"rename '{src}'→'{tgt}' joins struct fields of "
-                                f"different types")
-                        parts.append(value.getField(src))
-                    if existing_sv is not None:
-                        parts.append(existing_sv)
-                    return parts[0] if len(parts) == 1 else F.coalesce(*parts)
+                slot_exprs, slot_anchor = fold_renames(
+                    sub,
+                    {f.name: value.getField(f.name) for f in dtype.fields},
+                    {f.name: f.dataType for f in dtype.fields},
+                    [f.name for f in dtype.fields],
+                    {f.name: value.getField(f.name).isNotNull()
+                     for f in dtype.fields},
+                )
 
                 def _needs_recurse(srules):
                     # recurse for normalization rules OR, when purging,
@@ -357,36 +407,10 @@ class Normalizer:
                     )
 
                 new_fields, sub_types = [], []
-                for f in dtype.fields:
-                    if f.name in renames:
-                        continue  # moved to its target slot below
-                    out_name, sv, sdt = f.name, value.getField(f.name), f.dataType
-                    if f.name in by_target:
-                        sv = _target_value(f.name, sv, sdt)
-                    if eff_purge and out_name not in sub:
-                        continue
-                    srules = sub.get(out_name)
-                    if _needs_recurse(srules):
-                        sv, sdt, v2 = self.normalize_field(
-                            out_name, srules, sv, sdt, doc_path + [out_name],
-                            spath + [fname, "schema"],
-                            purge_unknown=eff_purge, allow_unknown=eff_allow,
-                        )
-                        # nested violations only apply when the parent exists
-                        nested_arrays.append(
-                            F.when(original.isNotNull(), v2).otherwise(empty_violations())
-                        )
-                    new_fields.append(sv.alias(out_name))
-                    sub_types.append(T.StructField(out_name, sdt, True))
-                # rename targets that are NOT existing struct fields gain
-                # ONE new slot each (all their sources coalesced)
-                for tgt, srcs in by_target.items():
-                    if tgt in in_names:
-                        continue
+                for tgt, sv in slot_exprs.items():
                     if eff_purge and tgt not in sub:
                         continue
-                    sv = _target_value(tgt, None, None)
-                    sdt = in_names[srcs[0]].dataType
+                    sdt = in_names[slot_anchor[tgt]].dataType
                     srules = sub.get(tgt)
                     if _needs_recurse(srules):
                         sv, sdt, v2 = self.normalize_field(
@@ -394,6 +418,7 @@ class Normalizer:
                             spath + [fname, "schema"],
                             purge_unknown=eff_purge, allow_unknown=eff_allow,
                         )
+                        # nested violations only apply when the parent exists
                         nested_arrays.append(
                             F.when(original.isNotNull(), v2).otherwise(empty_violations())
                         )
@@ -458,46 +483,43 @@ class Normalizer:
                                f"value:{vdt.simpleString()}>>")
                     entries = F.map_entries(value)
                     if renames:
-                        # a present source clobbers an existing target
-                        # entry, and when several sources share a target
-                        # the LAST present one in schema order wins — its
-                        # earlier co-sources drop (the reference's
-                        # sequential dict moves, validator.py:900-918)
-                        srcs_in_order = list(renames)
+                        # the reference's DOCUMENT-order dict moves
+                        # (validator.py:900-918: ``for field in
+                        # tuple(mapping)``): iterate the ORIGINAL
+                        # entries snapshot in entry order; each visited
+                        # key with a rename rule moves its CURRENT
+                        # value (possibly an earlier move's deposit)
+                        # onto the target — clobbering any existing
+                        # target entry — and deletes itself.  Chains
+                        # compose only through originally-present
+                        # intermediate keys, exactly like the
+                        # reference.  F.aggregate folds over the
+                        # snapshot while the accumulator carries the
+                        # evolving entries array (duplicate-free by
+                        # construction at every step).
+                        def _move(acc, src_k, tgt_k):
+                            acc2 = F.filter(
+                                acc,
+                                lambda e2: e2.getField("key") != tgt_k)
+                            return F.transform(
+                                acc2,
+                                lambda e2: F.struct(
+                                    F.when(e2.getField("key") == src_k, tgt_k)
+                                    .otherwise(e2.getField("key")).alias("key"),
+                                    e2.getField("value").alias("value")))
 
-                        def _superseded(k):
-                            cond = F.lit(False)
-                            for i, s in enumerate(srcs_in_order):
-                                later = [s2 for s2 in srcs_in_order[i + 1:]
-                                         if renames[s2] == renames[s]]
-                                if not later:
-                                    continue
-                                later_present = F.lit(False)
-                                for s2 in later:
-                                    later_present = later_present | \
-                                        F.map_contains_key(value, s2)
-                                cond = cond | (
-                                    (k == F.lit(s).cast(kt)) & later_present)
-                            return cond
-
-                        entries = F.filter(
-                            entries,
-                            lambda e: ~self._clobbered_key(
-                                e.getField("key"), value, renames, kt)
-                            & ~_superseded(e.getField("key")),
-                        )
-
-                        def _rename_entry(e):
-                            new_key = e.getField("key")
+                        def _visit(acc, e):
+                            out = acc
                             for src, tgt in renames.items():
-                                new_key = F.when(
-                                    e.getField("key") == F.lit(src).cast(kt),
-                                    F.lit(tgt).cast(kt),
-                                ).otherwise(new_key)
-                            return F.struct(new_key.alias("key"),
-                                            e.getField("value").alias("value"))
+                                src_k = F.lit(src).cast(kt)
+                                tgt_k = F.lit(tgt).cast(kt)
+                                out = F.when(
+                                    e.getField("key") == src_k,
+                                    _move(acc, src_k, tgt_k),
+                                ).otherwise(out)
+                            return out
 
-                        entries = F.transform(entries, _rename_entry)
+                        entries = F.aggregate(entries, entries, _visit)
                     if eff_purge:
                         known = [k for k in sub]
                         entries = (
@@ -603,9 +625,67 @@ class Normalizer:
             kdt = dtype.keyType
             _, new_kdt = self._apply_chain(fns, F.lit(None).cast(kdt), kdt)
             _k_fns, _k_dt = list(fns), kdt
-            value = F.transform_keys(
-                value, lambda k, _v: self._apply_chain(_k_fns, k, _k_dt)[0]
-            )
+            if self.on_key_collision == "last_wins" \
+                    and new_kdt.simpleString() == kdt.simpleString():
+                # EXACT reference collision semantics (validator.py:
+                # 800-824, pinned differentially): iterate the original
+                # keys in entry order; a key whose coercion maps to
+                # ITSELF stays; one mapping to a CURRENTLY-PRESENT other
+                # key overwrites that key's value and is KEPT; one
+                # mapping to an absent key moves (add coerced, delete
+                # original).  "Currently present" reads the live,
+                # mutating mapping — an aggregate fold carries it.
+                def _kv_visit(acc, e):
+                    k = e.getField("key")
+                    ck = self._apply_chain(_k_fns, k, _k_dt)[0]
+                    cur_v = F.get(
+                        F.filter(acc, lambda a: a.getField("key") == k), 0
+                    ).getField("value")
+                    overwrite = F.transform(
+                        acc,
+                        lambda a: F.struct(
+                            a.getField("key").alias("key"),
+                            F.when(a.getField("key") == ck, cur_v)
+                            .otherwise(a.getField("value")).alias("value")))
+                    moved = F.concat(
+                        F.filter(acc, lambda a: a.getField("key") != k),
+                        F.array(F.struct(ck.alias("key"),
+                                         cur_v.alias("value"))))
+                    return (
+                        F.when(ck == k, acc)
+                        .when(F.exists(acc, lambda a: a.getField("key") == ck),
+                              overwrite)
+                        .otherwise(moved))
+
+                ent0 = F.map_entries(value)
+                value = F.when(
+                    original.isNotNull(),
+                    F.map_from_entries(F.aggregate(ent0, ent0, _kv_visit)))
+            elif self.on_key_collision == "last_wins":
+                # type-CHANGING chain: the live-mapping fold cannot mix
+                # old- and new-typed keys in one entries array; coerce
+                # every key, keep the LAST entry per coerced key
+                # (documented approximation — collisions here require a
+                # non-injective cross-type chain)
+                ent = F.transform(
+                    F.map_entries(value),
+                    lambda e: F.struct(
+                        self._apply_chain(
+                            _k_fns, e.getField("key"), _k_dt)[0].alias("key"),
+                        e.getField("value").alias("value")))
+                rev = F.reverse(ent)
+                dedup = F.filter(
+                    rev,
+                    lambda e, i: ~F.exists(
+                        F.slice(rev, F.lit(1), i),
+                        lambda e2: e2.getField("key") == e.getField("key")))
+                value = F.when(
+                    original.isNotNull(),
+                    F.map_from_entries(F.reverse(dedup)))
+            else:
+                value = F.transform_keys(
+                    value, lambda k, _v: self._apply_chain(_k_fns, k, _k_dt)[0]
+                )
             dtype = T.MapType(new_kdt, dtype.valueType)
 
         # valuesrules coercion over dynamic maps (reference: container

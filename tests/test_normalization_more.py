@@ -321,3 +321,92 @@ def test_depth2_purge_unknown_map_values(spark):
     got = _norm_rows(spark, schema, rows, "payload map<string,string>",
                      allow_unknown=False)
     assert got[0]["payload"] == {"keep": "y"}
+
+
+def test_rename_chains_sequential(spark):
+    """r3 VERDICT item 6: renames apply sequentially in schema order
+    like the reference's dict moves — a→b declared before b→c sends a's
+    value on to c; the reversed declaration order stops it at b."""
+    # chain order: a→b first, then b→c ⇒ a travels to c
+    s_fwd = {"a": {"rename": "b"}, "b": {"rename": "c"}, "c": {"type": "string"}}
+    rows = [("A", "B", "C"), ("A", None, "C"), (None, "B", "C"), (None, None, None)]
+    ddl = "a string, b string, c string"
+    got = _norm_rows(spark, s_fwd, rows, ddl)
+    vals = [{k: r[k] for k in r.asDict() if k in ("b", "c") and r[k] is not None}
+            for r in got]
+    if cerberus is not None:
+        v = cerberus.Validator(s_fwd, allow_unknown=True)
+        docs = [{k: x for k, x in zip(("a", "b", "c"), row) if x is not None}
+                for row in rows]
+        expected = [v.normalized(d) for d in docs]
+        assert vals == expected
+    assert vals[0] == {"c": "A"}   # a→b clobbers B, then b's visit moves it on
+    # b was NOT originally present: the chain stops — a's value parks at b
+    assert vals[1] == {"b": "A", "c": "C"}
+    assert vals[2] == {"c": "B"}
+
+    # DOCUMENT order (column layout) sequences the moves, not schema
+    # order: with b laid out before a, b's move fires first (B→c), then
+    # a parks at the now-empty b slot
+    got2 = _norm_rows(spark, s_fwd, [("B", "A", "C")], "b string, a string, c string")
+    vals2 = [{k: r[k] for k in r.asDict() if k in ("b", "c") and r[k] is not None}
+             for r in got2]
+    if cerberus is not None:
+        v2 = cerberus.Validator(s_fwd, allow_unknown=True)
+        assert vals2 == [v2.normalized({"b": "B", "a": "A", "c": "C"})]
+    assert vals2[0] == {"b": "A", "c": "B"}
+
+
+def test_rename_chains_nested_struct_and_map(spark):
+    """Sequential rename moves inside struct and map subdocuments."""
+    sub = {"a": {"rename": "b"}, "b": {"rename": "c"}, "c": {"type": "string"}}
+    schema_struct = {"d": {"type": "dict", "schema": sub}}
+    rows = [(("A", "B", "C"),), ((None, "B", None),)]
+    got = _norm_rows(spark, schema_struct, rows,
+                     "d struct<a:string, b:string, c:string>")
+    d0 = {k: v for k, v in got[0]["d"].asDict().items() if v is not None}
+    d1 = {k: v for k, v in got[1]["d"].asDict().items() if v is not None}
+    if cerberus is not None:
+        v = cerberus.Validator(schema_struct, allow_unknown=True)
+        assert d0 == v.normalized({"d": {"a": "A", "b": "B", "c": "C"}})["d"]
+        assert d1 == v.normalized({"d": {"b": "B"}})["d"]
+    assert d0 == {"c": "A"}
+    assert d1 == {"c": "B"}
+
+    schema_map = {"payload": {"type": "dict", "schema": sub}}
+    rows_m = [({"a": "A", "b": "B", "c": "C"},), ({"b": "B"},), ({},)]
+    got_m = _norm_rows(spark, schema_map, rows_m, "payload map<string,string>")
+    pays = [dict(r["payload"]) for r in got_m]
+    if cerberus is not None:
+        v = cerberus.Validator(schema_map, allow_unknown=True)
+        assert pays == [v.normalized({"payload": dict(r[0])})["payload"]
+                        for r in rows_m]
+    assert pays[0] == {"c": "A"} and pays[1] == {"c": "B"} and pays[2] == {}
+
+
+def test_keysrules_collision_last_wins(spark):
+    """r3 VERDICT item 7: colliding coerced map keys — default surfaces
+    an error (DUPLICATED_MAP_KEY); on_key_collision='last_wins' clobbers
+    like the reference (warn + last wins)."""
+    schema = {"payload": {"type": "dict",
+                          "keysrules": {"coerce": "lower"}}}
+    rows = [({"A": "1", "a": "2", "B": "3"},)]
+    df = spark.createDataFrame(rows, "payload map<string,string>")
+
+    v_err = SparkValidator(schema, allow_unknown=True)
+    with pytest.raises(Exception, match="DUPLICATE"):
+        v_err.normalized(df).collect()
+
+    v_last = SparkValidator(schema, allow_unknown=True,
+                            on_key_collision="last_wins")
+    got = dict(v_last.normalized(df).collect()[0]["payload"])
+    if cerberus is not None:
+        import warnings
+        rv = cerberus.Validator(
+            {"payload": {"type": "dict", "keysrules": {"coerce": str.lower}}},
+            allow_unknown=True)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            expected = rv.normalized({"payload": {"A": "1", "a": "2", "B": "3"}})
+        assert got == expected["payload"]
+    assert got["b"] == "3" and got["a"] in ("1", "2")
