@@ -108,6 +108,7 @@ ORPHAN_REFERENCE = ErrorDefinition(0x102, "referential")
 ORDERING_VIOLATION = ErrorDefinition(0x103, "ordering")
 DRIFT_DETECTED = ErrorDefinition(0x104, "drift")
 STATS_BOUND = ErrorDefinition(0x105, "stats")
+DUPLICATE_CONTENT = ErrorDefinition(0x106, "dedup")
 
 
 #: Message table (reference: errors.py:469-506, verbatim format strings);

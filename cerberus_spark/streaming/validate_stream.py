@@ -135,7 +135,8 @@ def dataset_checks_foreach_batch(out_dir: str,
                                  key_cols: tuple = ("conv_id", "turn_idx"),
                                  conversations: DataFrame | None = None,
                                  conv_col: str = "conv_id",
-                                 n_salt: int = 16):
+                                 n_salt: int = 16,
+                                 dedup_text_col: str | None = None):
     """Streaming parity for the BATCH dataset checks: a foreachBatch
     callback running the salted uniqueness check and the referential
     anti-join per micro-batch (the north rule's dataset constraints over
@@ -201,11 +202,53 @@ def dataset_checks_foreach_batch(out_dir: str,
                 batch_df, conversations, conv_col, keys=keys)
             viol = viol.unionByName(orphans)
 
+        # exact-dedup fingerprint check (streaming analog of
+        # functions.dedup.exact_duplicates): a 64-bit content
+        # fingerprint per row, flagged within the batch AND against the
+        # durable fingerprint store of earlier epochs.  State is on
+        # DISK like the key store — scales to 10^12 fingerprints as a
+        # shuffle join over bucketable parquet, never executor memory.
+        fps = None
+        fp_store = f"{out_dir}/seen_fps"
+        if dedup_text_col is not None:
+            from ..functions.text import fingerprint
+            from ..operators.dataset import _violation_struct
+            from .. import errors as E
+            from pyspark.sql import Window as W
+            fps = batch_df.select(
+                *keys, fingerprint(F.col(dedup_text_col)).alias("_fp"))
+            w = W.partitionBy("_fp").orderBy(*keys)
+            dup_keys = (fps.withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") > 1).select(*keys, "_fp")
+                        .withColumn("_src", F.lit("within-batch")))
+            if fs_exists(spark, fp_store):
+                seen_fp = (spark.read.parquet(fp_store)
+                           .filter(F.col("epoch") < epoch_id).select("_fp"))
+                cross_d = (fps.join(seen_fp, "_fp", "left_semi")
+                           .select(*keys, "_fp")
+                           .withColumn("_src", F.lit("cross-batch")))
+                dup_keys = (dup_keys.unionByName(cross_d)
+                            .groupBy(*keys, "_fp")
+                            .agg(F.min("_src").alias("_src")))
+            dv = _violation_struct(
+                E.DUPLICATE_CONTENT,
+                F.array(F.lit(dedup_text_col)),
+                ["__dataset__", "dedup"],
+                f"fingerprint({dedup_text_col})",
+                F.col("_fp"), F.col("_src"),
+            )
+            dup_viol = (dup_keys.select(*keys, dv.alias("v"))
+                        .select(*keys, "v.*"))
+            viol = viol.unionByName(dup_viol)
+
         viol.write.mode("overwrite").parquet(
             f"{out_dir}/dataset_violations/epoch={epoch_id}")
         # commit this epoch's keys only after its violations are durable
         (batch_df.select(*keys).distinct()
          .write.mode("overwrite").parquet(f"{store}/epoch={epoch_id}"))
+        if fps is not None:
+            (fps.select("_fp").distinct()
+             .write.mode("overwrite").parquet(f"{fp_store}/epoch={epoch_id}"))
 
     return _run
 

@@ -533,3 +533,53 @@ def test_lsh_udf_equals_column(spark):
     top = similarity.lsh_topk(wdf, "emb", wide_rows[0][1], k=3,
                               id_col="doc_id", n_bits=12, multiprobe=2)
     assert top.first().doc_id in range(6)
+
+
+def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
+    """r3 VERDICT item 10: the streaming dataset checks also run the
+    exact-dedup fingerprint check against a durable fingerprint store —
+    an exact content duplicate whose two occurrences land in DIFFERENT
+    micro-batches is caught (and in-batch dups too)."""
+    import datetime as dt
+
+    from cerberus_spark.streaming.validate_stream import dataset_checks_foreach_batch
+
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "dd_src")
+    out = str(tmp_path / "dd_out")
+    ddl = "conv_id string, turn_idx int, text string, ts timestamp"
+    # batch 1: two distinct texts + an IN-batch exact dup (whitespace/case fold)
+    spark.createDataFrame(
+        [("c1", 0, "hello world", base),
+         ("c1", 1, "quite unique", base),
+         ("c2", 0, "Hello   WORLD", base)], ddl
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: cross-batch exact dup of batch-1 text + a fresh one
+    spark.createDataFrame(
+        [("c3", 0, "hello world", base),
+         ("c3", 1, "brand new", base)], ddl
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    cb = dataset_checks_foreach_batch(out, key_cols=("conv_id", "turn_idx"),
+                                      dedup_text_col="text")
+    q = (stream.writeStream.foreachBatch(cb)
+         .option("checkpointLocation", str(tmp_path / "dd_ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from cerberus_spark import errors as E
+    viol = spark.read.parquet(out + "/dataset_violations")
+    dups = {(r["conv_id"], r["turn_idx"], r["info"])
+            for r in viol.collect() if int(r["code"]) == E.DUPLICATE_CONTENT.code}
+    # in-batch: the second occurrence (c2,0 sorts after c1,0) flagged
+    assert ("c2", 0, "within-batch") in dups
+    # cross-batch: batch-2 (c3,0) matches batch-1's fingerprint store
+    assert ("c3", 0, "cross-batch") in dups
+    # no false positives on unique texts
+    assert not any(k[0:2] in {("c1", 1), ("c3", 1)} for k in dups)
+    assert not any(k[0:2] == ("c1", 0) for k in dups)
