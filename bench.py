@@ -126,7 +126,9 @@ def main() -> None:
     # best-of-N per head query: a single co-tenant burst on this shared
     # box inflates one-shot walls 2-20x (see BENCH/BASELINE.md noise
     # protocol) — the minimum over a few reps is the standard estimator
-    head_reps = int(os.environ.get("SPARK_GRAFT_HEAD_REPEAT", "2"))
+    # best-of-3 default: r3's 4.7x "topk regression" was a single
+    # co-tenant burst surviving best-of-2 (re-measured r4: 0.6-1.0s)
+    head_reps = int(os.environ.get("SPARK_GRAFT_HEAD_REPEAT", "3"))
     for name in heads:
         best = None
         for _ in range(max(1, head_reps)):

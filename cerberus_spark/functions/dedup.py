@@ -174,12 +174,44 @@ def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
     return _sig_from_sh64(_sh64_df(df, id_col, text_col, k), num_perm)
 
 
+def shingles_udf(k: int = 3) -> Column:
+    """Factory: Arrow-batched word k-shingles — set-identical to the
+    Column ``shingles`` spec (pinned by test_shingles_udf_equals_column)
+    but ~16× faster: the Column form's ``transform(sequence, slice,
+    concat_ws)`` is a CodegenFallback HOF that interprets its child
+    subtree per element (measured 8.3s vs 0.5s over sf0.1 documents).
+
+    Tokenization mirrors the JVM side exactly: ASCII-whitespace split
+    (Java ``\\s``; Python's default ``\\s``/``str.split`` are
+    unicode-wide) on the lowercased, edge-stripped text."""
+    import re
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _sh(s: pd.Series) -> pd.Series:
+        def f(t):
+            if t is None:
+                t = ""
+            t = t.lower().strip(" \t\n\r\f\v")
+            ws = ws_re.split(t) if t else []
+            if len(ws) >= k:
+                return list(dict.fromkeys(
+                    " ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)))
+            return [" ".join(ws)]
+        return s.map(f)
+
+    return _sh
+
+
 def _sh64_df(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Exploded pre-hashed shingle relation (_id, _sh64) — the shared
-    base of the signature aggregation AND the exact-Jaccard verify."""
+    base of the signature aggregation AND the exact-Jaccard verify.
+    Shingling runs on the Arrow path (see ``shingles_udf``); hashing
+    stays JVM-side."""
     return df.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), k)).alias("_sh"),
+        F.explode(shingles_udf(k)(F.col(text_col))).alias("_sh"),
     ).select("_id", F.xxhash64("_sh").alias("_sh64"))
 
 

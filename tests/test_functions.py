@@ -583,3 +583,13 @@ def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
     # no false positives on unique texts
     assert not any(k[0:2] in {("c1", 1), ("c3", 1)} for k in dups)
     assert not any(k[0:2] == ("c1", 0) for k in dups)
+
+
+def test_shingles_udf_equals_column(spark, docs):
+    """The Arrow shingler and the Column shingles spec produce identical
+    shingle SETS per document (incl. edge-whitespace and short texts)."""
+    col_side = {r.doc_id: set(r.s) for r in docs.select(
+        "doc_id", dedup.shingles(F.col("text"), 3).alias("s")).collect()}
+    udf_side = {r.doc_id: set(r.s) for r in docs.select(
+        "doc_id", dedup.shingles_udf(3)(F.col("text")).alias("s")).collect()}
+    assert col_side == udf_side
