@@ -144,15 +144,29 @@ class ValidationRun:
             for sub in ("summary", "violations", "annotated"):
                 fs_delete(spark, self._path(sub))
 
-        if pending:
-            self._run_validation_waves(df, done, pending, store, snap, shash,
-                                       predicate_set, lineage)
-        # fully resumed: zero writes — prior results stay durable as-is
+        # The three pipelines below are independent DAGs (the dataset
+        # checks and drift read the raw input, not the wave outputs).
+        # Submitting them from separate driver threads lets the
+        # scheduler overlap their jobs: at bench scale each job is
+        # sub-second of compute behind ~0.5 s of fixed scheduling +
+        # parquet-commit overhead, so sequential submission made the
+        # orchestration — not the compute — the wall clock (6.6 s vs a
+        # 0.32 s compute phase).  On a real cluster the same overlap
+        # hides the small jobs' latency behind the big scan.
+        from concurrent.futures import ThreadPoolExecutor
 
-        # -- dataset-level checks + drift: global invariants over the FULL
-        # input (narrow scans; column pruning reaches the parquet reader)
-        ds_counts = self._run_dataset_checks(spark, df, conversations)
-        drift = self._run_drift(spark, df)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fut_waves = pool.submit(
+                self._run_validation_waves, df, done, pending, store, snap,
+                shash, predicate_set, lineage,
+            ) if pending else None
+            fut_ds = pool.submit(self._run_dataset_checks, spark, df, conversations)
+            fut_drift = pool.submit(self._run_drift, spark, df)
+            if fut_waves is not None:
+                fut_waves.result()
+            # fully resumed: zero writes — prior results stay durable as-is
+            ds_counts = fut_ds.result()
+            drift = fut_drift.result()
 
         # -- report from the durable summary (covers all partitions,
         # this run's and previously committed ones alike).  An empty
@@ -217,11 +231,13 @@ class ValidationRun:
                 viol = annotated.select(
                     *keys, "part_id", F.explode("violations").alias("v")
                 ).select(*keys, "part_id", "v.*")
-                (viol.repartition("part_id")
-                     .write.mode("overwrite")
-                     .option("partitionOverwriteMode", "dynamic")
-                     .partitionBy("part_id")
-                     .parquet(self._path("violations")))
+
+                def _write_violations():
+                    (viol.repartition("part_id")
+                         .write.mode("overwrite")
+                         .option("partitionOverwriteMode", "dynamic")
+                         .partitionBy("part_id")
+                         .parquet(self._path("violations")))
 
                 # per-partition summary (second and last evaluation —
                 # failed ROWS can't be recovered from the violations table
@@ -232,10 +248,23 @@ class ValidationRun:
                     F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
                     F.sum(F.size("violations").cast("long")).alias("n_violations"),
                 ).withColumn("lineage", F.lit(lineage))
-                (summary.write.mode("overwrite")
-                        .option("partitionOverwriteMode", "dynamic")
-                        .partitionBy("part_id")
-                        .parquet(self._path("summary")))
+
+                def _write_summary():
+                    (summary.write.mode("overwrite")
+                            .option("partitionOverwriteMode", "dynamic")
+                            .partitionBy("part_id")
+                            .parquet(self._path("summary")))
+
+                # the two writes are independent evaluations of the same
+                # projection — overlap them; the checkpoint commit below
+                # waits for BOTH (committed state must describe durable
+                # violations AND summary)
+                from concurrent.futures import ThreadPoolExecutor as _TPE
+                with _TPE(max_workers=2) as wpool:
+                    fv = wpool.submit(_write_violations)
+                    fs = wpool.submit(_write_summary)
+                    fv.result()
+                    fs.result()
 
                 if cfg.write_annotated:
                     (annotated.repartition("part_id")
