@@ -100,13 +100,23 @@ def jaccard(a: Column, b: Column) -> Column:
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.8, k: int = 3,
                         num_perm: int = 32, bands: int = 8,
-                        bucket_cap: int = 200) -> DataFrame:
+                        bucket_cap: int = 200,
+                        persist_shingles: bool = True) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via LSH candidates
     (never a full cross join).  Candidate recall is the banding
     collision probability 1-(1-j^r)^bands (r = num_perm/bands) — near 1
     well above the threshold; the exact-Jaccard verify step makes
     precision 1."""
     sh64 = _sh64_df(df, id_col, text_col, k)
+    if persist_shingles:
+        # the exploded shingle relation feeds FOUR consumers (signature
+        # agg, per-doc sizes, both verify join sides) — without a cache
+        # each one re-scans the corpus and re-runs the Arrow shingler.
+        # Cheap at test scale; at 100 TB the 3 avoided corpus scans are
+        # the dominant cost.  MEMORY_AND_DISK spills, and the
+        # ContextCleaner drops the cache once the result plan is GC'd.
+        from pyspark import StorageLevel
+        sh64 = sh64.persist(StorageLevel.MEMORY_AND_DISK)
     cands = minhash_lsh_candidates(df, id_col, text_col, k=k,
                                    num_perm=num_perm, bands=bands,
                                    bucket_cap=bucket_cap, _sh64=sh64)

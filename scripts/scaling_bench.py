@@ -212,6 +212,12 @@ parallelism.
 Reference single-core baseline (BASELINE.md): ~2,200 turns/s for the
 flat transcript rule-set alone (no uniqueness/referential/drift).
 """
+    # per-round analysis notes live in BENCH/NOTES.md so regeneration
+    # never drops them (r4: a rerun silently wiped the r3 notes)
+    notes_path = os.path.join(REPO, "BENCH", "NOTES.md")
+    if os.path.exists(notes_path):
+        with open(notes_path) as f:
+            md += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)

@@ -598,3 +598,42 @@ def test_fuzz_rename_graphs_match_reference(spark):
                                  "schema": schema, "in": doc,
                                  "ref": ref_doc, "eng": eng_doc})
     assert failures == [], (len(failures), failures[:3])
+
+
+def test_fuzz_keysrules_collisions_match_reference(spark):
+    """keysrules key coercions under on_key_collision='last_wins':
+    random colliding key sets × {lower, strip, upper} chains replay the
+    reference's exact mutating-iteration semantics (overwrite-and-keep
+    vs move) — including the warn-path where a coerced key lands on a
+    LIVE key."""
+    import warnings
+
+    ref_chain = {"lower": str.lower, "strip": str.strip, "upper": str.upper}
+    key_pool = ["A", "a", " a", "a ", "B", "b", "C", "cc", " B ", "Aa"]
+
+    rng = random.Random(31337)
+    failures = []
+    for case_i in range(25):
+        coercer = rng.choice(sorted(ref_chain))
+        schema = {"payload": {"type": "dict", "keysrules": {"coerce": coercer}}}
+        ref_schema = {"payload": {"type": "dict",
+                                  "keysrules": {"coerce": ref_chain[coercer]}}}
+        rows = []
+        for _ in range(15):
+            ks = rng.sample(key_pool, k=rng.randint(1, 5))
+            rows.append(({k: f"v{j}" for j, k in enumerate(ks)},))
+        df = spark.createDataFrame(rows, "payload map<string,string>")
+        v = SparkValidator(schema, allow_unknown=True,
+                           on_key_collision="last_wins")
+        got = v.normalized(df).collect()
+        ref = cerberus.Validator(ref_schema, allow_unknown=True)
+        for row_i, (r, srow) in enumerate(zip(rows, got)):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                ref_doc = ref.normalized({"payload": dict(r[0])})
+            eng = dict(srow["payload"]) if srow["payload"] is not None else None
+            if eng != ref_doc["payload"]:
+                failures.append({"case": case_i, "row": row_i,
+                                 "coercer": coercer, "in": dict(r[0]),
+                                 "ref": ref_doc["payload"], "eng": eng})
+    assert failures == [], (len(failures), failures[:3])
