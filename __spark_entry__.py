@@ -355,6 +355,19 @@ def q_minhash_near_dups_documents(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_near_dedup_documents(spark, sf_dir):
+    """Full near-dedup pass: verified MinHash pairs → connected
+    components (distributed min-label propagation) → keep the min-id
+    representative per component plus all non-duplicated rows.  The
+    DuckDB oracle recomputes the components with a recursive CTE over
+    the exact all-pairs Jaccard graph, so the KEPT-row set is pinned
+    end-to-end (pair detection + component formation + drop policy)."""
+    docs = _read(spark, sf_dir, "documents")
+    kept = dedup.dedup_near(docs, "doc_id", "text", threshold=0.6,
+                            bucket_cap=1_000_000)
+    return kept.select("doc_id")
+
+
 def q_simhash_near_dups_documents(spark, sf_dir):
     """SimHash near-dups at hamming ≤ 8 with the pigeonhole banding
     (9 disjoint signature blocks → guaranteed recall) and exact-Hamming
@@ -489,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_topk_embeddings": q_multi_topk_embeddings,
         # dedup/ANN family — oracled by exact all-pairs SQL twins
         "minhash_near_dups_documents": q_minhash_near_dups_documents,
+        "near_dedup_documents": q_near_dedup_documents,
         "simhash_near_dups_documents": q_simhash_near_dups_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "embedding_near_dups": q_embedding_near_dups,
@@ -641,6 +655,26 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))::DOUBLE
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {threshold}
+"""
+
+
+# recursive-CTE connected components over the exact pair graph: min
+# reachable id per node; rows whose component root is another id drop
+_NEAR_DEDUP_SQL = f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql(0.6)}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)
 """
 
 
@@ -921,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
         # precision of the LSH/banding paths pinned to 1.0 on the fixture)
         "simhash_near_dups_documents": _simhash_pairs_sql(8),
         "minhash_near_dups_documents": _minhash_pairs_sql(0.6),
+        "near_dedup_documents": _NEAR_DEDUP_SQL,
         "embedding_near_dups": _EMBEDDING_PAIRS_SQL,
         "lsh_topk_embeddings": _LSH_TOPK_PLANTED_SQL,
         "multimodal_features_documents": """

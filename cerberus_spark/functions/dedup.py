@@ -307,6 +307,67 @@ def minhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str,
     return ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold)
 
 
+def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
+                         max_iters: int = 25) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``, where
+    ``component`` is the MINIMUM node id reachable through the pair
+    graph — distributed min-label propagation.
+
+    Each iteration joins the label table with the (bidirected) edge
+    list and takes the elementwise minimum; convergence needs
+    O(graph diameter) rounds (near-dup components are shallow — a
+    handful of rounds in practice).  The pair list is the OUTPUT of
+    near-dup detection, orders of magnitude smaller than the corpus,
+    so these are small shuffles; every step is a plain join+groupBy
+    (spillable, AQE-planned) with nothing driver-side."""
+    edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+             .unionByName(pairs.select(F.col(b).alias("src"),
+                                       F.col(a).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("comp", F.col("node")))
+    edges = edges.persist()
+    labels = labels.persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node",
+                    F.least("comp", F.coalesce("n_comp", "comp")).alias("comp"))
+        ).persist()
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_near(df: DataFrame, id_col: str, text_col: str,
+               threshold: float = 0.8, **lsh_kw) -> DataFrame:
+    """Near-dedup the corpus: detect verified near-dup pairs
+    (MinHash-LSH candidates → exact shingle Jaccard ≥ threshold), form
+    connected components, keep the MIN-id representative per component
+    plus every non-duplicated row — the standard training-data
+    near-dedup pass.  One left-anti join of the corpus against the
+    (tiny) drop list; no corpus-sized state anywhere."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold,
+                                **lsh_kw)
+    comps = connected_components(pairs)
+    drops = (comps.filter(F.col("node") != F.col("comp"))
+             .select(F.col("node").alias(id_col)))
+    return df.join(drops, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

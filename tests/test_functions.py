@@ -593,3 +593,25 @@ def test_shingles_udf_equals_column(spark, docs):
     udf_side = {r.doc_id: set(r.s) for r in docs.select(
         "doc_id", dedup.shingles_udf(3)(F.col("text")).alias("s")).collect()}
     assert col_side == udf_side
+
+
+def test_connected_components_and_near_dedup(spark, docs):
+    """Min-label propagation forms exact components (chain + triangle +
+    isolated pair), and dedup_near keeps min-id per component plus all
+    non-duplicated rows."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain: comp 1
+         (10, 11), (11, 12), (10, 12),  # triangle: comp 10
+         (20, 21)],                   # pair: comp 20
+        "id_a long, id_b long")
+    comps = {r.node: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1,
+                     10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    kept = dedup.dedup_near(docs, "doc_id", "text", threshold=0.5)
+    ids = {r.doc_id for r in kept.collect()}
+    # docs 0,1,7 are exact/near dups (jaccard 1.0) and 2 is a near-dup
+    # of 0 above 0.5 — one representative (min id 0) survives
+    assert 0 in ids and not {1, 2, 7} & ids
+    # uniques survive
+    assert {3, 4, 5, 6, 8} <= ids
