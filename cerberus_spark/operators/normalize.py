@@ -22,12 +22,16 @@ Stage mapping (reference → Spark):
                        a single-typed Spark column cannot)
 
 Rename semantics (parity since r4): renames apply SEQUENTIALLY over
-the ORIGINAL document keys in layout order, exactly like the
-reference's dict moves (validator.py:900-918) — chains (``a→b`` plus
-``b→c``) compose when the intermediate key was originally present, a
-present source clobbers an existing target, shared targets resolve
-last-present-wins; runtime presence is non-NULL, compiled into CASE
-expressions by ``fold_renames``.
+the ORIGINAL document keys, exactly like the reference's dict moves
+(validator.py:900-918) — chains (``a→b`` plus ``b→c``) compose when the
+intermediate key was originally present, a present source clobbers an
+existing target, shared targets resolve last-present-wins.  Move order:
+top-level columns and struct fields use their LAYOUT order (compiled
+into CASE expressions by ``fold_renames``; runtime presence =
+non-NULL); dynamic MAP keys use canonical SORTED order via an Arrow
+batch running the reference algorithm literally — a Spark map column
+carries no reliable entry order, so the reference's insertion-order
+dependence is unobservable there (documented semantic note).
 
 Documented deviation (corner case, deliberate, opt-out available):
 
@@ -43,6 +47,7 @@ from __future__ import annotations
 from collections.abc import Mapping
 from typing import Callable
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column, functions as F, types as T
 
 from .. import errors as E
@@ -483,43 +488,40 @@ class Normalizer:
                                f"value:{vdt.simpleString()}>>")
                     entries = F.map_entries(value)
                     if renames:
-                        # the reference's DOCUMENT-order dict moves
-                        # (validator.py:900-918: ``for field in
-                        # tuple(mapping)``): iterate the ORIGINAL
-                        # entries snapshot in entry order; each visited
-                        # key with a rename rule moves its CURRENT
-                        # value (possibly an earlier move's deposit)
-                        # onto the target — clobbering any existing
-                        # target entry — and deletes itself.  Chains
-                        # compose only through originally-present
-                        # intermediate keys, exactly like the
-                        # reference.  F.aggregate folds over the
-                        # snapshot while the accumulator carries the
-                        # evolving entries array (duplicate-free by
-                        # construction at every step).
-                        def _move(acc, src_k, tgt_k):
-                            acc2 = F.filter(
-                                acc,
-                                lambda e2: e2.getField("key") != tgt_k)
-                            return F.transform(
-                                acc2,
-                                lambda e2: F.struct(
-                                    F.when(e2.getField("key") == src_k, tgt_k)
-                                    .otherwise(e2.getField("key")).alias("key"),
-                                    e2.getField("value").alias("value")))
+                        # the reference's dict moves (validator.py:
+                        # 900-918: ``for field in tuple(mapping)``) run
+                        # literally per Arrow batch — but over the
+                        # SORTED key snapshot: a Spark map column has
+                        # no reliable entry order (createDataFrame
+                        # canonicalizes python dicts; the Arrow↔pandas
+                        # hop reorders again), so "document insertion
+                        # order" is unobservable here.  Canonical
+                        # sorted-key order makes the move sequence
+                        # deterministic for any storage layer; the
+                        # reference matches whenever the producer's
+                        # dict was key-sorted (documented semantic
+                        # note — struct fields and top-level columns
+                        # DO carry a layout order and use it).
+                        _rn = dict(renames)
 
-                        def _visit(acc, e):
-                            out = acc
-                            for src, tgt in renames.items():
-                                src_k = F.lit(src).cast(kt)
-                                tgt_k = F.lit(tgt).cast(kt)
-                                out = F.when(
-                                    e.getField("key") == src_k,
-                                    _move(acc, src_k, tgt_k),
-                                ).otherwise(out)
-                            return out
+                        @F.pandas_udf(T.MapType(kt, vdt))
+                        def _apply_renames(s: "pd.Series") -> "pd.Series":
+                            def run(m):
+                                if m is None:
+                                    return None
+                                m = dict(m)
+                                for k in sorted(m):
+                                    tgt = _rn.get(k)
+                                    if tgt is not None:
+                                        # reference: set THEN del — a
+                                        # self-rename (tgt == k) deletes
+                                        m[tgt] = m[k]
+                                        del m[k]
+                                return m
+                            return s.map(run)
 
-                        entries = F.aggregate(entries, entries, _visit)
+                        renamed = _apply_renames(F.map_from_entries(entries))
+                        entries = F.map_entries(renamed)
                     if eff_purge:
                         known = [k for k in sub]
                         entries = (
@@ -625,63 +627,64 @@ class Normalizer:
             kdt = dtype.keyType
             _, new_kdt = self._apply_chain(fns, F.lit(None).cast(kdt), kdt)
             _k_fns, _k_dt = list(fns), kdt
-            if self.on_key_collision == "last_wins" \
-                    and new_kdt.simpleString() == kdt.simpleString():
+            if self.on_key_collision == "last_wins":
                 # EXACT reference collision semantics (validator.py:
                 # 800-824, pinned differentially): iterate the original
-                # keys in entry order; a key whose coercion maps to
-                # ITSELF stays; one mapping to a CURRENTLY-PRESENT other
-                # key overwrites that key's value and is KEPT; one
-                # mapping to an absent key moves (add coerced, delete
-                # original).  "Currently present" reads the live,
-                # mutating mapping — an aggregate fold carries it.
-                def _kv_visit(acc, e):
-                    k = e.getField("key")
-                    ck = self._apply_chain(_k_fns, k, _k_dt)[0]
-                    cur_v = F.get(
-                        F.filter(acc, lambda a: a.getField("key") == k), 0
-                    ).getField("value")
-                    overwrite = F.transform(
-                        acc,
-                        lambda a: F.struct(
-                            a.getField("key").alias("key"),
-                            F.when(a.getField("key") == ck, cur_v)
-                            .otherwise(a.getField("value")).alias("value")))
-                    moved = F.concat(
-                        F.filter(acc, lambda a: a.getField("key") != k),
-                        F.array(F.struct(ck.alias("key"),
-                                         cur_v.alias("value"))))
-                    return (
-                        F.when(ck == k, acc)
-                        .when(F.exists(acc, lambda a: a.getField("key") == ck),
-                              overwrite)
-                        .otherwise(moved))
-
-                ent0 = F.map_entries(value)
-                value = F.when(
-                    original.isNotNull(),
-                    F.map_from_entries(F.aggregate(ent0, ent0, _kv_visit)))
-            elif self.on_key_collision == "last_wins":
-                # type-CHANGING chain: the live-mapping fold cannot mix
-                # old- and new-typed keys in one entries array; coerce
-                # every key, keep the LAST entry per coerced key
-                # (documented approximation — collisions here require a
-                # non-injective cross-type chain)
-                ent = F.transform(
+                # keys; a key whose coercion maps to ITSELF stays; one
+                # mapping to a CURRENTLY-PRESENT other key overwrites
+                # that key's value and is KEPT; one mapping to an
+                # absent key moves (add coerced, delete original).
+                # "Currently present" reads the live, mutating mapping.
+                # Split of labor: the JVM computes each entry's coerced
+                # key (arbitrary Column coercers, per-entry — no
+                # collision can fire), then an Arrow batch replays the
+                # reference's mutating iteration literally in Python.
+                # (A Column aggregate-fold over the entries mis-binds
+                # nested HOF lambda variables — found by fuzz — and a
+                # Spark map carries no reliable entry order anyway, so
+                # the iteration uses canonical sorted original-key
+                # order, like map renames.)
+                type_change = new_kdt.simpleString() != kdt.simpleString()
+                triples = F.transform(
                     F.map_entries(value),
                     lambda e: F.struct(
+                        e.getField("key").alias("k"),
                         self._apply_chain(
-                            _k_fns, e.getField("key"), _k_dt)[0].alias("key"),
-                        e.getField("value").alias("value")))
-                rev = F.reverse(ent)
-                dedup = F.filter(
-                    rev,
-                    lambda e, i: ~F.exists(
-                        F.slice(rev, F.lit(1), i),
-                        lambda e2: e2.getField("key") == e.getField("key")))
-                value = F.when(
-                    original.isNotNull(),
-                    F.map_from_entries(F.reverse(dedup)))
+                            _k_fns, e.getField("key"), _k_dt)[0].alias("ck"),
+                        e.getField("value").alias("v")))
+                _tc = type_change
+
+                @F.pandas_udf(T.MapType(new_kdt, dtype.valueType))
+                def _merge_keys(s: "pd.Series") -> "pd.Series":
+                    def run(arr):
+                        if arr is None:
+                            return None
+                        if _tc:
+                            # type-changing chain: kept-source original
+                            # keys cannot live in the new-typed map —
+                            # coerce every key, last entry per coerced
+                            # key wins (documented approximation; a
+                            # collision here needs a non-injective
+                            # cross-type chain)
+                            out = {}
+                            for r in sorted(arr, key=lambda r: r["k"]):
+                                out[r["ck"]] = r["v"]
+                            return out
+                        m = {r["k"]: r["v"] for r in arr}
+                        ck_of = {r["k"]: r["ck"] for r in arr}
+                        for k in sorted(ck_of):
+                            ck = ck_of[k]
+                            if ck == k:
+                                continue
+                            if ck in m:
+                                m[ck] = m[k]  # overwrite target, KEEP source
+                            else:
+                                m[ck] = m[k]
+                                del m[k]
+                        return m
+                    return s.map(run)
+
+                value = F.when(original.isNotNull(), _merge_keys(triples))
             else:
                 value = F.transform_keys(
                     value, lambda k, _v: self._apply_chain(_k_fns, k, _k_dt)[0]

@@ -609,7 +609,8 @@ def test_fuzz_keysrules_collisions_match_reference(spark):
     import warnings
 
     ref_chain = {"lower": str.lower, "strip": str.strip, "upper": str.upper}
-    key_pool = ["A", "a", " a", "a ", "B", "b", "C", "cc", " B ", "Aa"]
+    key_pool = ["A", "a", " a", "a ", "B", "b", "C", "cc", " B ", "Aa",
+                "AA", "aa", " aa", "b "]  # dense collisions under all 3 chains
 
     rng = random.Random(31337)
     failures = []
@@ -630,10 +631,75 @@ def test_fuzz_keysrules_collisions_match_reference(spark):
         for row_i, (r, srow) in enumerate(zip(rows, got)):
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
-                ref_doc = ref.normalized({"payload": dict(r[0])})
+                # engine iterates canonical SORTED key order (a Spark
+                # map carries no reliable entry order) — feed the
+                # reference the same order
+                ref_doc = ref.normalized({"payload": dict(sorted(r[0].items()))})
             eng = dict(srow["payload"]) if srow["payload"] is not None else None
             if eng != ref_doc["payload"]:
                 failures.append({"case": case_i, "row": row_i,
                                  "coercer": coercer, "in": dict(r[0]),
                                  "ref": ref_doc["payload"], "eng": eng})
+    assert failures == [], (len(failures), failures[:3])
+
+
+def test_fuzz_nested_rename_graphs_match_reference(spark):
+    """Random rename topologies INSIDE struct and map subdocuments: the
+    struct branch shares fold_renames; the map branch replays the
+    document-order moves with an aggregate over the runtime entries
+    snapshot — both must match the reference's child-validator moves."""
+    rng = random.Random(60606)
+    failures = []
+    keyspace = ["a", "b", "c", "d", "g"]
+    for case_i in range(20):
+        sub = {}
+        for k in keyspace[:4]:
+            if rng.random() < 0.6:
+                sub[k] = {"rename": rng.choice([x for x in keyspace if x != k])}
+            else:
+                sub[k] = {"type": "string"}
+        schema_map = {"payload": {"type": "dict", "schema": sub}}
+        rows = []
+        for _ in range(20):
+            ks = [k for k in keyspace[:4] if rng.random() < 0.7]
+            rng.shuffle(ks)  # producer order varies ...
+            rows.append(({k: f"v_{k}" for k in ks},))
+        df = spark.createDataFrame(rows, "payload map<string,string>")
+        v = SparkValidator(schema_map, allow_unknown=True)
+        got = v.normalized(df).collect()
+        ref = cerberus.Validator(schema_map, allow_unknown=True)
+        for row_i, (r, srow) in enumerate(zip(rows, got)):
+            # ... but createDataFrame CANONICALIZES python-dict entry
+            # order (verified: any insertion order materializes sorted),
+            # so the engine can only see the stored order — parity is
+            # defined on the entry order the column actually carries;
+            # feed the reference the same order
+            ref_doc = ref.normalized({"payload": dict(sorted(r[0].items()))})
+            eng = dict(srow["payload"]) if srow["payload"] is not None else None
+            if eng != ref_doc["payload"]:
+                failures.append({"case": case_i, "row": row_i, "sub": sub,
+                                 "in": dict(r[0]),
+                                 "ref": ref_doc["payload"], "eng": eng})
+
+        # struct variant: field layout IS the document order
+        schema_st = {"d": {"type": "dict", "schema": sub}}
+        st_rows = [((rng.choice(["X", None]), rng.choice(["Y", None]),
+                     rng.choice(["Z", None]), rng.choice(["W", None])),)
+                   for _ in range(10)]
+        sdf = spark.createDataFrame(
+            st_rows, "d struct<a:string, b:string, c:string, d:string>")
+        sv = SparkValidator(schema_st, allow_unknown=True)
+        sgot = sv.normalized(sdf).collect()
+        for row_i, (r, srow) in enumerate(zip(st_rows, sgot)):
+            doc = {k: x for k, x in zip(("a", "b", "c", "d"), r[0])
+                   if x is not None}
+            ref_doc = ref.normalized({"d" if False else "payload": doc}) \
+                if False else cerberus.Validator(
+                    schema_st, allow_unknown=True).normalized({"d": doc})
+            eng = ({k: v2 for k, v2 in srow["d"].asDict().items()
+                    if v2 is not None} if srow["d"] is not None else None)
+            if eng != ref_doc["d"]:
+                failures.append({"case": case_i, "row": row_i, "sub": sub,
+                                 "struct_in": doc,
+                                 "ref": ref_doc["d"], "eng": eng})
     assert failures == [], (len(failures), failures[:3])
