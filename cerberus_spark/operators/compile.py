@@ -48,19 +48,51 @@ from ..dsl import LOGICAL_OPS, NORMALIZATION_RULES, RuleSetSchema, SchemaError
 # violation construction helpers
 # ---------------------------------------------------------------------------
 
+#: Column-expression memo for session-stable constants.  Column objects
+#: are immutable expression handles — reusing one across many parent
+#: expressions is safe; keying by the active SparkContext id drops
+#: references from stopped sessions (tests spin up several in one
+#: process).  Compile is py4j-roundtrip-bound (~0.2 ms per command on
+#: this box), so shaving the 5-ish commands these constants each cost ×
+#: hundreds of call sites is a real fraction of wide-schema compiles.
+_CONST_MEMO: dict = {}
+
+
+def _memo_const(name: str, build):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), name)
+    col = _CONST_MEMO.get(key)
+    if col is None:
+        if len(_CONST_MEMO) > 64:  # new session: drop stale handles
+            _CONST_MEMO.clear()
+        col = build()
+        _CONST_MEMO[key] = col
+    return col
+
+
 def empty_violations() -> Column:
     """A typed empty array<violation>."""
-    return F.array().cast(T.ArrayType(E.VIOLATION_STRUCT))
+    return _memo_const(
+        "empty_violations",
+        lambda: F.array().cast(T.ArrayType(E.VIOLATION_STRUCT)))
+
+
+def null_string() -> Column:
+    """A typed NULL string literal (memoized)."""
+    return _memo_const("null_string", lambda: F.lit(None).cast("string"))
 
 
 def _null_violation() -> Column:
-    return F.lit(None).cast(E.VIOLATION_STRUCT)
+    return _memo_const("null_violation",
+                       lambda: F.lit(None).cast(E.VIOLATION_STRUCT))
 
 
 def stringify(col: Column, dtype: T.DataType | None) -> Column:
     """Serialize a value column to its string form for the violation row."""
     if dtype is None:
-        return F.lit(None).cast("string")
+        return null_string()
     if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
         return F.to_json(col)
     if isinstance(dtype, T.BinaryType):
@@ -100,12 +132,12 @@ def make_violation(
     constraint_str = (
         constraint
         if isinstance(constraint, Column)
-        else (F.lit(None).cast("string") if constraint is None
+        else (null_string() if constraint is None
               else F.lit(json.dumps(constraint, default=str)))
     )
     info_col = (
         info if isinstance(info, Column)
-        else (F.lit(None).cast("string") if info is None else F.lit(str(info)))
+        else (null_string() if info is None else F.lit(str(info)))
     )
     struct = F.struct(
         _path_col(doc_path).alias("document_path"),
@@ -113,7 +145,7 @@ def make_violation(
         F.lit(error_def.code).cast("int").alias("code"),
         F.lit(rule if rule is not None else error_def.rule).cast("string").alias("rule"),
         constraint_str.cast("string").alias("constraint"),
-        (stringify(value, value_dtype) if value is not None else F.lit(None).cast("string")).alias("value"),
+        (stringify(value, value_dtype) if value is not None else null_string()).alias("value"),
         info_col.cast("string").alias("info"),
     )
     return F.when(cond, F.array(struct)).otherwise(empty_violations())

@@ -91,6 +91,7 @@ def main() -> None:
                 os.environ.get("SPARK_GRAFT_MAXPART", "4m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "true")  # needed for the status REST API
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.appStateStore.asyncTracking.enable", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
