@@ -122,3 +122,35 @@ def test_bucketed_input_runs_shuffle_free(spark, tmp_path):
             sorted(map(tuple, uniq_p.collect()))
     finally:
         spark.sql("DROP TABLE IF EXISTS transcripts_bucketed")
+
+
+def test_ann_hot_paths_stay_on_arrow(spark):
+    """Path-selection pins: at production-ish dims the signature/cell
+    assignments must run as Arrow batches (ArrowEvalPython in the plan),
+    NOT as zip_with+aggregate HOF chains (CodegenFallback — interpreted
+    per row per bit, measured 4.5-10x slower at 64 dims)."""
+    import numpy as np
+
+    from cerberus_spark.functions import dedup, similarity as S
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, emb array<double>")
+
+    pairs = dedup.embedding_near_dups(df, "doc_id", "emb", threshold=0.95,
+                                      dim=64)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+
+    cent = S.train_centroids(df, "emb", n_cells=4, sample=50)
+    top = S.ivf_topk(df, "emb", rows[0][1], cent, k=3, id_col="doc_id")
+    plan2 = top._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan2
+
+    # tiny plans stay pure-Column (16 dims x 12 bits < budget)
+    small = df.select(S.lsh_bucket_auto(
+        F.col("emb")[0:16].cast("array<double>")
+        if False else F.slice("emb", 1, 16),
+        S.hyperplanes(16, 12, 42)).alias("b"))
+    plan3 = small._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan3
