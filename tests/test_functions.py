@@ -615,3 +615,67 @@ def test_connected_components_and_near_dedup(spark, docs):
     assert 0 in ids and not {1, 2, 7} & ids
     # uniques survive
     assert {3, 4, 5, 6, 8} <= ids
+
+
+def test_arrow_scorers_null_tolerant(spark):
+    """A NULL embedding row must yield NULL from every Arrow scorer
+    (bucket signature, cosine, pair cosine, IVF cell) instead of
+    np.vstack raising and killing the whole batch — at production dims
+    the Arrow path is mandatory, so one bad row must not fail the job."""
+    from cerberus_spark.functions import similarity as S
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(6)]
+    rows[2] = (2, None)
+    df = spark.createDataFrame(rows, "doc_id long, emb array<double>")
+    q = rows[0][1]
+
+    planes = [S.hyperplanes(64, 12, 42 + t) for t in range(2)]
+    got = df.select(
+        "doc_id",
+        S.lsh_buckets_udf(planes)(F.col("emb")).alias("b"),
+        S.cosine_scores_udf(q)(F.col("emb")).alias("s"),
+        S.cosine_pair_udf()(F.col("emb"), F.col("emb")).alias("sp"),
+        S.ivf_cell_udf(np.asarray([q, rows[1][1]]))(F.col("emb")).alias("c"),
+    ).orderBy("doc_id").collect()
+    for r in got:
+        if r.doc_id == 2:
+            assert r.b is None and r.s is None and r.sp is None and r.c is None
+        else:
+            assert r.b is not None and len(r.b) == 2
+            assert r.s is not None and abs(r.sp - 1.0) < 1e-9
+            assert r.c is not None
+
+    # an all-null batch must not blow up either
+    nulls = spark.createDataFrame([(0, None), (1, None)],
+                                  "doc_id long, emb array<double>")
+    out = nulls.select(S.cosine_scores_udf(q)(F.col("emb")).alias("s")).collect()
+    assert [r.s for r in out] == [None, None]
+
+    # end-to-end: the high-dim near-dup path (Arrow mandatory) skips the
+    # null row instead of failing, and still finds the planted pair
+    rows2 = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(20)]
+    rows2.append((100, [x + 1e-4 for x in rows2[0][1]]))   # planted near-dup of 0
+    rows2.append((200, None))
+    df2 = spark.createDataFrame(rows2, "doc_id long, emb array<double>")
+    pairs = dedup.embedding_near_dups(df2, "doc_id", "emb",
+                                      threshold=0.999, dim=64)
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 100) in got_pairs
+    assert not any(200 in p for p in got_pairs)
+
+
+def test_cosine_pair_udf_equals_column(spark):
+    """Arrow pair scorer ≡ Column cosine on two array columns (incl. the
+    zero-norm guard)."""
+    from cerberus_spark.functions import similarity as S
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(32)],
+             [float(x) for x in rng.standard_normal(32)]) for i in range(40)]
+    rows.append((99, [0.0] * 32, [1.0] * 32))   # zero norm → 0.0, not NaN
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    d = df.select(F.max(F.abs(
+        S.cosine(F.col("a"), F.col("b")) - S.cosine_pair_udf()(F.col("a"), F.col("b"))
+    )).alias("d")).first()["d"]
+    assert d < 1e-9

@@ -154,3 +154,44 @@ def test_ann_hot_paths_stay_on_arrow(spark):
         S.hyperplanes(16, 12, 42)).alias("b"))
     plan3 = small._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan3
+
+
+def test_exact_cosine_auto_path(spark):
+    """Exact-cosine scoring path pins (r4 VERDICT item 3): at wide dims
+    (>COSINE_DIM_BUDGET) brute-force scans score on the Arrow matmul
+    (ArrowEvalPython); at fixture dims (<=64) they stay on the exact
+    Column form so oracle float-summation order is unchanged."""
+    import numpy as np
+
+    from cerberus_spark.functions import similarity as S
+
+    rng = np.random.default_rng(9)
+
+    def frame(dim, n=30):
+        rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+                for i in range(n)]
+        return rows, spark.createDataFrame(rows, "doc_id long, emb array<double>")
+
+    rows_w, wide = frame(128)
+    top = S.brute_force_topk(wide, "emb", rows_w[0][1], k=3)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+
+    rows_n, narrow = frame(64)
+    top64 = S.brute_force_topk(narrow, "emb", rows_n[0][1], k=3)
+    plan64 = top64._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan64
+
+    # pair scorer: Arrow only when the caller declares a wide dim
+    queries = wide.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("emb").alias("q_emb"))
+    multi = S.brute_force_topk_multi(wide, "emb", queries, k=2, dim=128)
+    assert "ArrowEvalPython" in multi._jdf.queryExecution().executedPlan().toString()
+    multi_col = S.brute_force_topk_multi(wide, "emb", queries, k=2)
+    assert "ArrowEvalPython" not in multi_col._jdf.queryExecution().executedPlan().toString()
+
+    # both paths rank identically on this corpus
+    exact = wide.select(
+        "doc_id", S.cosine(F.col("emb"), S._lit_vec(rows_w[0][1])).alias("s")
+    ).orderBy(F.col("s").desc(), "doc_id").limit(3)
+    assert [r.doc_id for r in top.collect()] == [r.doc_id for r in exact.collect()]
