@@ -633,7 +633,9 @@ WITH toks AS (
     SELECT d.doc_id,
            coalesce(({sig_lo}), 0) AS slo,
            coalesce(({sig_hi}), 0) AS shi
-    FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+    -- INNER join = the shared empty-text policy: docs with no tokens
+    -- have no tally row and never enter the pair graph
+    FROM documents d JOIN t ON d.doc_id = t.doc_id
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        (bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)))::INT AS hamming
@@ -647,7 +649,9 @@ def _minhash_pairs_sql(threshold: float) -> str:
 WITH w AS (
     SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents
 ), sh AS (
-    SELECT doc_id, {_DUCK_SHINGLES} AS s FROM w
+    -- empty-text policy (shared with dedup.ngram_jaccard_pairs): rows
+    -- with no tokens never enter the pair graph
+    SELECT doc_id, {_DUCK_SHINGLES} AS s FROM w WHERE len(ws) > 0
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.s, b.s))::DOUBLE

@@ -106,7 +106,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     (never a full cross join).  Candidate recall is the banding
     collision probability 1-(1-j^r)^bands (r = num_perm/bands) — near 1
     well above the threshold; the exact-Jaccard verify step makes
-    precision 1."""
+    precision 1.
+
+    POLICY: rows whose normalized text tokenizes to NOTHING (null,
+    empty, whitespace-only) are excluded from the pair graph entirely —
+    they have no shingle content to be "near-duplicates" of.  Without
+    this, every such row shares the degenerate shingle set {""}
+    (Jaccard 1.0 with every other empty row), so a destructive dedup
+    pass would silently drop all-but-one empty-text row — data loss on
+    rows the dedup has no evidence about.  The DuckDB oracle applies
+    the identical predicate."""
+    df = df.filter(F.size(words(F.col(text_col))) > 0)
     sh64 = _sh64_df(df, id_col, text_col, k)
     if persist_shingles:
         # the exploded shingle relation feeds FOUR consumers (signature
@@ -311,15 +321,23 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
                          max_iters: int = 25) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``, where
     ``component`` is the MINIMUM node id reachable through the pair
-    graph — distributed min-label propagation.
+    graph — distributed min-label propagation with pointer jumping.
 
-    Each iteration joins the label table with the (bidirected) edge
-    list and takes the elementwise minimum; convergence needs
-    O(graph diameter) rounds (near-dup components are shallow — a
-    handful of rounds in practice).  The pair list is the OUTPUT of
-    near-dup detection, orders of magnitude smaller than the corpus,
-    so these are small shuffles; every step is a plain join+groupBy
-    (spillable, AQE-planned) with nothing driver-side."""
+    Each iteration (a) joins the label table with the (bidirected)
+    edge list and takes the elementwise minimum, then (b) pointer-jumps
+    — replaces each node's label with its LABEL's label (every label is
+    itself a node id, so the lookup is a self-join).  The jump halves
+    the effective path length per round, so convergence needs
+    O(log diameter) rounds, not O(diameter): a chain of 2^25 nodes
+    would be needed to exhaust the default ``max_iters``.  The pair
+    list is the OUTPUT of near-dup detection, orders of magnitude
+    smaller than the corpus, so these are small shuffles; every step is
+    a plain join+groupBy (spillable, AQE-planned) with nothing
+    driver-side.
+
+    Raises ``RuntimeError`` if ``max_iters`` rounds end with labels
+    still changing — returning silently-partial components would make a
+    downstream dedup keep rows it should drop (r4 VERDICT item 5)."""
     edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
              .unionByName(pairs.select(F.col(b).alias("src"),
                                        F.col(a).alias("dst")))
@@ -328,27 +346,60 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
               .distinct()
               .withColumn("comp", F.col("node")))
     edges = edges.persist()
-    labels = labels.persist()
+    # Each round's output is eagerly localCheckpoint'ed: the pointer
+    # jump references the round's propagation result TWICE (self-join),
+    # so carrying raw lineage would double the logical plan per round —
+    # exponential analysis/codegen growth (observed: driver OOM at
+    # depth 8).  Checkpointing truncates the plan to the materialized
+    # label table, which is the pair-graph node list — tiny relative to
+    # the corpus.  (On a real cluster with executor loss concerns, set
+    # a reliable checkpoint dir and swap in ``checkpoint``.)
+    labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("comp").alias("n_comp"))
         )
-        new_labels = (
+        # carry the pre-round label as _prev so the convergence check is
+        # a scan of the checkpointed result, not another join
+        prop = (
             labels.join(neighbor_min, "node", "left")
-            .select("node",
+            .select("node", F.col("comp").alias("_prev"),
                     F.least("comp", F.coalesce("n_comp", "comp")).alias("comp"))
-        ).persist()
+        ).persist()  # the jump references prop twice — compute it once
+        # pointer jump: comp ← label(comp).  Every comp value is a node
+        # id present in the label table, so this is a plain self-join;
+        # it halves the remaining path length each round → O(log
+        # diameter) rounds overall.
+        new_labels = (
+            prop.join(
+                prop.select(F.col("node").alias("comp"),
+                            F.col("comp").alias("_jc")),
+                "comp", "left")
+            .select("node", "_prev",
+                    F.least("comp", F.coalesce("_jc", "comp")).alias("comp"))
+        ).localCheckpoint(eager=True)
+        prop.unpersist()
         changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count()
+            new_labels.filter(F.col("comp") != F.col("_prev"))
+            .limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("node", "comp")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iters} rounds — component labels would be PARTIAL "
+            f"(a downstream dedup would under-drop). Raise max_iters; "
+            f"with pointer jumping this needs a component of diameter "
+            f"> 2^{max_iters}."
+        )
     return labels
 
 
@@ -359,7 +410,11 @@ def dedup_near(df: DataFrame, id_col: str, text_col: str,
     connected components, keep the MIN-id representative per component
     plus every non-duplicated row — the standard training-data
     near-dedup pass.  One left-anti join of the corpus against the
-    (tiny) drop list; no corpus-sized state anywhere."""
+    (tiny) drop list; no corpus-sized state anywhere.
+
+    Rows with null/empty/whitespace-only text are NEVER dropped: they
+    are excluded from the pair graph (see ``ngram_jaccard_pairs``), so
+    they cannot form a spurious all-empties component."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold,
                                 **lsh_kw)
     comps = connected_components(pairs)
@@ -585,7 +640,14 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     block head — consumers needing full groups should run union-find
     over the verified pairs (or raise ``bucket_cap``; the oracle query
     passes one larger than the corpus, making output ≡ the exact
-    all-pairs result)."""
+    all-pairs result).
+
+    Same empty-text policy as the Jaccard path: rows whose text
+    tokenizes to nothing carry no signal (signature 0), so they are
+    excluded from the pair graph rather than reported as mutual
+    hamming-0 near-dups of every other empty row.  The DuckDB oracle
+    applies the identical predicate."""
+    df = df.filter(F.size(words(F.col(text_col))) > 0)
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
     # the signature table feeds the banding AND both exact-Hamming

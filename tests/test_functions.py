@@ -679,3 +679,46 @@ def test_cosine_pair_udf_equals_column(spark):
         S.cosine(F.col("a"), F.col("b")) - S.cosine_pair_udf()(F.col("a"), F.col("b"))
     )).alias("d")).first()["d"]
     assert d < 1e-9
+
+
+def test_empty_text_rows_never_near_dup(spark):
+    """Empty-text policy (r4 ADVICE): rows whose text tokenizes to
+    nothing (null / '' / whitespace-only) are excluded from every
+    near-dup pair graph — without this they all share the degenerate
+    shingle set {""} (or signature 0) and a destructive dedup would
+    silently drop all-but-one of them."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # true dup of 0
+        (10, None),
+        (11, ""),
+        (12, "   \t\n  "),
+        (13, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    jp = {(r.id_a, r.id_b) for r in
+          dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()}
+    assert jp == {(0, 1)}
+
+    sp = {(r.id_a, r.id_b) for r in
+          dedup.simhash_near_dups(df, "doc_id", "text", max_hamming=3).collect()}
+    assert sp == {(0, 1)}
+
+    kept = {r.doc_id for r in
+            dedup.dedup_near(df, "doc_id", "text", threshold=0.5).collect()}
+    assert kept == {0, 10, 11, 12, 13}  # every empty row survives
+
+
+def test_connected_components_pointer_jump_and_convergence_guard(spark):
+    """Pointer jumping converges a deep chain in O(log diameter) rounds,
+    and exhausting max_iters with labels still moving raises instead of
+    returning silently-partial components (r4 VERDICT item 5)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    comps = dedup.connected_components(chain, max_iters=8)
+    got = {r.node: r.comp for r in comps.collect()}
+    assert got == {i: 0 for i in range(41)}
+
+    with pytest.raises(RuntimeError, match="still changing"):
+        dedup.connected_components(chain, max_iters=1)
