@@ -50,25 +50,33 @@ from ..dsl import LOGICAL_OPS, NORMALIZATION_RULES, RuleSetSchema, SchemaError
 
 #: Column-expression memo for session-stable constants.  Column objects
 #: are immutable expression handles — reusing one across many parent
-#: expressions is safe; keying by the active SparkContext id drops
-#: references from stopped sessions (tests spin up several in one
-#: process).  Compile is py4j-roundtrip-bound (~0.2 ms per command on
-#: this box), so shaving the 5-ish commands these constants each cost ×
-#: hundreds of call sites is a real fraction of wide-schema compiles.
+#: expressions is safe.  Compile is py4j-roundtrip-bound (~0.2 ms per
+#: command on this box), so shaving the 5-ish commands these constants
+#: each cost × hundreds of call sites is a real fraction of wide-schema
+#: compiles.  Entries are keyed by id(context) BUT validated against a
+#: weakref to the context object itself: CPython can reuse a
+#: garbage-collected context's id for a NEW context, and a bare-id key
+#: would then serve Column handles built under the dead session (r4
+#: ADVICE).  The weakref check is pure Python — no py4j roundtrip — so
+#: the memo's whole point survives.
 _CONST_MEMO: dict = {}
 
 
 def _memo_const(name: str, build):
+    import weakref
+
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
     key = (id(sc), name)
-    col = _CONST_MEMO.get(key)
-    if col is None:
-        if len(_CONST_MEMO) > 64:  # new session: drop stale handles
-            _CONST_MEMO.clear()
-        col = build()
-        _CONST_MEMO[key] = col
+    entry = _CONST_MEMO.get(key)
+    if entry is not None and entry[0]() is sc:
+        return entry[1]
+    if len(_CONST_MEMO) > 64:  # new session: drop stale handles
+        _CONST_MEMO.clear()
+    col = build()
+    _CONST_MEMO[key] = (weakref.ref(sc) if sc is not None else (lambda: None),
+                        col)
     return col
 
 

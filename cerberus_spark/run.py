@@ -162,11 +162,25 @@ class ValidationRun:
             ) if pending else None
             fut_ds = pool.submit(self._run_dataset_checks, spark, df, conversations)
             fut_drift = pool.submit(self._run_drift, spark, df)
-            if fut_waves is not None:
-                fut_waves.result()
-            # fully resumed: zero writes — prior results stay durable as-is
+            try:
+                if fut_waves is not None:
+                    fut_waves.result()
+                # fully resumed: zero writes — prior results stay durable
+            except BaseException:
+                # A failed run must not COMMIT a drift baseline: later
+                # runs would silently compare against the profile of an
+                # input that never validated (r4 ADVICE).  The drift
+                # thread runs concurrently, so roll back its first-run
+                # baseline write rather than trying to prevent it.
+                try:
+                    _, wrote_baseline = fut_drift.result()
+                except Exception:
+                    wrote_baseline = False
+                if wrote_baseline:
+                    fs_delete(spark, self._path("baseline_stats"))
+                raise
             ds_counts = fut_ds.result()
-            drift = fut_drift.result()
+            drift, _ = fut_drift.result()
 
         # -- report from the durable summary (covers all partitions,
         # this run's and previously committed ones alike).  An empty
@@ -330,7 +344,11 @@ class ValidationRun:
         got = obs.get
         return {c: int(got[name] or 0) for name, c in codes.items()}
 
-    def _run_drift(self, spark, df) -> list:
+    def _run_drift(self, spark, df) -> tuple:
+        """Returns (drift_metrics, wrote_baseline).  The bool lets
+        ``execute`` roll the first-run baseline write back when the
+        validation waves fail — a committed baseline from a failed run
+        would poison every later run's drift comparison."""
         cfg = self.config
         # one scan computes all three profiles (role/tool frequency +
         # text-length histogram) — at 100 TB each avoided pass matters
@@ -342,9 +360,9 @@ class ValidationRun:
         baseline_path = self._path("baseline_stats")
         if fs_exists(spark, baseline_path):
             baseline = spark.read.parquet(baseline_path)
-            return D.drift_metrics(profiles, baseline)
+            return D.drift_metrics(profiles, baseline), False
         profiles.write.mode("overwrite").parquet(baseline_path)
-        return []
+        return [], True
 
 
 def main():  # pragma: no cover — spark-submit entry point

@@ -256,3 +256,40 @@ def test_salted_counts_equal_plain_counts_fuzz(spark):
         plain = {tuple(r[:2]): r["n"] for r in
                  df.groupBy("a", "b").agg(SF.count(SF.lit(1)).alias("n")).collect()}
         assert salted == plain, n_salt
+
+
+def test_failed_waves_do_not_commit_drift_baseline(spark):
+    """A run whose validation waves fail must not leave a first-run
+    drift baseline behind (r4 ADVICE): later runs would compare against
+    the profile of an input that never validated.  After the failure is
+    fixed, a clean run commits the baseline normally."""
+    import os
+
+    from cerberus_spark.sources.transcripts import write_dataset, load
+
+    data_dir = tempfile.mkdtemp(prefix="cerbdata_")
+    out = tempfile.mkdtemp(prefix="cerbrun_")
+    try:
+        write_dataset(data_dir, 500, seed=7)
+        t, c = load(spark, data_dir)
+        run = ValidationRun(TURN_SCHEMA, RunConfig(out_dir=out, n_parts=4))
+
+        def boom(*a, **kw):
+            raise RuntimeError("forced wave failure")
+
+        run._run_validation_waves = boom
+        with pytest.raises(RuntimeError, match="forced wave failure"):
+            run.execute(t, c)
+        assert not os.path.exists(out + "/baseline_stats"), \
+            "failed run committed a drift baseline"
+
+        # clean run afterwards: baseline commits, drift list empty (first run)
+        r = ValidationRun(TURN_SCHEMA, RunConfig(out_dir=out, n_parts=4)).execute(t, c)
+        assert r.drift == []
+        assert os.path.exists(out + "/baseline_stats")
+        # second run now has a baseline to compare against
+        r2 = ValidationRun(TURN_SCHEMA, RunConfig(out_dir=out, n_parts=4)).execute(t, c)
+        assert len(r2.drift) > 0
+    finally:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
