@@ -83,8 +83,18 @@ class SparkValidator:
 
     Parameters mirror the reference's Validator config surface
     (validator.py:142-191): ``allow_unknown``, ``require_all``,
-    ``update``, ``purge_unknown`` — plus engine-specific knobs
-    (``key_cols``, ``null_semantics``, ``regex_engine``).
+    ``update``, ``purge_unknown``, ``ignore_none_values`` — plus
+    engine-specific knobs (``key_cols``, ``null_semantics``,
+    ``regex_engine``).
+
+    ``ignore_none_values`` mirrors the reference knob (validator.py:146,
+    478-487): None values are skipped by every rule and count as MISSING
+    for ``required`` (validator.py:1036, 1458-1462).  It only changes
+    behavior under ``null_semantics='none'`` — the default 'absent'
+    convention already treats NULL exactly that way.  Normalization is
+    unaffected (reference defaults fire on missing KEYS only), and
+    membership tests on other fields (dependencies targets, excludes
+    co-presence) still count a present-None key.
 
     ``allow_unknown`` defaults to False exactly like the reference
     (validator.py:146) — schemas ported verbatim report unknown columns
@@ -107,6 +117,7 @@ class SparkValidator:
         purge_readonly: bool = False,
         rename_handler=None,
         null_semantics: str = "absent",
+        ignore_none_values: bool = False,
         regex_engine: str = "auto",
         dynamic_types: bool = False,
         logical_child_errors: bool = False,
@@ -134,6 +145,7 @@ class SparkValidator:
         self.rename_handler = rename_handler
         self.ctx = CompileContext(
             null_semantics=null_semantics,
+            ignore_none_values=ignore_none_values,
             require_all=require_all,
             allow_unknown=allow_unknown,
             update=update,

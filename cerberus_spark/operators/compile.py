@@ -416,6 +416,17 @@ class CompileContext:
     # never does, null-surviving rules still run).  The differential
     # oracle builds reference documents accordingly.
     null_semantics: str = "absent"
+    #: reference ``Validator(ignore_none_values=True)`` (validator.py:146,
+    #: 478-487, gate at 1036 + required accounting at 1458-1462): a None
+    #: VALUE is skipped by every rule and counts as MISSING for
+    #: ``required``.  Only meaningful under 'none' semantics — 'absent'
+    #: already treats NULL exactly that way.  Membership tests on OTHER
+    #: fields (dependencies targets, excludes co-presence) are NOT
+    #: affected: the reference checks raw document membership, where a
+    #: present-None key still counts.  Normalization is also untouched
+    #: (defaults fire on MISSING keys only, validator.py:947 — a
+    #: present-None value keeps None even when ignored for validation).
+    ignore_none_values: bool = False
     require_all: bool = False
     allow_unknown: object = False
     update: bool = False
@@ -447,6 +458,13 @@ class CompileContext:
     #: (scalar, auto-wrapped in a vectorized pandas UDF).  Rule names in
     #: schemas may use spaces for underscores, like the reference.
     custom_rules: dict[str, Callable] = dc_field(default_factory=dict)
+
+    @property
+    def none_skips_rules(self) -> bool:
+        """True when a NULL value runs NO rule and counts as missing for
+        ``required``: 'absent' semantics by convention, or 'none'
+        semantics with ``ignore_none_values`` (validator.py:1036)."""
+        return self.null_semantics == "absent" or self.ignore_none_values
 
 
 class Scope:
@@ -556,12 +574,15 @@ class RuleCompiler:
                 and not check_type(f_dtype, rules["type"], self.ctx.custom_types))
             excluded = rules["excludes"]
             excluded = [excluded] if isinstance(excluded, str) else list(excluded)
-            if self.ctx.null_semantics == "none":
+            if self.ctx.null_semantics == "none" and not self.ctx.ignore_none_values:
                 # present-None declarers skip the type rule entirely, so
                 # their excludes handler runs even when the static type
                 # can never match a NON-null value — registration is
                 # therefore per-row: always for a type-sound declarer,
-                # only on None for a type-mismatched one
+                # only on None for a type-mismatched one.  (Under
+                # ignore_none_values a None declarer skips its whole rule
+                # queue, so registration needs declarer non-null AND
+                # type-sound — exactly the 'absent' branch below.)
                 if f_col is None:
                     continue
                 group_ran.append(F.lit(True) if static_type_ok else f_col.isNull())
@@ -706,8 +727,10 @@ class RuleCompiler:
         nullable = bool(rules.get("nullable", False))
         required = self._is_required(tuple(spath[:-1]), spath[-1], rules)
 
-        # --- existence / nullability (missing := NULL convention, SURVEY §1.4)
-        if ctx.null_semantics == "absent":
+        # --- existence / nullability (missing := NULL convention, SURVEY §1.4;
+        # 'none' + ignore_none_values behaves like 'absent' HERE: None is
+        # missing for required, and no nullable error is emitted)
+        if ctx.none_skips_rules:
             if required:
                 req_cond = is_null
                 for guard in unrequire or ():
@@ -784,8 +807,10 @@ class RuleCompiler:
         # list omits dependencies/excludes/check_with/contains) still die on
         # a type break for non-null values.  Under 'absent' semantics a NULL
         # field is missing entirely, so no rule runs on it at all
-        # (validator.py:1035-1042 iterates document fields only).
-        if ctx.null_semantics == "absent":
+        # (validator.py:1035-1042 iterates document fields only).  With
+        # ignore_none_values the 'none' convention ALSO skips every rule
+        # on a None value (validator.py:1036 `continue`).
+        if ctx.none_skips_rules:
             null_surviving_gate = value_gate
         else:
             null_surviving_gate = is_null | type_ok_col
@@ -879,8 +904,9 @@ class RuleCompiler:
             elif rule == "excludes":
                 # 'none' semantics: excludes is NOT in the None drop list
                 # (validator.py:1376-1394) — it runs on a present-None
-                # field too
-                ex_gate = (g_null_ok if ctx.null_semantics == "none"
+                # field too (unless ignore_none_values skips the whole
+                # queue on None, validator.py:1036)
+                ex_gate = (g_null_ok if not ctx.none_skips_rules
                            else g_null_ok & present)
                 out.append(self._c_excludes(constraint, value, ex_gate, doc_path, spath, scope))
             elif rule == "check_with":

@@ -83,7 +83,8 @@ def flatten_reference_errors(errs) -> list[tuple]:
 
 
 def reference_validate(docs, schema, *, allow_unknown=True, require_all=False,
-                       normalize=True, validator_cls=None):
+                       normalize=True, validator_cls=None,
+                       ignore_none_values=False):
     """Run the reference validator over documents.
 
     ``validator_cls`` swaps in a Validator subclass (custom
@@ -95,7 +96,7 @@ def reference_validate(docs, schema, *, allow_unknown=True, require_all=False,
         raise RuntimeError("reference cerberus not importable")
     cls = validator_cls or cerberus.Validator
     v = cls(schema, allow_unknown=allow_unknown,
-            require_all=require_all)
+            require_all=require_all, ignore_none_values=ignore_none_values)
     all_errors, all_normalized = [], []
     for doc in docs:
         ok = v.validate(doc, normalize=normalize)
@@ -115,13 +116,14 @@ def spark_violation_tuples(violation_rows) -> list[tuple]:
 
 def compare_per_row(spark_annotated_rows, docs, schema, *, allow_unknown=True,
                     require_all=False, normalize=True, ignore_codes=frozenset(),
-                    validator_cls=None):
+                    validator_cls=None, ignore_none_values=False):
     """Compare the Spark engine's per-row violations against the
     reference, row-aligned.  Returns a list of mismatch descriptions
     (empty == parity)."""
     ref_errors, _ = reference_validate(
         docs, schema, allow_unknown=allow_unknown, require_all=require_all,
         normalize=normalize, validator_cls=validator_cls,
+        ignore_none_values=ignore_none_values,
     )
     mismatches = []
     for i, (row, expected) in enumerate(zip(spark_annotated_rows, ref_errors)):

@@ -703,3 +703,68 @@ def test_fuzz_nested_rename_graphs_match_reference(spark):
                                  "struct_in": doc,
                                  "ref": ref_doc["d"], "eng": eng})
     assert failures == [], (len(failures), failures[:3])
+
+
+def test_ignore_none_values_matches_reference(spark):
+    """Reference Validator(ignore_none_values=True) (validator.py:146,
+    1036, 1458-1462): a None VALUE runs no rule and counts as missing
+    for required.  Directed parity on the reference's own test case
+    (test_validation.py:832-856) plus excludes/dependencies nuances:
+    a None-valued excludes declarer registers no waiver, but a
+    present-None key still satisfies dependencies and still triggers a
+    non-null declarer's excludes co-presence."""
+    schema = {
+        "t": {"type": "string", "empty": False, "required": True},
+        "u": {"type": "string", "required": False},
+        "a": {"type": "string", "required": True, "excludes": ["b"]},
+        "b": {"type": "string", "required": True},
+        "c": {"type": "integer", "dependencies": ["u"]},
+    }
+    rows = [
+        (None, None, None, None, None),       # t: required only (None=missing)
+        ("", None, None, None, None),         # t: empty error still fires
+        ("x", "u1", "a1", None, 3),           # a present → waives b's required
+        ("x", None, None, "b1", 4),           # a None → NO waiver code path; b ok
+        ("x", None, "a1", "b1", None),        # both present → excludes fires on a
+    ]
+    df = spark.createDataFrame(rows, "t string, u string, a string, b string, c int")
+    v = SparkValidator(schema, allow_unknown=True, null_semantics="none",
+                       ignore_none_values=True)
+    annotated = v.annotate(df).collect()
+    docs = [dict(zip(("t", "u", "a", "b", "c"), r)) for r in rows]  # Nones KEPT
+    m = compare_per_row(annotated, docs, schema, normalize=False,
+                        ignore_none_values=True)
+    assert m == [], m[:3]
+
+    # under the default 'absent' convention the flag is a declared no-op
+    v2 = SparkValidator(schema, allow_unknown=True, ignore_none_values=True)
+    v3 = SparkValidator(schema, allow_unknown=True)
+    got2 = [tuple(sorted((tuple(x["document_path"]), x["code"]) for x in
+                         r["violations"]))
+            for r in (vv.asDict(recursive=True) for vv in
+                      (row for row in v2.annotate(df).collect()))]
+    got3 = [tuple(sorted((tuple(x["document_path"]), x["code"]) for x in
+                         r["violations"]))
+            for r in (vv.asDict(recursive=True) for vv in
+                      (row for row in v3.annotate(df).collect()))]
+    assert got2 == got3
+
+
+def test_fuzz_ignore_none_values_matches_reference(spark):
+    """Soak: random flat schemas × None-bearing rows under
+    null_semantics='none' + ignore_none_values=True, vs the live
+    reference with the same flag."""
+    rng = random.Random(31337)
+    failures = []
+    for case_i in range(12):
+        schema, ddl, fields, rows, require_all = _gen_case(rng)
+        df = spark.createDataFrame(rows, ddl)
+        v = SparkValidator(schema, allow_unknown=True, require_all=require_all,
+                           null_semantics="none", ignore_none_values=True)
+        annotated = v.annotate(df).collect()
+        docs = [dict(zip(fields, r)) for r in rows]  # Nones KEPT
+        m = compare_per_row(annotated, docs, schema, require_all=require_all,
+                            normalize=False, ignore_none_values=True)
+        if m:
+            failures.append({"case": case_i, "schema": schema, "first": m[0]})
+    assert failures == [], failures[:2]
