@@ -17,9 +17,18 @@ Stage mapping (reference → Spark):
                        the row; cycles detected by compile-time topo sort
 * ``coerce``          validator.py:712-767  → ``try_cast`` / Column fn /
                        vectorized pandas UDF; failure → COERCION_FAILED
-                       violation row (value kept as NULL — documented
-                       deviation: the reference keeps the un-coerced value,
-                       a single-typed Spark column cannot)
+                       violation row.  The reference BREAKS the chain at
+                       the first failing step and keeps that step's input
+                       (validator.py:745-767); the engine restores that
+                       value WHEREVER the normalized column type can hold
+                       it (same-typed chains: string cleanup chains,
+                       items/array elements, dynamic map payloads).  When
+                       the chain changes the column type (e.g. string →
+                       bigint) the un-coercible original cannot live in
+                       the typed output column and stays NULL — the one
+                       remaining deviation, pinned per-type by
+                       test_coerce_failure_value_semantics_per_type and
+                       tabulated in COVERAGE.md
 
 Rename semantics (parity since r4): renames apply SEQUENTIALLY over
 the ORIGINAL document keys, exactly like the reference's dict moves
@@ -357,15 +366,29 @@ class Normalizer:
             chain = rules["coerce"]
             if isinstance(chain, str) or callable(chain):
                 chain = [chain]
+            # Per-step failure tracking, mirroring __normalize_coerce
+            # (validator.py:745-767): the reference BREAKS the chain at
+            # the first failing step and the value REVERTS to that
+            # step's INPUT (the last successful intermediate).  Each
+            # step's failure condition (output NULL though input wasn't)
+            # is made exclusive of earlier failures, so the first
+            # failing step's input is the one restored.
+            steps = []  # (exclusive step-failure cond, step input, its dtype)
+            prior_fail = F.lit(False)
             for c in chain:
                 name = c if isinstance(c, str) else getattr(c, "__name__", None)
                 fn = self.coercers.get(name) if isinstance(c, str) else c
                 if fn is None:
                     raise SchemaError(f"coerce: no registered coercer named '{c}'")
-                value, dtype = fn(value, dtype)
-            # COERCION_FAILED: result NULL though input wasn't
-            # (reference keeps the old value + files 0x61; validator.py:762-767)
-            failed = value.isNull() & pre_coerce.isNotNull()
+                nxt, nxt_dt = fn(value, dtype)
+                step_fail = nxt.isNull() & value.isNotNull()
+                steps.append((~prior_fail & step_fail, value, dtype))
+                prior_fail = prior_fail | step_fail
+                value, dtype = nxt, nxt_dt
+            # COERCION_FAILED: some step nulled a non-null input
+            # (reference keeps the step's input + files 0x61;
+            # validator.py:762-767)
+            failed = prior_fail
             violations.append(
                 make_violation(
                     failed, E.COERCION_FAILED, doc_path, spath + [fname, "coerce"],
@@ -373,6 +396,21 @@ class Normalizer:
                     value=original, value_dtype=original_dtype,
                 )
             )
+            # Restore the reference-kept value WHERE THE NORMALIZED
+            # COLUMN TYPE CAN HOLD IT (the failing step's input dtype ==
+            # the chain's output dtype — e.g. string→string cleanup
+            # chains, dynamic map payloads).  Elsewhere a single-typed
+            # Spark column cannot carry the original: the value stays
+            # NULL — documented deviation, pinned per-type in
+            # test_fuzz_differential/COVERAGE.md.
+            restore = None
+            for cond, pv, pdt in steps:
+                kv = (pv if pdt.simpleString() == dtype.simpleString()
+                      else F.lit(None).cast(dtype))
+                restore = (F.when(cond, kv) if restore is None
+                           else restore.when(cond, kv))
+            if restore is not None:
+                value = restore.otherwise(value)
 
         # container normalization (reference: validator.py:769-885 recurses
         # into dict/list values) — rebuild struct / transform array elements
@@ -574,9 +612,15 @@ class Normalizer:
                 _, new_elem_dt = self._apply_chain(fns, F.lit(None).cast(elem_dt), elem_dt)
 
                 _a_fns, _a_dt = list(fns), elem_dt
-                value = F.transform(
-                    value, lambda x: self._apply_chain(_a_fns, x, _a_dt)[0]
-                )
+                _same = new_elem_dt.simpleString() == elem_dt.simpleString()
+
+                def _eapply(x):
+                    nv = self._apply_chain(_a_fns, x, _a_dt)[0]
+                    if _same:  # keep-on-failure fits the element type
+                        return F.when(nv.isNull() & x.isNotNull(), x).otherwise(nv)
+                    return nv
+
+                value = F.transform(value, _eapply)
                 dtype = T.ArrayType(new_elem_dt)
 
         # items normalization: per-index coercions applied only when the
@@ -608,7 +652,10 @@ class Normalizer:
                             value=ev, value_dtype=elem_dt,
                         )
                     )
-                    new_elems.append(nv)
+                    # items coercion is same-typed by construction (checked
+                    # above), so the reference's keep-on-failure semantics
+                    # (validator.py:762-767) always restore cleanly
+                    new_elems.append(F.when(failed, ev).otherwise(nv))
                 else:
                     new_elems.append(ev)
             if any_norm:
@@ -707,12 +754,16 @@ class Normalizer:
                 _, new_vdt = fn(F.lit(None).cast(new_vdt), new_vdt)
 
             _v_fns, _v_dt = list(fns), vdt
+            _v_same = new_vdt.simpleString() == vdt.simpleString()
 
             def _vapply(k, x):
                 d = _v_dt
+                nv = x
                 for fn in _v_fns:
-                    x, d = fn(x, d)
-                return x
+                    nv, d = fn(nv, d)
+                if _v_same:  # keep-on-failure fits the map value type
+                    return F.when(nv.isNull() & x.isNotNull(), x).otherwise(nv)
+                return nv
 
             value = F.transform_values(value, _vapply)
             dtype = T.MapType(dtype.keyType, new_vdt)

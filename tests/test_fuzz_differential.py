@@ -768,3 +768,75 @@ def test_fuzz_ignore_none_values_matches_reference(spark):
         if m:
             failures.append({"case": case_i, "schema": schema, "first": m[0]})
     assert failures == [], failures[:2]
+
+
+def test_coerce_failure_value_semantics_per_type(spark):
+    """r4 VERDICT item 7 — per-type pin of what a FAILED coercion leaves
+    in the normalized value.  Reference (__normalize_coerce,
+    validator.py:745-767): the chain breaks at the first failing step
+    and the field keeps that step's INPUT.  Engine: restores that value
+    whenever the normalized column TYPE can hold it (string→string
+    chains, items elements, map payloads); when the chain changes the
+    column type (string→bigint) the original cannot live in the typed
+    output column and stays NULL — the remaining deviation, asserted
+    here against the live reference so a behavior change on either side
+    fails loudly."""
+    from pyspark.sql import functions as F, types as T
+
+    def eng_fail_on_bad(col, dtype):
+        return F.when(col != "bad", col), T.StringType()
+
+    def ref_fail_on_bad(v):
+        if v == "bad":
+            raise ValueError("bad")
+        return v
+
+    def eng_strip(col, dtype):
+        return F.trim(col), T.StringType()
+
+    def eng_int(col, dtype):
+        return col.try_cast(T.LongType()), T.LongType()
+
+    # 1) same-type chain: engine ≡ reference (keeps the failing step's
+    # input — here the STRIPPED value, not the raw original)
+    eng_schema = {"s": {"coerce": [eng_strip, eng_fail_on_bad]}}
+    ref_schema = {"s": {"coerce": [str.strip, ref_fail_on_bad]}}
+    rows = [("  bad  ",), ("  ok  ",), (None,)]
+    df = spark.createDataFrame(rows, "s string")
+    got = SparkValidator(eng_schema, allow_unknown=True).annotate(df).collect()
+    ref = cerberus.Validator(ref_schema, allow_unknown=True)
+    for r, srow in zip(rows, got):
+        doc = {"s": r[0]} if r[0] is not None else {}
+        ref.validate(dict(doc))
+        assert srow["s"] == ref.document.get("s"), (r, srow["s"], ref.document)
+        eng_failed = bool(srow["violations"])
+        ref_failed = bool(ref._errors)
+        assert eng_failed == ref_failed, (r, srow, ref._errors)
+
+    # 2) type-changing chain: reference keeps the string; the engine's
+    # bigint column cannot — NULL deviation, both sides pinned
+    got2 = SparkValidator({"n": {"coerce": [eng_int]}},
+                          allow_unknown=True).annotate(
+        spark.createDataFrame([("xx",), ("7",)], "n string")).collect()
+    assert got2[0]["n"] is None and got2[0]["violations"]  # deviation: NULL
+    assert got2[1]["n"] == 7 and not got2[1]["violations"]
+    ref2 = cerberus.Validator({"n": {"coerce": [int]}}, allow_unknown=True)
+    ref2.validate({"n": "xx"})
+    assert ref2.document["n"] == "xx" and ref2._errors  # reference keeps it
+
+    # 3) items elements (same-typed by construction): kept like reference
+    got3 = SparkValidator(
+        {"xs": {"items": [{"coerce": [eng_fail_on_bad]},
+                          {"coerce": [eng_fail_on_bad]}]}},
+        allow_unknown=True).annotate(
+        spark.createDataFrame([(["bad", "ok"],)], "xs array<string>")).collect()
+    assert got3[0]["xs"] == ["bad", "ok"]
+    assert len(got3[0]["violations"]) == 1
+
+    # 4) dynamic map payloads via valuesrules: kept like reference
+    got4 = SparkValidator(
+        {"m": {"valuesrules": {"coerce": [eng_fail_on_bad]}}},
+        allow_unknown=True).annotate(
+        spark.createDataFrame([({"a": "bad", "b": "ok"},)],
+                              "m map<string,string>")).collect()
+    assert got4[0]["m"] == {"a": "bad", "b": "ok"}
