@@ -47,7 +47,9 @@ WITH toks AS (
     SELECT d.doc_id,
            coalesce(({sig_lo}), 0) AS slo,
            coalesce(({sig_hi}), 0) AS shi
-    FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+    -- empty-text policy (r5, shared with dedup.simhash_near_dups):
+    -- docs with no tokens never enter the pair graph
+    FROM documents d JOIN t ON d.doc_id = t.doc_id
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        (bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)))::INT AS hamming
@@ -69,7 +71,8 @@ def minhash_pairs_sql(threshold: float) -> str:
 WITH w AS (
     SELECT doc_id, {WORDS} AS ws FROM documents
 ), sh AS (
-    SELECT doc_id, {SHINGLES} AS s FROM w
+    -- empty-text policy (r5, shared with dedup.ngram_jaccard_pairs)
+    SELECT doc_id, {SHINGLES} AS s FROM w WHERE len(ws) > 0
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.s, b.s))::DOUBLE
