@@ -92,9 +92,11 @@ class SparkValidator:
     for ``required`` (validator.py:1036, 1458-1462).  It only changes
     behavior under ``null_semantics='none'`` — the default 'absent'
     convention already treats NULL exactly that way.  Normalization is
-    unaffected (reference defaults fire on missing KEYS only), and
-    membership tests on other fields (dependencies targets, excludes
-    co-presence) still count a present-None key.
+    unaffected by the flag (the reference fills defaults for missing
+    keys and non-nullable present-None fields, and moves present-None
+    keys in renames, with or without it), and membership tests on other
+    fields (dependencies targets, excludes co-presence) still count a
+    present-None key.
 
     ``allow_unknown`` defaults to False exactly like the reference
     (validator.py:146) — schemas ported verbatim report unknown columns

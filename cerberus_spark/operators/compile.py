@@ -424,8 +424,10 @@ class CompileContext:
     #: fields (dependencies targets, excludes co-presence) are NOT
     #: affected: the reference checks raw document membership, where a
     #: present-None key still counts.  Normalization is also untouched
-    #: (defaults fire on MISSING keys only, validator.py:947 — a
-    #: present-None value keeps None even when ignored for validation).
+    #: by the flag: renames move present-None keys, and
+    #: __normalize_default_fields (validator.py:944-953) fills defaults
+    #: for missing keys AND for non-nullable present-None fields, with
+    #: or without ignore_none_values.
     ignore_none_values: bool = False
     require_all: bool = False
     allow_unknown: object = False

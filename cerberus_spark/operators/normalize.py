@@ -247,12 +247,22 @@ class Normalizer:
         purge_readonly 887-891.
         """
         readonly_fields = {f for f, r in schema.items() if r.get("readonly")}
+        # runtime presence for rename moves: under 'absent' semantics a
+        # NULL column is a missing key (no move); under 'none' every
+        # input column is a PRESENT key — the reference moves a
+        # present-None key like any other (rename iterates tuple(mapping),
+        # validator.py:900-918), so a None source moves, clobbers its
+        # target, and chains compose through it
+        if self.null_semantics == "none":
+            presence = {c: F.lit(True) for c in input_cols}
+        else:
+            presence = {c: F.col(c).isNotNull() for c in input_cols}
         exprs, anchors = fold_renames(
             schema,
             {c: F.col(c) for c in input_cols},
             dict(input_dtypes),
             list(input_cols),
-            {c: F.col(c).isNotNull() for c in input_cols},
+            presence,
         )
         known_targets = set(schema) | set(key_cols)
         out: dict[str, Slot] = {}
@@ -434,7 +444,10 @@ class Normalizer:
                     {f.name: value.getField(f.name) for f in dtype.fields},
                     {f.name: f.dataType for f in dtype.fields},
                     [f.name for f in dtype.fields],
-                    {f.name: value.getField(f.name).isNotNull()
+                    # same 'none'-mode presence convention as plan_columns:
+                    # a present-None struct field still moves
+                    {f.name: (F.lit(True) if self.null_semantics == "none"
+                              else value.getField(f.name).isNotNull())
                      for f in dtype.fields},
                 )
 

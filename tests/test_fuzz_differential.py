@@ -840,3 +840,99 @@ def test_coerce_failure_value_semantics_per_type(spark):
         spark.createDataFrame([({"a": "bad", "b": "ok"},)],
                               "m map<string,string>")).collect()
     assert got4[0]["m"] == {"a": "bad", "b": "ok"}
+
+
+def test_fuzz_none_mode_normalization_matches_reference(spark):
+    """'none'-semantics NORMALIZATION parity (r5): renames MOVE
+    present-None keys — the reference iterates tuple(mapping), a
+    membership test, so a None source moves, clobbers its target, and
+    chains compose through it — and __normalize_default_fields
+    (validator.py:944-953) fills defaults for non-nullable present-None
+    fields.  A typed column cannot distinguish a DELETED key from a
+    present-None one (deviation #1), so parity is per-key value
+    equality with None≡NULL on the union of both key sets.  Also pins
+    that ignore_none_values changes NOTHING about normalization."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rng = random.Random(2718)
+    failures = []
+    for case_i in range(20):
+        n_fields = rng.randint(2, 5)
+        fields = [f"f{i}" for i in range(n_fields)]
+        name_pool = fields + ["g0", "g1"]
+        schema = {}
+        for f in fields:
+            r = {}
+            roll = rng.random()
+            if roll < 0.45:
+                r["rename"] = rng.choice([n for n in name_pool if n != f])
+            elif roll < 0.75:
+                r["default"] = f"D{f}"
+                if rng.random() < 0.5:
+                    r["nullable"] = True
+            else:
+                r["type"] = "string"
+            schema[f] = r
+        rows = [tuple(rng.choice(["A", "B", None]) for _ in fields)
+                for _ in range(25)]
+        ddl = ", ".join(f"{f} string" for f in fields)
+        df = spark.createDataFrame(rows, ddl)
+        v = SparkValidator(schema, allow_unknown=True, null_semantics="none")
+        got = v.normalized(df).collect()
+        got_ign = SparkValidator(
+            schema, allow_unknown=True, null_semantics="none",
+            ignore_none_values=True).normalized(df).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in got_ign], \
+            ("ignore_none_values changed normalization", case_i, schema)
+        ref = cerberus.Validator(schema, allow_unknown=True)
+        for row_i, (r, srow) in enumerate(zip(rows, got)):
+            doc = dict(zip(fields, r))  # Nones KEPT: present keys
+            ref_doc = ref.normalized(dict(doc))
+            row_d = srow.asDict()
+            bad = {k: (ref_doc.get(k), row_d.get(k))
+                   for k in set(ref_doc) | set(row_d)
+                   if ref_doc.get(k) != row_d.get(k)}
+            if bad:
+                failures.append({"case": case_i, "row": row_i,
+                                 "schema": schema, "in": doc,
+                                 "diff": bad, "ref": ref_doc})
+    assert failures == [], (len(failures), failures[:3])
+
+
+def test_none_mode_raising_coercer_on_none_deviation(spark):
+    """'none' mode + present-None + a coercer whose Python twin RAISES
+    on None: the reference files COERCION_FAILED during NORMALIZATION
+    (ignore_none_values does not gate coercion — __normalize_coerce,
+    validator.py:762-767), while the engine's Column coercers are TOTAL
+    on NULL (null in → null out, no way to raise per-row) and file
+    nothing.  Documented deviation (#6 in COVERAGE.md), both sides
+    pinned so a change in either fails loudly."""
+    from pyspark.sql import functions as F, types as T
+
+    def eng_strip(col, dtype):
+        return F.trim(col), T.StringType()
+
+    df = spark.createDataFrame([(None,), (" x ",)], "s string")
+
+    # not nullable: reference files COERCION_FAILED (0x61) from the
+    # coercion attempt PLUS NOT_NULLABLE (0x23) from validation; the
+    # engine files only NOT_NULLABLE — the 0x61 is the deviation
+    got = SparkValidator({"s": {"coerce": [eng_strip]}}, allow_unknown=True,
+                         null_semantics="none").annotate(df).collect()
+    assert [v["code"] for v in got[0]["violations"]] == [0x23]
+    assert got[0]["s"] is None and got[1]["s"] == "x"
+    ref = cerberus.Validator({"s": {"coerce": [str.strip]}}, allow_unknown=True)
+    ref.validate({"s": None})
+    assert {int(e.code) for e in ref._errors} == {0x61, 0x23}
+
+    # nullable=True: the reference SWALLOWS the coercer exception
+    # (validator.py:765 `not (nullable and value is None)`) — both sides
+    # agree on zero violations, so the deviation is exactly the
+    # not-nullable case above
+    got2 = SparkValidator({"s": {"coerce": [eng_strip], "nullable": True}},
+                          allow_unknown=True,
+                          null_semantics="none").annotate(df).collect()
+    assert not got2[0]["violations"]
+    ref2 = cerberus.Validator(
+        {"s": {"coerce": [str.strip], "nullable": True}}, allow_unknown=True)
+    assert ref2.validate({"s": None}) and not ref2._errors
