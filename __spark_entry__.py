@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cerberus_spark import SparkValidator
 from cerberus_spark.functions import dedup, multimodal, similarity, text
-from cerberus_spark.operators import dataset as D
+from cerberus_spark.operators import dataset as D, temporal
 
 # ---------------------------------------------------------------------------
 # rule-set applied to the `events` table (drives the validation queries)
@@ -472,6 +472,52 @@ def q_multimodal_features_documents(spark, sf_dir):
     ).select("doc_id", F.size("features").alias("n_features"), "n_payload_bytes")
 
 
+def q_asof_purchase_events(spark, sf_dir):
+    """As-of join (operators/temporal.py): enrich every event with the
+    same user's most recent STRICTLY-earlier purchase.  One union + one
+    window pass — a single hash exchange on user_id, never a
+    key-equijoin × range-filter cross product (plan-pinned in
+    tests/test_temporal.py)."""
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return temporal.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["value"],
+        strict=True,
+    ).select(
+        "event_id",
+        F.col("ts_asof").alias("prev_purchase_ts"),
+        F.col("value_asof").alias("prev_purchase_value"),
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Row-level gap sessionization (15-min gap, per user): every event
+    labeled with its 0-based session index.  lag + running sum share one
+    per-key sort."""
+    return temporal.sessionize(
+        _read(spark, sf_dir, "events"), "user_id", "ts", 900.0,
+        order_tie="event_id",
+    ).select("event_id", "user_id", "session_idx")
+
+
+def q_session_stats_events(spark, sf_dir):
+    """Per-session aggregates via the JVM-native F.session_window (one
+    shuffle, map-side partial session merge) — the same operator the
+    streaming path uses, so batch/streaming session semantics agree by
+    construction.  Null-ts rows excluded (session_window drops them)."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return temporal.session_stats(ev, "user_id", "ts", 900.0).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: compiled rule validation."""
     return q_validate_events_violations(spark, "/root/testdata/sf0.001")
@@ -507,6 +553,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features_documents": q_multimodal_features_documents,
+        # temporal family — as-of join + sessionization (both window
+        # forms), oracled by DuckDB ASOF JOIN / window SQL
+        "asof_purchase_events": q_asof_purchase_events,
+        "sessionize_events": q_sessionize_events,
+        "session_stats_events": q_session_stats_events,
         # flagship: reads the committed transcripts fixture parquet, so
         # its DuckDB twin hash-matches on identical input
         "flagship_transcripts": q_flagship_transcripts,
@@ -968,4 +1019,57 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 50
         """,
         "flagship_transcripts": _TRANSCRIPTS_VIOLATIONS_SQL,
+        # temporal family: DuckDB's native ASOF JOIN is the as-of
+        # oracle ((user_id, ts) is duplicate-free at every SF, so the
+        # match is unique ⇒ hash-deterministic); the session oracles
+        # re-derive labels with lag + running sum.  NULLS FIRST pins
+        # DuckDB's ORDER BY to Spark's asc_nulls_first default, and the
+        # COALESCE(…, TRUE) reproduces the engine's "NULL ts opens its
+        # own session" rule.
+        "asof_purchase_events": """
+            SELECT l.event_id,
+                   r.ts AS prev_purchase_ts,
+                   r.value AS prev_purchase_value
+            FROM events l
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ) r ON l.user_id = r.user_id AND l.ts > r.ts
+        """,
+        "sessionize_events": """
+            WITH o AS (
+                SELECT event_id, user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts NULLS FIRST, event_id) AS prev
+                FROM events)
+            SELECT event_id, user_id,
+                   CAST(SUM(CASE WHEN COALESCE(prev IS NULL
+                                  OR ts - prev >= INTERVAL '900' SECOND,
+                                  TRUE) THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS FIRST, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - 1 AS INTEGER) AS session_idx
+            FROM o
+        """,
+        "session_stats_events": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events WHERE ts IS NOT NULL),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(CASE WHEN prev IS NULL
+                                OR ts - prev >= INTERVAL '900' SECOND
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+                FROM o)
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
     }

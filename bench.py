@@ -122,6 +122,8 @@ def main() -> None:
         "token_stats_documents",
         "topk_embeddings_cosine",
         "minhash_near_dups_documents",
+        "asof_purchase_events",
+        "sessionize_events",
     ]
     qs = entrymod.queries()
     # best-of-N per head query: a single co-tenant burst on this shared
