@@ -518,6 +518,47 @@ def q_session_stats_events(spark, sf_dir):
     )
 
 
+def q_range_join_purchase_windows(spark, sf_dir):
+    """Bucketized point-in-interval join (operators/temporal.py
+    range_join): pair every event with each 1-day purchase window of
+    the same user containing it.  Intervals explode into 6h epoch
+    buckets → EQUI-join on (user_id, bucket) + residual range filter —
+    shuffle-partitionable, no nested-loop cross product (plan-pinned
+    in tests/test_temporal.py)."""
+    ev = _read(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL '1' DAY")).alias("w_end"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return temporal.range_join(
+        ev.select("event_id", "user_id", "ts"),
+        windows,
+        on="user_id",
+        left_ts="ts",
+        right_start="w_start",
+        right_end="w_end",
+        payload=["purchase_id"],
+        bucket_sec=6 * 3600,
+    ).select("event_id", F.col("purchase_id_rng").alias("purchase_id"))
+
+
+def q_rollup_events_daily(spark, sf_dir):
+    """Hierarchical (event_type, day) → (event_type) → total summary in
+    ONE pass via native ROLLUP (single Expand + hash aggregate with
+    map-side partial combine — not one scan per level; plan-pinned in
+    tests/test_dataset.py).  gid = grouping_id() disambiguates
+    super-aggregate NULLs from the table's genuine NULL groups."""
+    ev = _read(spark, sf_dir, "events")
+    return D.rollup_profile(
+        ev,
+        [F.col("event_type"), F.to_date(F.col("ts")).alias("day")],
+        [F.count(F.lit(1)).alias("n"),
+         F.round(F.sum("value"), 3).alias("sum_value")],
+    ).select("event_type", "day", "gid", "n", "sum_value")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: compiled rule validation."""
     return q_validate_events_violations(spark, "/root/testdata/sf0.001")
@@ -558,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_events": q_asof_purchase_events,
         "sessionize_events": q_sessionize_events,
         "session_stats_events": q_session_stats_events,
+        "range_join_purchase_windows": q_range_join_purchase_windows,
+        "rollup_events_daily": q_rollup_events_daily,
         # flagship: reads the committed transcripts fixture parquet, so
         # its DuckDB twin hash-matches on identical input
         "flagship_transcripts": q_flagship_transcripts,
@@ -1051,6 +1094,26 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         - 1 AS INTEGER) AS session_idx
             FROM o
+        """,
+        # range join: plain inequality join is the oracle (the engine's
+        # bucketization is exact, so results are identical); rollup:
+        # ANSI GROUP BY ROLLUP with GROUPING() — same bitmask convention
+        # as Spark's grouping_id(), verified in tests/test_dataset.py
+        "range_join_purchase_windows": """
+            SELECT l.event_id, r.event_id AS purchase_id
+            FROM events l
+            JOIN (SELECT user_id, event_id, ts AS s,
+                         ts + INTERVAL '1' DAY AS e
+                  FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.s AND l.ts <= r.e
+        """,
+        "rollup_events_daily": """
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(GROUPING(event_type, CAST(ts AS DATE)) AS INTEGER)
+                       AS gid,
+                   COUNT(*) AS n, ROUND(SUM(value), 3) AS sum_value
+            FROM events
+            GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
         """,
         "session_stats_events": """
             WITH o AS (

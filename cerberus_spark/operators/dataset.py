@@ -284,6 +284,27 @@ def multi_profile(df: DataFrame, specs: list[tuple[str, Column | str]]) -> DataF
     return counts.select("key", "bucket", (F.col("n") / total).alias("freq"))
 
 
+def rollup_profile(df: DataFrame, dims: list[Column | str],
+                   aggs: list[Column] | None = None) -> DataFrame:
+    """Hierarchical summary over ``dims`` via native ROLLUP: one pass
+    emits every prefix level (d1,d2,…) → (d1,…) → grand total, with
+    ``gid`` (``grouping_id()``) disambiguating super-aggregate NULLs
+    from genuine NULL groups — the classic rollup ambiguity, resolved
+    the same way DuckDB/ANSI ``GROUPING()`` does so the two engines are
+    row-comparable.  Catalyst plans ROLLUP as a single Expand + one
+    hash aggregate (partial map-side combine included): cost is
+    ``len(dims)+1`` × the input rows pre-combine, NOT one scan per
+    level, which is the property that matters at 100 TB.  Default
+    measures: row count.  Dims may be arbitrary Columns (e.g.
+    ``F.date_trunc('hour', …)``) — alias them for stable output names.
+    """
+    cols = [F.col(d) if isinstance(d, str) else d for d in dims]
+    measures = list(aggs) if aggs else [F.count(F.lit(1)).alias("n")]
+    return df.rollup(*cols).agg(
+        F.grouping_id().cast("int").alias("gid"), *measures
+    )
+
+
 def drift_metrics_df(current: DataFrame, baseline: DataFrame,
                      eps: float = 1e-6) -> DataFrame:
     """KL(current‖baseline) and PSI per profile key, computed

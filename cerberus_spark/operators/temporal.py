@@ -41,7 +41,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "sessionize", "session_stats"]
+__all__ = ["asof_join", "range_join", "sessionize", "session_stats"]
 
 
 def _interval(seconds: float) -> Column:
@@ -132,6 +132,111 @@ def asof_join(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         F.col("__m.__mt").alias(f"{right_ts}{suffix}"),
         *[F.col(f"__m.{p}").alias(f"{p}{suffix}") for p in payload],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    payload: Sequence[str],
+    *,
+    bucket_sec: float = 3600.0,
+    max_buckets: int = 10_000,
+    end_inclusive: bool = True,
+    how: str = "inner",
+    suffix: str = "_rng",
+) -> DataFrame:
+    """Point-in-interval join: pair every left row whose ``left_ts``
+    falls inside a right row's ``[right_start, right_end]`` interval
+    (half-open when ``end_inclusive=False``), matching on the ``on``
+    key(s).  ``how='inner'`` emits one row per (left, interval) match;
+    ``how='left_semi'`` keeps each left row once if ANY interval
+    contains it.
+
+    Spark's naive plan for ``l.ts BETWEEN r.s AND r.e`` with only a
+    range predicate is a nested-loop cross product.  This instead
+    BUCKETIZES time: each interval explodes into the ``bucket_sec``-wide
+    epoch buckets it covers, each point computes its single bucket, and
+    the join becomes an EQUI-join on (key..., bucket) + a residual
+    range filter — shuffle-partitionable, AQE/skew-handled like any
+    hash join, no cross product (plan-pinned in tests).  A point's
+    bucket is covered by every interval containing it (epoch
+    truncation is monotonic), so matches are exact, and each match is
+    produced exactly once (the point lives in exactly ONE bucket).
+
+    ``bucket_sec`` trades explode factor against join selectivity:
+    buckets-per-interval = duration/bucket_sec + 1, guarded by
+    ``max_buckets`` (executor-side ``raise_error``, so a pathological
+    interval fails loudly instead of OOM-ing the shuffle).  NULL
+    key/ts/bounds rows never match (SQL semantics): inner drops them,
+    left_semi drops the left row.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"range_join: how must be inner|left_semi, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    w = int(bucket_sec)
+    if w <= 0:
+        raise ValueError("range_join: bucket_sec must be positive")
+
+    def bucket(c: Column) -> Column:
+        return F.floor(F.unix_timestamp(c) / F.lit(w))
+
+    seq = F.sequence(bucket(F.col(right_start)), bucket(F.col(right_end)))
+    n_over = F.size(seq) > max_buckets
+    rexp = (
+        right.filter(
+            F.lit(True)
+            & F.col(right_start).isNotNull()
+            & F.col(right_end).isNotNull()
+            & (F.col(right_start) <= F.col(right_end))
+        )
+        .withColumn(
+            "__b",
+            F.when(
+                n_over,
+                F.raise_error(
+                    F.format_string(
+                        "range_join: interval spans %s buckets > max_buckets=%s"
+                        " — raise bucket_sec or max_buckets",
+                        F.size(seq).cast("string"),
+                        F.lit(str(max_buckets)),
+                    )
+                ).cast("array<bigint>"),
+            ).otherwise(seq),
+        )
+        .withColumn("__b", F.explode("__b"))
+        .select(
+            *[F.col(k).alias(f"__rk_{k}") for k in keys],
+            "__b",
+            F.col(right_start).alias("__s"),
+            F.col(right_end).alias("__e"),
+            *[F.col(p).alias(f"__p_{p}") for p in payload],
+        )
+    )
+    lb = left.withColumn("__b", bucket(F.col(left_ts)))
+    upper = (
+        F.col(left_ts) <= F.col("__e")
+        if end_inclusive
+        else F.col(left_ts) < F.col("__e")
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__rk_{k}"))
+    cond = cond & (lb["__b"] == rexp["__b"]) & (F.col(left_ts) >= F.col("__s")) & upper
+    if how == "left_semi":
+        return lb.join(rexp, cond, "left_semi").drop("__b")
+    return (
+        lb.join(rexp, cond, "inner")
+        .select(
+            *[F.col(c) for c in left.columns],
+            F.col("__s").alias(f"{right_start}{suffix}"),
+            F.col("__e").alias(f"{right_end}{suffix}"),
+            *[F.col(f"__p_{p}").alias(f"{p}{suffix}") for p in payload],
+        )
     )
 
 

@@ -293,3 +293,51 @@ def test_failed_waves_do_not_commit_drift_baseline(spark):
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_rollup_profile_matches_duckdb(spark):
+    """ROLLUP parity with DuckDB GROUP BY ROLLUP on the sf0.001 events
+    table, gid (grouping_id) disambiguating super-aggregate NULLs from
+    the table's genuine NULL event_type/ts groups; plan must be ONE
+    Expand + hash aggregate (single pass), not one scan per level."""
+    import duckdb
+
+    ev_path = "/root/testdata/sf0.001/events.parquet"
+    out = D.rollup_profile(
+        spark.read.parquet(ev_path),
+        [F.col("event_type"), F.to_date(F.col("ts")).alias("day")],
+        [F.count(F.lit(1)).alias("n"),
+         F.round(F.sum("value"), 3).alias("sum_value")],
+    ).select("event_type", "day", "gid", "n", "sum_value")
+
+    def key(t):
+        return tuple("~N~" if v is None else str(v) for v in t)
+
+    got = sorted(
+        key((r.event_type, r.day, r.gid, r.n, r.sum_value))
+        for r in out.collect()
+    )
+    want = sorted(
+        key(t)
+        for t in duckdb.sql(f"""
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(GROUPING(event_type, CAST(ts AS DATE)) AS INTEGER) AS gid,
+                   COUNT(*) AS n, ROUND(SUM(value), 3) AS sum_value
+            FROM '{ev_path}'
+            GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+        """).fetchall()
+    )
+    assert got == want
+    # levels present: (type, day)=0, (type)=1, grand total=3
+    gids = {r.gid for r in out.collect()}
+    assert gids == {0, 1, 3}
+    # look at the final plan only (the AQE string repeats the initial plan)
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1  # one pass, not one scan per level
+    assert "partial_count" in plan  # map-side combine below the exchange

@@ -1,10 +1,10 @@
 """Temporal operators (operators/temporal.py): as-of join + sessionization.
 
 Differential against DuckDB's native ASOF JOIN / window SQL on the
-sf0.001 events table (which contains NULL user_id and NULL ts rows, so
-the null paths are exercised by real data), plus boundary pins and a
-plan-shape assertion (the as-of join must be ONE window pass, never a
-range cross-product).
+sf0.001 events table (no NULL keys/timestamps there — the null paths
+are covered by the synthetic cases here and by the randomized nulls in
+test_temporal_fuzz.py), plus boundary pins and a plan-shape assertion
+(the as-of join must be ONE window pass, never a range cross-product).
 """
 
 import datetime
@@ -13,6 +13,7 @@ import duckdb
 import pytest
 from pyspark.sql import Row, functions as F
 
+from cerberus_spark.operators import temporal
 from cerberus_spark.operators.temporal import asof_join, session_stats, sessionize
 
 SF = "/root/testdata/sf0.001"
@@ -238,3 +239,136 @@ def test_asof_plan_is_single_window_no_range_join(spark):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
         assert bad not in plan, f"unexpected {bad} in as-of plan"
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+
+def _purchase_windows(spark):
+    ev = _events(spark)
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL '1' DAY")).alias("w_end"),
+        F.col("event_id").alias("purchase_id"),
+    )
+
+
+def _range_pairs_sql(distinct=False):
+    sel = "DISTINCT l.event_id" if distinct else "l.event_id, r.event_id AS purchase_id"
+    return f"""
+        SELECT {sel}
+        FROM '{EV}' l
+        JOIN (SELECT user_id, event_id, ts AS s, ts + INTERVAL '1' DAY AS e
+              FROM '{EV}' WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.s AND l.ts <= r.e
+    """
+
+
+@pytest.mark.parametrize("bucket_sec", [3600, 6 * 3600, 7 * 24 * 3600])
+def test_range_join_matches_duckdb(spark, bucket_sec):
+    """Bucketized point-in-interval join ≡ plain inequality join, at
+    bucket widths smaller than, comparable to, and much larger than the
+    1-day interval (explode factor 25×, 5×, 2×)."""
+    import duckdb
+
+    got = temporal.range_join(
+        _events(spark).select("event_id", "user_id", "ts"),
+        _purchase_windows(spark),
+        on="user_id",
+        left_ts="ts",
+        right_start="w_start",
+        right_end="w_end",
+        payload=["purchase_id"],
+        bucket_sec=bucket_sec,
+    ).select("event_id", F.col("purchase_id_rng").alias("purchase_id"))
+    want = duckdb.sql(_range_pairs_sql()).fetchall()
+    assert _norm(got.collect()) == _norm(want)
+
+
+def test_range_join_semi_and_exclusive_end(spark):
+    import duckdb
+
+    semi = temporal.range_join(
+        _events(spark).select("event_id", "user_id", "ts"),
+        _purchase_windows(spark),
+        on="user_id",
+        left_ts="ts",
+        right_start="w_start",
+        right_end="w_end",
+        payload=[],
+        bucket_sec=6 * 3600,
+        how="left_semi",
+    )
+    want = duckdb.sql(_range_pairs_sql(distinct=True)).fetchall()
+    assert sorted(r.event_id for r in semi.collect()) == sorted(
+        w[0] for w in want
+    )
+    # end_inclusive=False excludes exact-end matches (w_start itself is an
+    # exact-boundary hit on the purchase's own row, so counts differ)
+    n_incl = temporal.range_join(
+        _events(spark).select("event_id", "user_id", "ts"),
+        _purchase_windows(spark),
+        on="user_id", left_ts="ts", right_start="w_start",
+        right_end="w_end", payload=[], bucket_sec=6 * 3600,
+    ).count()
+    n_excl_start = duckdb.sql(
+        f"""SELECT count(*) FROM '{EV}' l
+            JOIN (SELECT user_id, ts AS s, ts + INTERVAL '1' DAY AS e
+                  FROM '{EV}' WHERE event_type='purchase') r
+            ON l.user_id = r.user_id AND l.ts >= r.s AND l.ts < r.e"""
+    ).fetchone()[0]
+    n_excl = temporal.range_join(
+        _events(spark).select("event_id", "user_id", "ts"),
+        _purchase_windows(spark),
+        on="user_id", left_ts="ts", right_start="w_start",
+        right_end="w_end", payload=[], bucket_sec=6 * 3600,
+        end_inclusive=False,
+    ).count()
+    assert n_excl == n_excl_start <= n_incl
+
+
+def test_range_join_max_buckets_guard(spark):
+    """A pathological interval (wider than max_buckets × bucket_sec)
+    fails loudly executor-side instead of exploding the shuffle."""
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        temporal.range_join(
+            _events(spark).select("event_id", "user_id", "ts"),
+            _purchase_windows(spark),
+            on="user_id",
+            left_ts="ts",
+            right_start="w_start",
+            right_end="w_end",
+            payload=["purchase_id"],
+            bucket_sec=60,
+            max_buckets=10,
+        ).count()
+    assert "max_buckets" in str(ei.value)
+
+
+def test_range_join_plan_is_equi_join(spark):
+    plan = (
+        temporal.range_join(
+            _events(spark).select("event_id", "user_id", "ts"),
+            _purchase_windows(spark),
+            on="user_id",
+            left_ts="ts",
+            right_start="w_start",
+            right_end="w_end",
+            payload=["purchase_id"],
+            bucket_sec=6 * 3600,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"unexpected {bad} in range-join plan"
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
