@@ -372,3 +372,62 @@ def test_range_join_plan_is_equi_join(spark):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_session_stats_streaming_equals_batch(spark, tmp_path):
+    """The docstring claim, substantiated: session_stats uses the exact
+    operator the streaming path uses, so running the SAME gap over the
+    same rows as a 5-micro-batch stream (watermark + append mode, state
+    merged across batches) finalizes exactly the batch result.
+
+    Watermark delay (40d) exceeds the data span (30d) so no row is ever
+    late-dropped; a far-future sentinel row advances the watermark past
+    every real session end so append mode flushes them all.
+    """
+    import datetime as dt
+
+    from cerberus_spark.operators.temporal import session_stats
+
+    # watermarks require TIMESTAMP (not the parquet's TIMESTAMP_NTZ);
+    # session TZ is pinned UTC so the cast is value-preserving
+    ev = _events(spark).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    src = str(tmp_path / "sess_src")
+    # 4 data chunks → 4 micro-batches with cross-batch session state
+    ev.repartition(4).write.parquet(src)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = [(int(-999), max_ts + dt.timedelta(days=100), int(-1))]
+    spark.createDataFrame(sentinel, ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "40 days")
+    )
+    agg = session_stats(stream, "user_id", "ts", 900.0)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _norm(
+            spark.sql(
+                "SELECT user_id, session_start, session_end, n_events "
+                "FROM sess_stream WHERE user_id >= 0"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    want = _norm(
+        session_stats(ev, "user_id", "ts", 900.0)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    )
+    assert got == want and len(got) > 0
