@@ -285,7 +285,8 @@ def multi_profile(df: DataFrame, specs: list[tuple[str, Column | str]]) -> DataF
 
 
 def rollup_profile(df: DataFrame, dims: list[Column | str],
-                   aggs: list[Column] | None = None) -> DataFrame:
+                   aggs: list[Column] | None = None,
+                   kind: str = "rollup") -> DataFrame:
     """Hierarchical summary over ``dims`` via native ROLLUP: one pass
     emits every prefix level (d1,d2,…) → (d1,…) → grand total, with
     ``gid`` (``grouping_id()``) disambiguating super-aggregate NULLs
@@ -297,12 +298,17 @@ def rollup_profile(df: DataFrame, dims: list[Column | str],
     level, which is the property that matters at 100 TB.  Default
     measures: row count.  Dims may be arbitrary Columns (e.g.
     ``F.date_trunc('hour', …)``) — alias them for stable output names.
+
+    ``kind='cube'`` emits ALL 2^len(dims) dim subsets instead of the
+    prefix hierarchy (Expand factor 2^d vs d+1 — the caller's dial;
+    at 100 TB keep d small either way).
     """
     cols = [F.col(d) if isinstance(d, str) else d for d in dims]
     measures = list(aggs) if aggs else [F.count(F.lit(1)).alias("n")]
-    return df.rollup(*cols).agg(
-        F.grouping_id().cast("int").alias("gid"), *measures
-    )
+    if kind not in ("rollup", "cube"):
+        raise ValueError(f"rollup_profile: kind must be rollup|cube, got {kind!r}")
+    grouped = df.cube(*cols) if kind == "cube" else df.rollup(*cols)
+    return grouped.agg(F.grouping_id().cast("int").alias("gid"), *measures)
 
 
 def drift_metrics_df(current: DataFrame, baseline: DataFrame,

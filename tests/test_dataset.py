@@ -341,3 +341,33 @@ def test_rollup_profile_matches_duckdb(spark):
     assert plan.count("Expand") == 1
     assert plan.count("FileScan") == 1  # one pass, not one scan per level
     assert "partial_count" in plan  # map-side combine below the exchange
+
+
+def test_cube_profile_matches_duckdb(spark):
+    """kind='cube' emits all 2^d subsets; DuckDB GROUP BY CUBE parity,
+    gid set {0,1,2,3} for two dims."""
+    import duckdb
+
+    ev_path = "/root/testdata/sf0.001/events.parquet"
+    out = D.rollup_profile(
+        spark.read.parquet(ev_path),
+        [F.col("event_type"), F.to_date(F.col("ts")).alias("day")],
+        kind="cube",
+    ).select("event_type", "day", "gid", "n")
+
+    def key(t):
+        return tuple("~N~" if v is None else str(v) for v in t)
+
+    got = sorted(key((r.event_type, r.day, r.gid, r.n)) for r in out.collect())
+    want = sorted(
+        key(t)
+        for t in duckdb.sql(f"""
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(GROUPING(event_type, CAST(ts AS DATE)) AS INTEGER) AS gid,
+                   COUNT(*) AS n
+            FROM '{ev_path}'
+            GROUP BY CUBE(event_type, CAST(ts AS DATE))
+        """).fetchall()
+    )
+    assert got == want
+    assert {r.gid for r in out.collect()} == {0, 1, 2, 3}
