@@ -340,6 +340,52 @@ def q_flagship_transcripts(spark, sf_dir):
     )
 
 
+#: conversation grammar for the synthetic transcripts (the generator's
+#: clean pattern is system → user → (assistant|tool) → user → system…;
+#: sources/transcripts.py:84-90), so violations fire exactly on the
+#: injected dirt: bogus roles, duplicate/negative turn_idx, shifted ts
+_SEQ_TRANSITIONS = {
+    "system": ["user"],
+    "user": ["assistant", "tool", "system"],
+    "assistant": ["user", "system"],
+    "tool": ["user", "system"],
+}
+#: total order inside a conversation — (turn_idx, ts, role, text, tool)
+#: is unique on the fixture, so lag() is deterministic on dirty data
+_SEQ_TIE = ("ts", "role", "text", "tool")
+
+
+def q_sequence_violations_transcripts(spark, sf_dir):
+    """Conversation-sequence grammar over the transcripts fixture: role
+    transitions + first-role + turn_idx contiguity + ts monotonicity in
+    ONE window pass (operators/sequence.py; dataset-level rules the
+    per-document reference cannot express — validator.py:1009-1049)."""
+    from cerberus_spark.operators import sequence as seq
+
+    df = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return seq.sequence_violations(
+        df, first_roles=["system"], transitions=_SEQ_TRANSITIONS,
+        contiguous=True, monotone_ts=True, order_tie=_SEQ_TIE,
+    ).select("conv_id", "turn_idx", "constraint", "value")
+
+
+def q_sequence_summary_transcripts(spark, sf_dir):
+    """Per-conversation grammar scorecard (same rules, same single
+    window pass; the groupBy rides the window's conv_id partitioning so
+    the summary adds no second exchange — plan-pinned)."""
+    from cerberus_spark.operators import sequence as seq
+
+    df = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return seq.sequence_summary(
+        df, first_roles=["system"], transitions=_SEQ_TRANSITIONS,
+        contiguous=True, monotone_ts=True, order_tie=_SEQ_TIE,
+    ).select(
+        "conv_id", "n_turns", "n_first_role", "n_transition",
+        "n_contiguous", "n_monotone_ts", "n_violations",
+        F.col("seq_ok").cast("int").alias("seq_ok"),
+    )
+
+
 def q_minhash_near_dups_documents(spark, sf_dir):
     """Verified MinHash near-dups: LSH candidates → exact shingle
     Jaccard ≥ 0.6.  The DuckDB oracle is the EXACT all-pairs Jaccard
@@ -601,6 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": q_session_stats_events,
         "range_join_purchase_windows": q_range_join_purchase_windows,
         "rollup_events_daily": q_rollup_events_daily,
+        # conversation-sequence grammar (transcripts fixture)
+        "sequence_violations_transcripts": q_sequence_violations_transcripts,
+        "sequence_summary_transcripts": q_sequence_summary_transcripts,
         # flagship: reads the committed transcripts fixture parquet, so
         # its DuckDB twin hash-matches on identical input
         "flagship_transcripts": q_flagship_transcripts,
@@ -678,6 +727,66 @@ SELECT conv_id, turn_idx, 'tool', 5, 'dependencies' FROM t
  WHERE tool IS NOT NULL AND (role IS NULL OR role NOT IN ('assistant','tool'))
 UNION ALL
 SELECT conv_id, turn_idx, 'ts', 2, 'required' FROM t WHERE ts IS NULL
+"""
+
+
+# DuckDB twin of the sequence grammar (operators/sequence.py) over the
+# same fixture: identical total order (ASC NULLS FIRST everywhere —
+# DuckDB's default is NULLS LAST, Spark's asc() is NULLS FIRST) and
+# identical three-valued-logic predicates, so NULL roles/ts behave the
+# same on both engines by construction.
+_SEQ_LAGGED_CTE = f"""
+WITH o AS (
+  SELECT conv_id, turn_idx, role, ts,
+         lag(1) OVER w IS NOT NULL AS has_prev,
+         lag(role) OVER w AS prev_role,
+         lag(turn_idx) OVER w AS prev_idx,
+         lag(ts) OVER w AS prev_ts
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+  WINDOW w AS (PARTITION BY conv_id
+               ORDER BY turn_idx ASC NULLS FIRST, ts ASC NULLS FIRST,
+                        role ASC NULLS FIRST, text ASC NULLS FIRST,
+                        tool ASC NULLS FIRST))
+"""
+
+_SEQ_BAD_TRANSITION = """(
+       (prev_role = 'system' AND role NOT IN ('user'))
+    OR (prev_role = 'user' AND role NOT IN ('assistant','tool','system'))
+    OR (prev_role = 'assistant' AND role NOT IN ('user','system'))
+    OR (prev_role = 'tool' AND role NOT IN ('user','system')))"""
+
+_SEQ_VIOLATIONS_SQL = f"""
+{_SEQ_LAGGED_CTE}
+SELECT conv_id, turn_idx, 'first_role' AS constraint, role AS value FROM o
+ WHERE NOT has_prev AND role NOT IN ('system')
+UNION ALL
+SELECT conv_id, turn_idx, 'transition', prev_role || '->' || role FROM o
+ WHERE has_prev AND {_SEQ_BAD_TRANSITION}
+UNION ALL
+SELECT conv_id, turn_idx, 'contiguous', CAST(turn_idx AS VARCHAR) FROM o
+ WHERE CASE WHEN NOT has_prev THEN turn_idx != 0
+            ELSE turn_idx != prev_idx + 1 END
+UNION ALL
+SELECT conv_id, turn_idx, 'monotone_ts', CAST(ts AS VARCHAR) FROM o
+ WHERE has_prev AND ts < prev_ts
+"""
+
+_SEQ_SUMMARY_SQL = f"""
+{_SEQ_LAGGED_CTE}
+SELECT conv_id,
+       count(*) AS n_turns,
+       count(*) FILTER (NOT has_prev AND role NOT IN ('system'))
+         AS n_first_role,
+       count(*) FILTER (has_prev AND {_SEQ_BAD_TRANSITION})
+         AS n_transition,
+       count(*) FILTER (CASE WHEN NOT has_prev THEN turn_idx != 0
+                             ELSE turn_idx != prev_idx + 1 END)
+         AS n_contiguous,
+       count(*) FILTER (has_prev AND ts < prev_ts) AS n_monotone_ts,
+       n_first_role + n_transition + n_contiguous + n_monotone_ts
+         AS n_violations,
+       CAST(n_violations = 0 AS INT) AS seq_ok
+FROM o GROUP BY conv_id
 """
 
 
@@ -1062,6 +1171,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 50
         """,
         "flagship_transcripts": _TRANSCRIPTS_VIOLATIONS_SQL,
+        "sequence_violations_transcripts": _SEQ_VIOLATIONS_SQL,
+        "sequence_summary_transcripts": _SEQ_SUMMARY_SQL,
         # temporal family: DuckDB's native ASOF JOIN is the as-of
         # oracle ((user_id, ts) is duplicate-free at every SF, so the
         # match is unique ⇒ hash-deterministic); the session oracles

@@ -109,6 +109,7 @@ ORDERING_VIOLATION = ErrorDefinition(0x103, "ordering")
 DRIFT_DETECTED = ErrorDefinition(0x104, "drift")
 STATS_BOUND = ErrorDefinition(0x105, "stats")
 DUPLICATE_CONTENT = ErrorDefinition(0x106, "dedup")
+SEQUENCE_VIOLATION = ErrorDefinition(0x107, "sequence")
 
 
 #: Message table (reference: errors.py:469-506, verbatim format strings);
@@ -155,6 +156,7 @@ MESSAGES: dict[int, str] = {
     0x103: "ordering violation: {constraint}",
     0x104: "distribution drift: {constraint}",
     0x105: "column statistic out of bounds: {constraint}",
+    0x107: "sequence violation: {constraint}",
 }
 
 
