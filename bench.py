@@ -114,6 +114,26 @@ def main() -> None:
         compute = e if compute is None or e < compute else compute
     timings["validate_compute_phase"] = round(compute, 3)
 
+    # conversation-sequence grammar over the same transcripts scale
+    # (one window pass per conversation; operators/sequence.py)
+    from cerberus_spark.operators import sequence as seqmod
+
+    seq_best = None
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        seqmod.sequence_violations(
+            t_df, first_roles=["system"],
+            transitions={"system": ["user"],
+                         "user": ["assistant", "tool", "system"],
+                         "assistant": ["user", "system"],
+                         "tool": ["user", "system"]},
+            contiguous=True, monotone_ts=True,
+            order_tie=("ts", "role", "text", "tool"),
+        ).write.format("noop").mode("overwrite").save()
+        e = time.time() - t0
+        seq_best = e if seq_best is None or e < seq_best else seq_best
+    timings["sequence_grammar_transcripts"] = round(seq_best, 3)
+
     # -- supporting headline queries over the driver testdata --------------
     heads = [] if os.environ.get("SPARK_GRAFT_ONLY_FULL") else [
         "validate_events_violations",

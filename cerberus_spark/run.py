@@ -11,6 +11,9 @@ One pass over the transcripts table computes (north star):
                                                    repartition(conv_id))
 6. role/tool frequency + text-length drift vs a checkpointed baseline
    (KL + PSI on small aggregated profiles)
+6b. (optional, ``RunConfig.sequence_rules``) conversation-sequence
+   grammar — first-role / role-transitions / turn_idx contiguity / ts
+   monotonicity in one window pass (operators/sequence.py)
 7. checkpoint commit with lineage (snapshot, rule-schema hash) so a
    killed job restarts only unvalidated partitions
 
@@ -75,6 +78,11 @@ class RunConfig:
     # when the input scan itself is the expensive part AND executors
     # have cache headroom.
     persist: bool = False
+    #: optional conversation-sequence grammar (operators/sequence.py
+    #: kwargs: first_roles / transitions / contiguous / monotone_ts /
+    #: order_tie).  None (default) skips the check; when set, sequence
+    #: violations join the dataset-violations sink and the report.
+    sequence_rules: dict | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -88,6 +96,7 @@ class RunReport:
     n_ordering_violations: int
     drift: list
     skipped_partitions: int
+    n_sequence_violations: int = 0
 
 
 class ValidationRun:
@@ -206,6 +215,7 @@ class ValidationRun:
             n_ordering_violations=ds_counts.get(E.ORDERING_VIOLATION.code, 0),
             drift=drift,
             skipped_partitions=len(done),
+            n_sequence_violations=ds_counts.get(E.SEQUENCE_VIOLATION.code, 0),
         )
 
     # ------------------------------------------------------------------
@@ -320,8 +330,16 @@ class ValidationRun:
         ordering = D.ordering_violations(
             df, cfg.conv_col, cfg.order_col, cfg.ts_col, keys=keys
         )
+        seq = None
+        if cfg.sequence_rules:
+            from .operators import sequence as S
+
+            seq = S.sequence_violations(
+                df, conv_col=cfg.conv_col, idx_col=cfg.order_col,
+                ts_col=cfg.ts_col, keys=keys, **cfg.sequence_rules
+            )
         ds_viol = uniq
-        for extra in (orphans, ordering):
+        for extra in (orphans, ordering, seq):
             if extra is not None:
                 ds_viol = ds_viol.unionByName(extra)
         # per-check counts ride along on the write job itself
@@ -335,6 +353,7 @@ class ValidationRun:
             "unique": E.NOT_UNIQUE.code,
             "orphan": E.ORPHAN_REFERENCE.code,
             "ordering": E.ORDERING_VIOLATION.code,
+            "sequence": E.SEQUENCE_VIOLATION.code,
         }
         ds_viol = ds_viol.observe(obs, *[
             F.sum((F.col("code") == c).cast("long")).alias(name)

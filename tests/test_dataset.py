@@ -371,3 +371,36 @@ def test_cube_profile_matches_duckdb(spark):
     )
     assert got == want
     assert {r.gid for r in out.collect()} == {0, 1, 2, 3}
+
+
+def test_run_with_sequence_rules(spark, data):
+    """RunConfig.sequence_rules folds the conversation-grammar check
+    into the dataset-violations sink and the report; the count must
+    equal the standalone operator's on the same input."""
+    from cerberus_spark.operators import sequence as S
+
+    t, c = data
+    rules = dict(
+        first_roles=["system"],
+        transitions={"system": ["user"],
+                     "user": ["assistant", "tool", "system"],
+                     "assistant": ["user", "system"],
+                     "tool": ["user", "system"]},
+        contiguous=True, monotone_ts=True,
+        order_tie=("ts", "role", "text", "tool"),
+    )
+    expected = S.sequence_violations(t, **rules).count()
+    assert expected > 0
+    out = tempfile.mkdtemp(prefix="cerbseq_")
+    try:
+        cfg = RunConfig(out_dir=out, n_parts=8, resume=False,
+                        sequence_rules=rules)
+        rep = ValidationRun(TURN_SCHEMA, cfg).execute(t, c)
+        assert rep.n_sequence_violations == expected
+        ds = spark.read.parquet(out + "/dataset_violations")
+        assert ds.filter(F.col("code") == 0x107).count() == expected
+        # the other dataset checks are unaffected
+        assert rep.n_unique_violations > 0
+        assert rep.n_ordering_violations > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
