@@ -16,6 +16,9 @@ Four shapes:
                               ts-monotonicity across micro-batches, the
                               streaming analog of
                               operators.dataset.ordering_violations
+* ``sequence_violations_stream`` — CUSTOM STATEFUL operator: the full
+                              conversation-sequence grammar
+                              (operators.sequence) across micro-batches
 * ``foreach_batch_runner``  — full pipeline (incl. dataset-level checks
                               that need batch semantics) per micro-batch,
                               exactly-once via idempotent parquet commits
@@ -110,6 +113,104 @@ def ordering_violations_stream(
             yield pd.DataFrame(out)
 
     narrow = stream_df.select(conv_col, order_col, ts_col)
+    return narrow.groupBy(conv_col).applyInPandasWithState(
+        check, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def sequence_violations_stream(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    first_roles: list | None = None,
+    transitions: dict | None = None,
+    contiguous: bool = False,
+    monotone_ts: bool = False,
+) -> DataFrame:
+    """Streaming analog of ``operators.sequence.sequence_violations``:
+    the conversation-grammar rules (first-role / transitions / turn_idx
+    contiguity / ts monotonicity) as ONE stateful operator
+    (``applyInPandasWithState``), state carried across micro-batches.
+
+    State per conversation is (last order, last ts micros, last role) —
+    O(active conversations), independent of turn count.  A grammar
+    break split over two micro-batches (user turn in batch N, an
+    illegal successor in batch N+1) is still caught.
+
+    Semantics deltas vs the batch operator, both deliberate:
+
+    * late arrivals (order ≤ highest order seen) are SKIPPED, exactly
+      like ``ordering_violations_stream`` — without buffering, the
+      streaming form never emits a pair the batch form (which sees all
+      rows in total order) would not emit; on in-order input the two
+      produce identical rows (pinned by
+      test_streaming_sequence_parity_with_batch).
+    * NULL roles follow the same three-valued logic: membership rules
+      neither pass nor fail them.
+    """
+    if not (first_roles is not None or transitions or contiguous or monotone_ts):
+        raise ValueError("no sequence rules enabled")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    conv_type = dict(stream_df.dtypes)[conv_col]
+    out_schema = (f"{conv_col} {conv_type}, {order_col} long, "
+                  "constraint string, value string")
+    state_schema = "last_order long, last_ts long, last_role string"
+    first_set = list(first_roles) if first_roles is not None else None
+    trans = ({k: set(v) for k, v in transitions.items()}
+             if transitions else None)
+
+    def check(key, pdf_iter, state: GroupState):
+        (conv,) = key
+        last_order, last_ts, last_role = (
+            state.get if state.exists else (None, None, None))
+        started = state.exists
+        out = {conv_col: [], order_col: [], "constraint": [], "value": []}
+
+        def emit(o, constraint, value):
+            out[conv_col].append(conv)
+            out[order_col].append(o)
+            out["constraint"].append(constraint)
+            out["value"].append(value)
+
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order_col)
+            tsraw = pd.to_datetime(pdf[ts_col])
+            ts = tsraw.astype("int64") // 1000
+            for o, role, t, tnull, tstr in zip(
+                pdf[order_col].to_numpy(), pdf[role_col],
+                ts, tsraw.isna(), pdf[ts_col].astype(str),
+            ):
+                # NULL ts mirrors the batch lag: no comparison against
+                # it, and it voids the next row's comparison too
+                o, t = int(o), (None if tnull else int(t))
+                role = None if pd.isna(role) else str(role)
+                if started and last_order is not None and o <= last_order:
+                    continue  # late arrival: not lag-adjacent to state
+                if not started:
+                    if first_set is not None and role is not None \
+                            and role not in first_set:
+                        emit(o, "first_role", role)
+                    if contiguous and o != 0:
+                        emit(o, "contiguous", str(o))
+                else:
+                    if trans and last_role in trans and role is not None \
+                            and role not in trans[last_role]:
+                        emit(o, "transition", f"{last_role}->{role}")
+                    if contiguous and o != last_order + 1:
+                        emit(o, "contiguous", str(o))
+                    if monotone_ts and last_ts is not None \
+                            and t is not None and t < last_ts:
+                        emit(o, "monotone_ts", tstr)
+                started, last_order, last_ts, last_role = True, o, t, role
+        if last_order is not None:
+            state.update((last_order, last_ts, last_role))
+        if out[conv_col]:
+            yield pd.DataFrame(out)
+
+    narrow = stream_df.select(conv_col, order_col, role_col, ts_col)
     return narrow.groupBy(conv_col).applyInPandasWithState(
         check, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

@@ -188,3 +188,59 @@ def test_monotone_requires_ts(spark):
     with pytest.raises(ValueError, match="no sequence rules"):
         sequence_violations(df, conv_col="conv", idx_col="idx",
                             role_col="role", ts_col=None)
+
+
+def test_streaming_sequence_parity_with_batch(spark, tmp_path):
+    """On in-order input the stateful streaming grammar operator emits
+    exactly the batch operator's rows, including breaches that span a
+    micro-batch boundary (maxFilesPerTrigger=1 → one batch per file)."""
+    import datetime as dt
+
+    from cerberus_spark.streaming.validate_stream import (
+        sequence_violations_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    src = str(tmp_path / "seq_src")
+    ddl = "conv_id string, turn_idx int, role string, ts timestamp"
+    rules = dict(
+        first_roles=["system"],
+        transitions={"system": ["user"], "user": ["assistant"],
+                     "assistant": ["user"]},
+        contiguous=True, monotone_ts=True,
+    )
+    # batch 1: c1 clean so far; c2 starts with wrong first role + idx 2
+    b1 = [("c1", 0, "system", base), ("c1", 1, "user", base + sec),
+          ("c2", 2, "user", base)]
+    # batch 2: c1 assistant->assistant breach ACROSS the boundary
+    # (turn 2 ok, turn 3 illegal), plus a ts regression; c2 idx gap;
+    # c3 NULL role first (three-valued logic: no first_role row)
+    b2 = [("c1", 2, "assistant", base + 2 * sec),
+          ("c1", 3, "assistant", base + 1 * sec),
+          ("c2", 5, "assistant", base + 2 * sec),
+          ("c3", 0, None, base)]
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, ddl).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (sequence_violations_stream(stream, **rules)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("seq_stream").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.conv_id, r.turn_idx, r.constraint, r.value)
+               for r in spark.sql("select * from seq_stream").collect()}
+    finally:
+        q.stop()
+
+    want = {(r["conv_id"], r["turn_idx"], r["constraint"], r["value"])
+            for r in sequence_violations(
+                spark.read.parquet(src), **rules).collect()}
+    assert got == want
+    # sanity: the cross-batch transition breach is in there
+    assert ("c1", 3, "transition", "assistant->assistant") in want
+    assert ("c1", 3, "monotone_ts", str(base + sec)) in want
