@@ -355,6 +355,31 @@ _SEQ_TRANSITIONS = {
 _SEQ_TIE = ("ts", "role", "text", "tool")
 
 
+#: committed parquet with PLANTED near-duplicate conversations
+#: (scripts/make_conv_dedup_fixture.py regenerates; planted pairs sit
+#: at conversation-Jaccard 0.44-1.0, background noise at ≤0.02)
+_CONV_DEDUP_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "fixtures", "conv_dedup.parquet")
+
+
+def q_conv_near_dups_transcripts(spark, sf_dir):
+    """CONVERSATION-level near-dedup: deterministic ordered turn
+    concatenation (functions.text.conversation_text — one hash agg +
+    array_sort, no window) feeding the verified MinHash pair pipeline
+    at bands=num_perm (r=1: candidate recall 1-(1-j)^32 ≈ 1 at the
+    0.42 threshold; the DuckDB twin is the EXACT all-pairs conversation
+    Jaccard, so a hash match certifies recall was in fact 1)."""
+    from cerberus_spark.functions import text as textmod
+
+    df = spark.read.parquet(_CONV_DEDUP_FIXTURE)
+    conv = textmod.conversation_text(df, order_cols=("turn_idx", "ts", "role"))
+    pairs = dedup.ngram_jaccard_pairs(conv, "conv_id", "text",
+                                      threshold=0.42, num_perm=32, bands=32,
+                                      bucket_cap=1_000_000)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_sequence_violations_transcripts(spark, sf_dir):
     """Conversation-sequence grammar over the transcripts fixture: role
     transitions + first-role + turn_idx contiguity + ts monotonicity in
@@ -650,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conversation-sequence grammar (transcripts fixture)
         "sequence_violations_transcripts": q_sequence_violations_transcripts,
         "sequence_summary_transcripts": q_sequence_summary_transcripts,
+        "conv_near_dups_transcripts": q_conv_near_dups_transcripts,
         # flagship: reads the committed transcripts fixture parquet, so
         # its DuckDB twin hash-matches on identical input
         "flagship_transcripts": q_flagship_transcripts,
@@ -769,6 +795,29 @@ SELECT conv_id, turn_idx, 'contiguous', CAST(turn_idx AS VARCHAR) FROM o
 UNION ALL
 SELECT conv_id, turn_idx, 'monotone_ts', CAST(ts AS VARCHAR) FROM o
  WHERE has_prev AND ts < prev_ts
+"""
+
+# exact all-pairs conversation Jaccard over the planted-dup fixture —
+# the conversation text is assembled with the SAME total order
+# (turn_idx, ts, role, coalesce(text,'')) as conversation_text's
+# struct sort, so the strings are byte-identical across engines
+_CONV_NEAR_DUPS_SQL = """
+WITH conv AS (
+  SELECT conv_id, string_agg(coalesce(text,''), ' '
+           ORDER BY turn_idx, ts, role, coalesce(text,'')) AS text
+  FROM read_parquet('{fixture}') GROUP BY conv_id
+), w AS (
+  SELECT conv_id, {words} AS ws FROM conv
+), sh AS (
+  SELECT conv_id, {shingles} AS s FROM w WHERE len(ws) > 0
+)
+SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+         AS jaccard
+FROM sh a JOIN sh b ON a.conv_id < b.conv_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.42
 """
 
 _SEQ_SUMMARY_SQL = f"""
@@ -1173,6 +1222,9 @@ def oracle_sql() -> dict[str, str]:
         "flagship_transcripts": _TRANSCRIPTS_VIOLATIONS_SQL,
         "sequence_violations_transcripts": _SEQ_VIOLATIONS_SQL,
         "sequence_summary_transcripts": _SEQ_SUMMARY_SQL,
+        "conv_near_dups_transcripts": _CONV_NEAR_DUPS_SQL.format(
+            fixture=_CONV_DEDUP_FIXTURE, words=_DUCK_WORDS,
+            shingles=_DUCK_SHINGLES),
         # temporal family: DuckDB's native ASOF JOIN is the as-of
         # oracle ((user_id, ts) is duplicate-free at every SF, so the
         # match is unique ⇒ hash-deterministic); the session oracles

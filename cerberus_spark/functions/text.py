@@ -157,3 +157,32 @@ def normalized_text(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """64-bit content fingerprint of the normalized text (exact-dup key)."""
     return F.xxhash64(normalized_text(text))
+
+
+def conversation_text(df, conv_col: str = "conv_id", text_col: str = "text",
+                      order_cols: tuple = ("turn_idx",), sep: str = " "):
+    """Reconstruct one text per conversation: turns concatenated in a
+    DETERMINISTIC total order (conversation-level dedup / fingerprinting
+    needs byte-stable assembly — shingles cross turn boundaries, so the
+    join order is part of the content).
+
+    ``order_cols`` must be a total order within a conversation (add
+    tie-break columns for dirty data with duplicate turn_idx).  NULL
+    texts contribute an empty string, exactly like SQL
+    ``string_agg(coalesce(text,''), sep ORDER BY ...)``.
+
+    One hash aggregate on ``conv_col`` (map-side partial collect), then
+    a per-group ``array_sort`` over (order key, text) structs —
+    JVM-side, no window, no Python.  Returns (conv_col, text).
+    """
+    key = F.struct(*[F.col(c) for c in order_cols],
+                   F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    return (
+        df.groupBy(conv_col)
+        .agg(F.array_sort(F.collect_list(key)).alias("_turns"))
+        .select(
+            conv_col,
+            F.array_join(F.transform(F.col("_turns"), lambda s: s["_t"]),
+                         sep).alias(text_col),
+        )
+    )

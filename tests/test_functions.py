@@ -722,3 +722,47 @@ def test_connected_components_pointer_jump_and_convergence_guard(spark):
 
     with pytest.raises(RuntimeError, match="still changing"):
         dedup.connected_components(chain, max_iters=1)
+
+
+def test_conversation_text_deterministic_order(spark):
+    """Turn concatenation must follow the (order_cols, text) struct sort
+    regardless of input row order; NULL text contributes ''."""
+    import pandas as pd
+    from cerberus_spark.functions.text import conversation_text
+
+    rows = [("c1", 2, "gamma"), ("c1", 0, "alpha"), ("c1", 1, None),
+            ("c2", 0, "solo")]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    out = {r["conv_id"]: r["text"] for r in conversation_text(
+        spark.createDataFrame(pdf)).collect()}
+    assert out == {"c1": "alpha  gamma", "c2": "solo"}
+    # shuffled input -> identical output
+    out2 = {r["conv_id"]: r["text"] for r in conversation_text(
+        spark.createDataFrame(pdf.iloc[::-1])).collect()}
+    assert out2 == out
+
+
+def test_conv_near_dedup_planted_pairs(spark):
+    """Conversation-level near-dedup on the planted fixture: every
+    planted near/exact-copy pair (and nothing else) is recovered —
+    recall 1 at bands=num_perm, precision 1 from the exact verify."""
+    from cerberus_spark.functions import dedup
+    from cerberus_spark.functions.text import conversation_text
+
+    df = spark.read.parquet("tests/fixtures/conv_dedup.parquet")
+    conv = conversation_text(df, order_cols=("turn_idx", "ts", "role"))
+    pairs = dedup.ngram_jaccard_pairs(conv, "conv_id", "text",
+                                      threshold=0.42, num_perm=32, bands=32,
+                                      bucket_cap=1_000_000).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # planted: c-000i <-> d-000i (near) and c-004i <-> x-000i (exact)
+    assert {("c-0040", "x-0000"), ("c-0041", "x-0001"),
+            ("c-0042", "x-0002")} <= got
+    near = {p for p in got if p[1].startswith("d-")}
+    assert near == {(f"c-{i:04d}", f"d-{i:04d}") for i in range(15)
+                    if (f"c-{i:04d}", f"d-{i:04d}") in got}
+    assert len(near) >= 13  # one planted pair sits below 0.42 by design
+    # no background (non-planted) pair crosses the threshold
+    assert all(b.startswith(("d-", "x-")) for _, b in got)
+    exact = [r.jaccard for r in pairs if r.id_b.startswith("x-")]
+    assert all(abs(j - 1.0) < 1e-9 for j in exact)
