@@ -46,6 +46,12 @@ def synth(spark, n):
             F.when(F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(5)) == 0,
                    F.lit("purchase")).otherwise(F.lit("view"))
             .alias("event_type"),
+            F.element_at(
+                F.array(F.lit("system"), F.lit("user"), F.lit("assistant"),
+                        F.lit("tool")),
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(4)), F.lit(4)) + 1)
+                .cast("int"),
+            ).alias("role"),
             (F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(10_000)) / 100.0
              ).alias("value"),
         )
@@ -71,6 +77,7 @@ def _metrics(spark) -> dict:
 def run_level(cpus: int) -> dict:
     from pyspark.sql import SparkSession, functions as F
 
+    from cerberus_spark.operators.sequence import sequence_violations
     from cerberus_spark.operators.temporal import asof_join, range_join, sessionize
 
     spark = (
@@ -114,6 +121,21 @@ def run_level(cpus: int) -> dict:
         ),
         "sessionize": lambda: noop(
             sessionize(ev, "user_id", "ts", 900.0, order_tie="event_id")
+        ),
+        # grammar rules in one window pass; random roles make ~40% of
+        # transitions illegal, so this measures dense violation emit
+        # (contiguous is off: global event_ids are never per-key dense,
+        # which would make 100% of rows emit and measure only the sink)
+        "sequence_grammar": lambda: noop(
+            sequence_violations(
+                ev, conv_col="user_id", idx_col="event_id", role_col="role",
+                ts_col="ts", first_roles=["system"],
+                transitions={"system": ["user"],
+                             "user": ["assistant", "tool", "system"],
+                             "assistant": ["user", "system"],
+                             "tool": ["user", "system"]},
+                monotone_ts=True,
+            )
         ),
         # 1h windows / 1h buckets: explode factor 2, ~2M intervals
         "range_join": lambda: noop(
