@@ -630,6 +630,98 @@ def q_rollup_events_daily(spark, sf_dir):
     ).select("event_type", "day", "gid", "n", "sum_value")
 
 
+# ---------------------------------------------------------------------------
+# corpus-assembly family (operators/pipeline.py + functions/pii.py):
+# split / sample / truncate / pack / scrub — the steps between "validated"
+# and "ships to the trainer"
+# ---------------------------------------------------------------------------
+
+
+def q_redact_pii_documents(spark, sf_dir):
+    """PII scrub over documents with DETERMINISTICALLY PLANTED PII (the
+    synthetic corpus contains none): doc_id mod 4 selects an appended
+    email+phone / ssn+card / ip+phone suffix built identically in both
+    engines, so the staged counts and the redacted text are exercised
+    on genuine matches, not 500 zero rows."""
+    from cerberus_spark.functions import pii
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    d = F.col("doc_id")
+    aug = (
+        F.when(d % 4 == 0, F.concat(
+            t, F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com or (555) 867-5309")))
+        .when(d % 4 == 1, F.concat(
+            t, F.lit(" ssn 123-45-6789 card 4111 1111 1111 1111")))
+        .when(d % 4 == 2, F.concat(
+            t, F.lit(" from 192.168.0."), (d % 256).cast("string"),
+            F.lit(" call 415-555-0133")))
+        .otherwise(t)
+    )
+    sig = pii.pii_signals(aug)
+    return docs.select(
+        "doc_id",
+        *[(c.cast("long") if k.startswith("n_") else c).alias(k)
+          for k, c in sig.items()],
+    )
+
+
+def q_split_assign_documents(spark, sf_dir):
+    """Deterministic hash-bucket train/val/test assignment — stable
+    across reruns, cluster sizes, and corpus growth (content-addressed
+    on doc_id; no RNG, no shuffle: a stateless projection)."""
+    from cerberus_spark.operators import pipeline as P
+
+    docs = _read(spark, sf_dir, "documents")
+    return P.split_assign(
+        docs, "doc_id", (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        seed="r5",
+    ).select("doc_id", "split")
+
+
+def q_stratified_sample_documents(spark, sf_dir):
+    """Per-language deterministic subsample (en 50% / de 40% / zh 20%;
+    other strata dropped by the explicit allowlist) — the md5-bucket
+    twin of sampleBy without its partitioning-dependent RNG."""
+    from cerberus_spark.operators import pipeline as P
+
+    docs = _read(spark, sf_dir, "documents")
+    return P.stratified_sample(
+        docs, "doc_id", {"en": 0.5, "de": 0.4, "zh": 0.2}, "lang",
+        seed="strat",
+    ).select("doc_id", "lang")
+
+
+def q_pack_transcripts(spark, sf_dir):
+    """Greedy token-budget packing of each conversation's turns (budget
+    120 whitespace tokens).  The scan is non-associative → per-conv
+    applyInPandas over the conv_id exchange, with rn/token counts
+    computed JVM-side first; the DuckDB twin replays the same greedy
+    walk as a recursive CTE, pinning every pack boundary."""
+    from cerberus_spark.operators import pipeline as P
+
+    df = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return P.pack_sequences(
+        df, "conv_id", "turn_idx", "text", budget=120, order_tie=_SEQ_TIE,
+    ).select(
+        "conv_id", "rn", "turn_idx",
+        F.col("n_tok").cast("long").alias("n_tok"), "pack_id",
+    )
+
+
+def q_tail_turns_transcripts(spark, sf_dir):
+    """Context-window truncation: last 8 turns per conversation under
+    the same total order as the grammar checks (rn_desc 1 = final
+    turn)."""
+    from cerberus_spark.operators import pipeline as P
+
+    df = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return P.tail_turns(
+        df, "conv_id", "turn_idx", k=8, order_tie=_SEQ_TIE,
+    ).select("conv_id", "rn_desc", "turn_idx", "role")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: compiled rule validation."""
     return q_validate_events_violations(spark, "/root/testdata/sf0.001")
@@ -679,6 +771,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship: reads the committed transcripts fixture parquet, so
         # its DuckDB twin hash-matches on identical input
         "flagship_transcripts": q_flagship_transcripts,
+        # corpus-assembly family — split/sample/truncate/pack/scrub
+        "redact_pii_documents": q_redact_pii_documents,
+        "split_assign_documents": q_split_assign_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "pack_transcripts": q_pack_transcripts,
+        "tail_turns_transcripts": q_tail_turns_transcripts,
     }
 
 
@@ -836,6 +934,109 @@ SELECT conv_id,
          AS n_violations,
        CAST(n_violations = 0 AS INT) AS seq_ok
 FROM o GROUP BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-assembly oracles.  The PII twin is GENERATED from the same
+# PII_PATTERNS list the engine compiles (one CTE per stage), so the
+# ordered-staged-counts spec cannot drift between engines; the hash
+# bucket reuses the dedup family's md5 parity trick; packing replays
+# the greedy scan as a recursive CTE (depth = max turns/conv = 248).
+# ---------------------------------------------------------------------------
+
+_PII_AUG_SQL = """
+SELECT doc_id,
+       coalesce(text, '') || CASE doc_id % 4
+         WHEN 0 THEN ' contact user' || doc_id::VARCHAR
+                     || '@example.com or (555) 867-5309'
+         WHEN 1 THEN ' ssn 123-45-6789 card 4111 1111 1111 1111'
+         WHEN 2 THEN ' from 192.168.0.' || (doc_id % 256)::VARCHAR
+                     || ' call 415-555-0133'
+         ELSE '' END AS t0
+FROM documents
+"""
+
+
+def _pii_oracle_sql() -> str:
+    from cerberus_spark.functions.pii import PII_PATTERNS
+
+    ctes = [f"aug AS ({_PII_AUG_SQL})"]
+    prev_tbl, prev_txt = "aug", "t0"
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, 1):
+        ctes.append(
+            f"s{i} AS (SELECT *, "
+            f"len(regexp_extract_all({prev_txt}, '{pat}'))::BIGINT AS n_{name}, "
+            f"regexp_replace({prev_txt}, '{pat}', '{repl}', 'g') AS t{i} "
+            f"FROM {prev_tbl})"
+        )
+        prev_tbl, prev_txt = f"s{i}", f"t{i}"
+    names = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {names}, {prev_txt} AS redacted FROM {prev_tbl}"
+    )
+
+
+def _bucket_sql(key_sql: str, seed: str, n_buckets: int = 10_000) -> str:
+    """DuckDB twin of operators/pipeline.hash_bucket (chr(31) = the
+    \\x1f key‖seed separator)."""
+    return (f"('0x' || substr(md5({key_sql} || chr(31) || '{seed}'), 1, 8))"
+            f"::BIGINT % {n_buckets}")
+
+
+_SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+FROM (SELECT doc_id, {_bucket_sql('doc_id::VARCHAR', 'r5')} AS b
+      FROM documents)
+"""
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, {_bucket_sql('doc_id::VARCHAR', 'strat')} AS bk
+      FROM documents)
+WHERE (lang = 'en' AND bk < 5000)
+   OR (lang = 'de' AND bk < 4000)
+   OR (lang = 'zh' AND bk < 2000)
+"""
+
+#: the grammar checks' total order, descending (DESC NULLS LAST mirrors
+#: Spark's desc_nulls_last) — tail_turns twin
+_TAIL_TURNS_SQL = f"""
+SELECT conv_id, rn_desc::INT AS rn_desc, turn_idx, role FROM (
+  SELECT conv_id, turn_idx, role,
+         row_number() OVER (PARTITION BY conv_id
+             ORDER BY turn_idx DESC NULLS LAST, ts DESC NULLS LAST,
+                      role DESC NULLS LAST, text DESC NULLS LAST,
+                      tool DESC NULLS LAST) AS rn_desc
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}'))
+WHERE rn_desc <= 8
+"""
+
+_PACK_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT conv_id, turn_idx,
+         row_number() OVER (PARTITION BY conv_id
+             ORDER BY turn_idx ASC NULLS FIRST, ts ASC NULLS FIRST,
+                      role ASC NULLS FIRST, text ASC NULLS FIRST,
+                      tool ASC NULLS FIRST)::INT AS rn,
+         len(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                         x -> length(x) > 0))::BIGINT AS n_tok
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+), rec AS (
+  SELECT conv_id, rn, turn_idx, n_tok, n_tok AS acc, 0 AS pack_id
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.conv_id, t.rn, t.turn_idx, t.n_tok,
+         CASE WHEN r.acc > 0 AND r.acc + t.n_tok > 120
+              THEN t.n_tok ELSE r.acc + t.n_tok END,
+         CASE WHEN r.acc > 0 AND r.acc + t.n_tok > 120
+              THEN r.pack_id + 1 ELSE r.pack_id END
+  FROM rec r JOIN t ON t.conv_id = r.conv_id AND t.rn = r.rn + 1
+)
+SELECT conv_id, rn, turn_idx, n_tok, pack_id::INT AS pack_id FROM rec
 """
 
 
@@ -1298,4 +1499,10 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id, sid
         """,
+        # corpus-assembly family
+        "redact_pii_documents": _pii_oracle_sql(),
+        "split_assign_documents": _SPLIT_ASSIGN_SQL,
+        "stratified_sample_documents": _STRATIFIED_SAMPLE_SQL,
+        "pack_transcripts": _PACK_SQL,
+        "tail_turns_transcripts": _TAIL_TURNS_SQL,
     }

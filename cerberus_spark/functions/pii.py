@@ -1,0 +1,70 @@
+"""PII detection + redaction for training-data pipelines.
+
+The reference validates *shape* (``regex`` rule, validator.py:1030-1036)
+but a training pipeline must also *rewrite* text — scrub emails, SSNs,
+phone numbers, IPs, card numbers — before the corpus ships.  This
+module is the scrub pass: a fixed, ordered chain of pure Catalyst
+``regexp_replace`` Columns (JVM codegen, no Python in the hot path)
+plus per-category match counts so the scrub is auditable.
+
+Engine-parity constraints (the DuckDB oracle in __spark_entry__.py
+recomputes every stage):
+
+* Patterns use only constructs with identical semantics in Java
+  ``java.util.regex`` and RE2 — character classes, ``(?:...)`` groups,
+  bounded quantifiers, ``\\b`` — no lookbehind (RE2 lacks it), no
+  backreferences.
+* The chain is ORDERED and counts are STAGED: each category's count is
+  the number of matches in the text as it stands *after* the previous
+  categories were redacted (email → card → ssn → ip → phone).  Ordering
+  makes the spec deterministic where patterns could overlap (a 4-4-4-4
+  card would otherwise feed the phone pattern; an IP's last two octets
+  can look like a phone fragment).
+* Heuristic by design: the phone pattern has no word-boundary guard on
+  the optional ``(`` (a boundary before a non-word char never holds),
+  so over-long digit runs can over-match.  Precision tuning is a
+  corpus-policy knob; cross-engine determinism is the contract here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: ordered (category, pattern, replacement) — order is part of the spec
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", r"\b[0-9]{4}(?:[- ][0-9]{4}){3}\b", "<CC>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ip", r"\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b", "<IP>"),
+    ("phone", r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def _stages(text: Column) -> list[tuple[str, Column, Column]]:
+    """(category, count-at-stage, text-after-stage) for the full chain."""
+    cur = F.coalesce(text, F.lit(""))
+    out = []
+    for name, pat, repl in PII_PATTERNS:
+        n = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+        out.append((name, n, cur))
+    return out
+
+
+def redact_pii(text: Column) -> Column:
+    """Text with every PII category replaced by its ``<TAG>`` token.
+    NULL in → '' out (the scrub pass never re-introduces NULLs)."""
+    return _stages(text)[-1][2]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category staged match counts, keyed ``n_<category>``."""
+    return {f"n_{name}": n for name, n, _ in _stages(text)}
+
+
+def pii_signals(text: Column) -> dict[str, Column]:
+    """Counts + redacted text in one dict (single projection, the
+    regexp chain is shared subexpression-eliminated by Catalyst)."""
+    out = pii_counts(text)
+    out["redacted"] = redact_pii(text)
+    return out

@@ -1,0 +1,196 @@
+"""Corpus-assembly operators for training-data pipelines.
+
+The reference stops at per-document validation; a pipeline that feeds a
+trainer also has to SPLIT the corpus (train/val/test), SAMPLE it
+(per-stratum fractions), TRUNCATE long conversations, and PACK turns
+into fixed token budgets.  These four live here.  Everything except the
+non-associative packing scan is a pure Catalyst expression; all
+randomness is derived from content hashes, so every operator is
+deterministic, re-runnable, and cluster-size-invariant — a resumed or
+re-sharded job assigns every row to the same split/sample/pack.
+
+Cross-engine hash spec (shared with functions/dedup.py:517-521): a
+row's bucket is the first 8 hex digits of ``md5(key || '\\x1f' || seed)``
+read as an unsigned 32-bit int, mod ``n_buckets``.  Spark computes it
+as ``conv(substr(md5(x),1,8),16,10)``, DuckDB as
+``('0x' || substr(md5(x),1,8))::BIGINT`` — bit-identical, so the DuckDB
+oracles replay assignments exactly.
+
+Scale notes:
+
+* ``split_assign`` / ``stratified_sample`` are stateless per-row
+  projections/filters — no shuffle at all; they pipeline into the scan.
+* ``tail_turns`` / ``pack_sequences`` shuffle ONCE on conv_id (the
+  north rule's explicit conversation partitioning); AQE handles
+  hot-conversation skew.  Packing is a per-conversation greedy scan —
+  non-associative, so it runs in ``applyInPandas`` (Arrow-batched; the
+  per-group loop touches two ints per turn).  Token counts are computed
+  JVM-side (functions/text.token_count) BEFORE the UDF so Python never
+  touches text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from ..functions import text as T
+
+__all__ = [
+    "hash_bucket", "split_assign", "stratified_sample", "tail_turns",
+    "pack_sequences",
+]
+
+#: separator between key and seed inside the hashed string — a control
+#: char that cannot appear in keys, so ('ab','c') and ('a','bc') differ
+_SEP = "\x1f"
+
+
+def hash_bucket(key: Column, n_buckets: int = 10_000,
+                seed: str = "") -> Column:
+    """Deterministic uniform bucket in [0, n_buckets) from md5(key‖seed).
+
+    NULL key → NULL bucket (callers decide the policy; split_assign
+    sends NULLs to the LAST split so nothing is silently dropped)."""
+    # NOT concat_ws (it silently skips NULLs — a NULL key would hash
+    # like an empty one instead of propagating)
+    h = F.md5(F.concat(key.cast("string"), F.lit(_SEP + seed)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % n_buckets).cast("int")
+
+
+def split_assign(
+    df: DataFrame,
+    key: str | Column,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    n_buckets: int = 10_000,
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket.
+
+    Weights are normalized and mapped to integer bucket thresholds
+    (floor of the cumulative weight), so the split boundaries are exact
+    integers — both engines compare with the same ``<``.  Keyed on a
+    stable id (e.g. conv_id) the assignment is content-addressed:
+    adding rows never moves existing ones across splits."""
+    total = sum(w for _, w in splits)
+    bucket = hash_bucket(F.col(key) if isinstance(key, str) else key,
+                         n_buckets, seed)
+    cum, expr = 0.0, None
+    for name, w in splits[:-1]:
+        cum += w / total
+        cond = bucket < int(cum * n_buckets)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(splits[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str | Column,
+    fractions: dict[str, float],
+    strata_col: str,
+    n_buckets: int = 10_000,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff its hash
+    bucket falls below ``floor(fraction * n_buckets)`` for its stratum.
+
+    Unlike ``df.sample``/``sampleBy`` (seeded per-partition RNG — the
+    kept set changes with partitioning), this is content-addressed and
+    therefore stable across cluster sizes and reruns.  Strata missing
+    from ``fractions`` (and NULL strata) are dropped — an explicit
+    allowlist, matching ``sampleBy`` semantics."""
+    bucket = hash_bucket(F.col(key) if isinstance(key, str) else key,
+                         n_buckets, seed)
+    s = F.col(strata_col)
+    keep = F.lit(False)
+    for stratum, frac in fractions.items():
+        keep = keep | ((s == stratum) & (bucket < int(frac * n_buckets)))
+    return df.filter(keep)
+
+
+def _order(idx_col: str, order_tie: Sequence[str]) -> list[Column]:
+    return [F.col(c).asc_nulls_first() for c in (idx_col, *order_tie)]
+
+
+def tail_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    k: int = 8,
+    order_tie: Sequence[str] = (),
+) -> DataFrame:
+    """Keep the LAST ``k`` turns of each conversation (context-window
+    truncation).  One window pass on the conv_id exchange; ordering
+    must be total (pass ``order_tie``) for dirty data with duplicate
+    turn_idx.  Adds ``rn_desc`` (1 = final turn) so callers can
+    re-anchor positions after the cut."""
+    # exact mirror of the ascending total order: same column priority,
+    # DESC NULLS LAST, so rn_desc ranks are the reverse of rn ranks
+    w = W.partitionBy(conv_col).orderBy(
+        *[F.col(c).desc_nulls_last() for c in (idx_col, *order_tie)])
+    return (df.withColumn("rn_desc", F.row_number().over(w))
+            .filter(F.col("rn_desc") <= k))
+
+
+def pack_sequences(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    budget: int = 2048,
+    order_tie: Sequence[str] = (),
+) -> DataFrame:
+    """Greedy token-budget packing: walk each conversation's turns in
+    total order, accumulate whitespace-token counts
+    (functions/text.token_count — NULL/empty text counts 0), and start
+    a new pack when adding the turn would exceed ``budget`` and the
+    current pack is non-empty.  A single turn longer than the budget
+    gets a pack of its own (never split, never dropped).
+
+    Returns (conv_col, rn, idx_col, n_tok, pack_id): ``rn`` is the
+    1-based position in the total order (the packing key for dirty
+    data where turn_idx repeats), ``pack_id`` is 0-based per
+    conversation.
+
+    The scan is non-associative (each decision depends on the running
+    remainder), so it cannot be a window cumsum; it runs per
+    conversation in ``applyInPandas`` over the conv_id exchange.  rn
+    and n_tok are computed JVM-side first — the UDF's Arrow batches
+    carry three ints per turn, no text."""
+    w = W.partitionBy(conv_col).orderBy(*_order(idx_col, order_tie))
+    slim = df.select(
+        conv_col,
+        F.row_number().over(w).alias("rn"),
+        F.col(idx_col),
+        T.token_count(F.col(text_col)).alias("n_tok"),
+    )
+
+    # StructType.add mutates in place — build a fresh schema so slim's
+    # cached schema object is not corrupted
+    out_schema = StructType(
+        list(slim.schema.fields) + [StructField("pack_id", IntegerType())])
+
+    def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn", kind="stable")
+        toks = pdf["n_tok"].to_numpy()
+        packs = np.zeros(len(toks), dtype=np.int32)
+        acc, pack = 0, 0
+        for i, tok in enumerate(toks):
+            if acc > 0 and acc + tok > budget:
+                pack += 1
+                acc = int(tok)
+            else:
+                acc += int(tok)
+            packs[i] = pack
+        return pdf.assign(pack_id=packs)
+
+    return slim.groupBy(conv_col).applyInPandas(pack_one, out_schema)
