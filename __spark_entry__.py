@@ -963,18 +963,23 @@ def _pii_oracle_sql() -> str:
 
     ctes = [f"aug AS ({_PII_AUG_SQL})"]
     prev_tbl, prev_txt = "aug", "t0"
-    for i, (name, pat, repl) in enumerate(PII_PATTERNS, 1):
+    for i, (_, pat, repl) in enumerate(PII_PATTERNS, 1):
         ctes.append(
-            f"s{i} AS (SELECT *, "
-            f"len(regexp_extract_all({prev_txt}, '{pat}'))::BIGINT AS n_{name}, "
+            f"s{i} AS (SELECT * EXCLUDE ({prev_txt}), "
             f"regexp_replace({prev_txt}, '{pat}', '{repl}', 'g') AS t{i} "
             f"FROM {prev_tbl})"
         )
         prev_tbl, prev_txt = f"s{i}", f"t{i}"
-    names = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    # counts = literal tag occurrences in the redacted output (the
+    # engine's pii_counts spec — see functions/pii.py)
+    counts = ", ".join(
+        f"((length({prev_txt}) - length(replace({prev_txt}, '{repl}', '')))"
+        f" / {len(repl)})::BIGINT AS n_{name}"
+        for name, _, repl in PII_PATTERNS
+    )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT doc_id, {names}, {prev_txt} AS redacted FROM {prev_tbl}"
+        + f"\nSELECT doc_id, {counts}, {prev_txt} AS redacted FROM {prev_tbl}"
     )
 
 

@@ -191,11 +191,12 @@ def test_pack_plan_single_exchange_no_text_through_python(spark):
     df = _turns_df(spark)
     plan = P.pack_sequences(df, budget=8, order_tie=("text",))
     rep = plan_report(plan)
-    assert rep["n_exchanges"] == 1  # ONE conv_id shuffle
+    assert rep["n_exchanges"] == 1  # ONE conv_id shuffle (the window's)
     phys = plan._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in phys
+    # per-partition state-carrying scan, NOT per-group applyInPandas
+    # (one pandas frame per 20-turn conversation is all fixed overhead)
+    assert "MapInPandas" in phys and "FlatMapGroupsInPandas" not in phys
     # rn/n_tok computed JVM-side: the pandas op's child carries ints
     # only, no text column below the python stage
-    import re
-    child = phys.split("FlatMapGroupsInPandas", 1)[1]
+    child = phys.split("MapInPandas", 1)[1]
     assert "n_tok" in child
