@@ -134,6 +134,30 @@ def main() -> None:
         seq_best = e if seq_best is None or e < seq_best else seq_best
     timings["sequence_grammar_transcripts"] = round(seq_best, 3)
 
+    # corpus-assembly heads over the same transcripts scale: the PII
+    # scrub chain (stateless regex projection) and greedy token-budget
+    # packing (one conv exchange + mapInPandas scan)
+    from cerberus_spark.functions import pii as piimod
+    from cerberus_spark.operators import pipeline as pipemod
+
+    sig = piimod.pii_signals(FF.col("text"))
+    assemble = {
+        "redact_pii_transcripts": lambda: t_df.select(
+            "conv_id", "turn_idx",
+            *[c.alias(k) for k, c in sig.items()]),
+        "pack_transcripts": lambda: pipemod.pack_sequences(
+            t_df, "conv_id", "turn_idx", "text", budget=512,
+            order_tie=("ts", "role", "text", "tool")),
+    }
+    for name, build in assemble.items():
+        best = None
+        for _ in range(max(1, repeats)):
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            e = time.time() - t0
+            best = e if best is None or e < best else best
+        timings[name] = round(best, 3)
+
     # -- supporting headline queries over the driver testdata --------------
     heads = [] if os.environ.get("SPARK_GRAFT_ONLY_FULL") else [
         "validate_events_violations",

@@ -1,0 +1,103 @@
+"""End-to-end corpus assembly (cerberus_spark/corpus.py): one dirty
+transcripts table through validate → grammar → near-dedup → redact →
+split → pack, with every drop reason represented."""
+
+from cerberus_spark.corpus import build_corpus
+
+_SCHEMA = {
+    "conv_id": {"type": "string", "required": True},
+    "turn_idx": {"type": "integer", "required": True, "min": 0},
+    "role": {"type": "string", "required": True,
+             "allowed": ["system", "user", "assistant"]},
+    "text": {"type": "string"},
+}
+
+_RULES = {
+    "first_roles": ["system"],
+    "transitions": {"system": ["user"], "user": ["assistant"],
+                    "assistant": ["user"]},
+    "ts_col": None,
+}
+
+_DUP = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon")
+
+_ROWS = [
+    # clean conversation, with PII to scrub
+    ("good", 0, "system", "hello contact user@example.com please"),
+    ("good", 1, "user", "fine thanks call 415-555-0133 now"),
+    ("good", 2, "assistant", "number noted and redacted"),
+    # rule violation (role outside allowed) → whole conv dropped
+    ("badrule", 0, "system", "opening line here"),
+    ("badrule", 1, "alien", "should not survive"),
+    # grammar violation (first role is user) → whole conv dropped
+    ("badseq", 0, "user", "starts with the wrong role"),
+    ("badseq", 1, "assistant", "never reaches the corpus"),
+    # near-duplicate pair → higher id dropped, min id kept
+    ("dupA", 0, "system", _DUP),
+    ("dupA", 1, "user", _DUP + " extra tail words here"),
+    ("dupB", 0, "system", _DUP),
+    ("dupB", 1, "user", _DUP + " extra tail words there"),
+]
+
+
+def _build(spark, **kw):
+    df = spark.createDataFrame(
+        _ROWS, "conv_id string, turn_idx int, role string, text string")
+    return build_corpus(df, _SCHEMA, sequence_rules=_RULES,
+                        dedup_threshold=0.6, pack_budget=10, **kw)
+
+
+def test_build_corpus_end_to_end(spark):
+    b = _build(spark)
+    rows = b.turns.collect()
+    convs = {r.conv_id for r in rows}
+    assert convs == {"good", "dupA"}  # min-id dup representative kept
+    assert len(rows) == 5
+
+    # redaction ran after the filters
+    texts = {r.text for r in rows if r.conv_id == "good"}
+    assert "hello contact <EMAIL> please" in texts
+    assert "fine thanks call <PHONE> now" in texts
+
+    # split assigned per conversation (all turns of a conv agree)
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_conv.values())
+    assert {s for ss in by_conv.values() for s in ss} <= \
+        {"train", "val", "test"}
+
+    # rn is the packing order, 1-based per conversation
+    good = sorted((r.turn_idx, r.rn) for r in rows if r.conv_id == "good")
+    assert good == [(0, 1), (1, 2), (2, 3)]
+
+    # violations report the dropped rule-breaker
+    v = b.violations.collect()
+    assert any(r.conv_id == "badrule" and r.rule == "allowed" for r in v)
+
+    # grammar scorecard covers every rule-passing conversation
+    seq = {r.conv_id: r.seq_ok for r in b.seq_summary.collect()}
+    assert seq["badseq"] is False and seq["good"] is True
+
+    # packs: (conv, rn)-joinable; budget 10 over good's 4+5+4 redacted
+    # tokens → turns 1-2 share pack 0, turn 3 overflows into pack 1
+    packs = {(r.conv_id, r.rn): r.pack_id for r in b.packs.collect()}
+    assert set(packs) == {(r.conv_id, r.rn) for r in rows}
+    assert [packs[("good", i)] for i in (1, 2, 3)] == [0, 0, 1]
+
+
+def test_build_corpus_optional_stages_off(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        _ROWS, "conv_id string, turn_idx int, role string, text string")
+    minimal = build_corpus(df, _SCHEMA, sequence_rules=None,
+                           dedup_threshold=None, redact=False,
+                           pack_budget=None)
+    assert minimal.seq_summary is None and minimal.packs is None
+    convs = {r.conv_id for r in minimal.turns.collect()}
+    # only the rule filter applied: badrule gone, dups + badseq survive
+    assert convs == {"good", "badseq", "dupA", "dupB"}
+    # no redaction
+    assert minimal.turns.filter(F.col("text").contains("@")).count() == 1
