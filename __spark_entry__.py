@@ -722,6 +722,27 @@ def q_tail_turns_transcripts(spark, sf_dir):
     ).select("conv_id", "rn_desc", "turn_idx", "role")
 
 
+def q_contamination_documents(spark, sf_dir):
+    """Benchmark decontamination: docs whose doc_id % 50 == 0 play the
+    eval set, the rest the corpus; a corpus doc is contaminated when it
+    shares any distinct word 3-gram with the eval set.  The eval side
+    broadcasts (map-side hash probe — the corpus never shuffles on
+    n-gram); per-doc counts partial-aggregate before the only
+    exchange."""
+    from cerberus_spark.functions import decontam as DC
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    rep = DC.contamination_report(corpus, bench, "doc_id", "text", n=3)
+    return rep.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "contaminated",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: compiled rule validation."""
     return q_validate_events_violations(spark, "/root/testdata/sf0.001")
@@ -777,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "pack_transcripts": q_pack_transcripts,
         "tail_turns_transcripts": q_tail_turns_transcripts,
+        "contamination_documents": q_contamination_documents,
     }
 
 
@@ -1057,6 +1079,30 @@ SELECT conv_id, rn, turn_idx, n_tok, pack_id::INT AS pack_id FROM rec
 
 _DUCK_WORDS = ("list_filter(string_split_regex(lower(trim(coalesce(text, ''))), "
                "'\\s+'), x -> length(x) > 0)")
+
+#: decontamination twin: strict word 3-grams (no short-text fallback —
+#: unlike _DUCK_SHINGLES, a doc under 3 words has NO gram), distinct
+#: per side, matched per corpus doc.  The Spark side joins on xxhash64
+#: of the gram; string equality here is the collision-free ideal it
+#: approximates (documented 64-bit birthday trade, decontam.py header).
+_CONTAMINATION_SQL = f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+                  ELSE [] END AS grams
+      FROM w),
+bench AS (SELECT DISTINCT unnest(grams) AS gg FROM g WHERE doc_id % 50 = 0),
+dg AS (SELECT doc_id, unnest(grams) AS gg FROM g WHERE doc_id % 50 <> 0),
+m AS (SELECT doc_id, count(*) AS n_matched
+      FROM dg JOIN bench USING (gg) GROUP BY doc_id)
+SELECT g.doc_id, len(g.grams)::BIGINT AS n_ngrams,
+       coalesce(m.n_matched, 0)::BIGINT AS n_matched,
+       coalesce(m.n_matched, 0) >= 1 AS contaminated
+FROM g LEFT JOIN m USING (doc_id)
+WHERE g.doc_id % 50 <> 0
+"""
 
 _DUCK_SHINGLES = """
 CASE WHEN len(ws) >= 3
@@ -1510,4 +1556,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_documents": _STRATIFIED_SAMPLE_SQL,
         "pack_transcripts": _PACK_SQL,
         "tail_turns_transcripts": _TAIL_TURNS_SQL,
+        "contamination_documents": _CONTAMINATION_SQL,
     }

@@ -1,0 +1,160 @@
+"""Benchmark decontamination: flag corpus documents that share word
+n-grams with a benchmark/eval set (the standard pre-training hygiene
+pass — e.g. GPT-3 appendix C, PaLM §7, Dolma §4 all ship a variant).
+
+The reference engine (pyeve/cerberus) has no corpus-level notion at
+all; this operator extends the same violation-report shape (one row
+per document, explicit evidence counts) to cross-dataset leakage.
+
+Semantics
+---------
+A document is *contaminated* when at least ``min_matches`` of its
+DISTINCT word ``n``-grams appear anywhere in the benchmark set.
+Tokenization is the engine-wide spec (functions/text.words: lowercase,
+edge-strip, ASCII ``\\s+`` split); n-grams are STRICT — a text with
+fewer than ``n`` words contains no n-gram and can never match (unlike
+dedup.shingles, which degrades short texts to their full word join:
+there the goal is recall on near-dups, here a sub-n-gram "match"
+would be fabricated evidence).
+
+Scale shape (the part that matters at 100 TB)
+---------------------------------------------
+* The benchmark side is SMALL by construction (eval sets are MBs, the
+  corpus is TBs).  Its distinct n-gram hashes are built once and
+  ``F.broadcast`` to every executor — the corpus NEVER shuffles on
+  n-gram: the join is a map-side broadcast hash semi-probe that
+  pipelines into the corpus scan.
+* Join keys are ``xxhash64`` of the n-gram string, not the string —
+  8 bytes per probe instead of ~8·word_len, and the broadcast table
+  is a long hash set.  At 10^12 corpus n-grams the 64-bit birthday
+  term contributes ~1e-8 false-match probability per document —
+  documented precision trade, same one dedup's pre-hashed shingles
+  (_sh64_df) already makes.
+* Per-doc match counts partially aggregate map-side before the ONLY
+  shuffle, which carries just (doc_id, count) for matching docs.
+  The final report join is doc_id↔doc_id where the matched side is
+  tiny → AQE broadcasts it.
+* n-gram generation runs in the Arrow batch path (dedup's shingle UDF
+  machinery): the Column ``transform(sequence, slice, concat_ws)``
+  HOF is CodegenFallback — measured 8-16× slower on this exact shape
+  (see functions/dedup.py:197).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+__all__ = ["ngrams_strict_udf", "contamination_report", "decontaminate"]
+
+_WS_RE = re.compile(r"\s+", re.ASCII)
+
+
+def ngrams_strict_udf(n: int) -> Column:
+    """Factory: Arrow-batched DISTINCT strict word n-grams.
+
+    Mirrors functions/text.words tokenization exactly (lowercase,
+    edge-strip, ASCII whitespace split); texts with fewer than ``n``
+    words yield an EMPTY array (no degenerate short-gram fallback).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _ng(s: pd.Series) -> pd.Series:
+        def f(t):
+            if t is None:
+                return []
+            ws = _WS_RE.split(t.lower().strip())
+            ws = [w for w in ws if w]
+            if len(ws) < n:
+                return []
+            return list(dict.fromkeys(
+                " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)))
+
+        return s.map(f)
+
+    return _ng
+
+
+def _doc_grams(df: DataFrame, id_cols: list[str], text_col: str,
+               n: int, persist: bool) -> DataFrame:
+    """(id_cols..., n_ngrams, _grams) — one Arrow shingler pass.
+
+    Without the persist, this frame's THREE consumers (the explode
+    branch, the explode's Catalyst-inferred ``size > 0`` pushdown
+    filter, and the report's per-doc gram count) each re-run the
+    Python n-gram UDF over the corpus — measured as 3 ArrowEvalPython
+    nodes in the executed plan.  One cached pass of (ids, count,
+    grams) is strictly smaller than the text it replaces."""
+    out = df.select(
+        *id_cols, ngrams_strict_udf(n)(F.col(text_col)).alias("_grams")
+    ).withColumn("n_ngrams", F.size("_grams"))
+    return out.persist() if persist else out
+
+
+def benchmark_ngram_hashes(bench: DataFrame, text_col: str = "text",
+                           n: int = 8) -> DataFrame:
+    """Distinct xxhash64 n-gram hashes of the benchmark set — one
+    column ``g``.  Small enough to broadcast; persist it yourself if
+    probing several corpora."""
+    return (bench
+            .select(F.explode(ngrams_strict_udf(n)(F.col(text_col)))
+                    .alias("_g"))
+            .select(F.xxhash64("_g").alias("g"))
+            .distinct())
+
+
+def contamination_report(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_matches: int = 1,
+    persist_grams: bool = True,
+) -> DataFrame:
+    """Per-document contamination report over the full corpus.
+
+    Returns one row per input document:
+    ``(id_col, n_ngrams, n_matched, contaminated)`` where ``n_ngrams``
+    is the document's distinct strict n-gram count, ``n_matched`` how
+    many of those appear in the benchmark set, and ``contaminated``
+    whether ``n_matched >= min_matches``.
+    """
+    bg = benchmark_ngram_hashes(bench, bench_text_col or text_col, n)
+    grams = _doc_grams(df, [id_col], text_col, n, persist_grams)
+    dg = (grams.select(id_col, F.explode("_grams").alias("_g"))
+          .select(id_col, F.xxhash64("_g").alias("g")))
+    matched = (dg.join(F.broadcast(bg), "g")
+                 .groupBy(id_col)
+                 .agg(F.count("*").alias("n_matched")))
+    base = grams.select(id_col, "n_ngrams")
+    return (base.join(matched, id_col, "left")
+            .select(
+                id_col, "n_ngrams",
+                F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+                (F.coalesce("n_matched", F.lit(0)) >= min_matches)
+                .alias("contaminated")))
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Drop contaminated documents (full rows of the survivors).
+
+    The contaminated-id set is tiny relative to the corpus, so the
+    anti-join broadcasts under AQE; the corpus itself never shuffles.
+    """
+    bad = (contamination_report(df, bench, id_col, text_col,
+                                bench_text_col, n, min_matches)
+           .filter("contaminated").select(id_col))
+    return df.join(bad, id_col, "left_anti")

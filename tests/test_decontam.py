@@ -1,0 +1,101 @@
+"""Benchmark decontamination (functions/decontam.py): planted-overlap
+fixture plus a randomized differential against a pure-Python reference
+of the spec (strict n-grams, distinct-match counting, short/empty/null
+text policies)."""
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.functions import decontam as D
+
+_BENCH = [
+    ("b1", "the quick brown fox jumps over the lazy dog"),
+    ("b2", "pack my box with five dozen liquor jugs"),
+]
+
+_DOCS = [
+    # verbatim benchmark sentence embedded mid-document → contaminated
+    ("d1", "intro words then the quick brown fox jumps over the lazy "
+           "dog and a tail"),
+    # shares only a 4-word prefix of b1 → clean at n=5
+    ("d2", "the quick brown fox went home early tonight instead"),
+    # no overlap at all
+    ("d3", "completely unrelated text about something else entirely "
+           "with many words"),
+    # case/whitespace noise around a b2 hit → still contaminated
+    ("d4", "  Pack  MY box WITH five dozen liquor jugs thanks  "),
+    # shorter than n words → zero n-grams, never contaminated
+    ("d5", "tiny doc"),
+    # null text
+    ("d6", None),
+]
+
+
+def test_contamination_report_planted(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id string, text string")
+    bench = spark.createDataFrame(_BENCH, "doc_id string, text string")
+    rep = {r.doc_id: r for r in
+           D.contamination_report(docs, bench, n=5).collect()}
+    assert set(rep) == {f"d{i}" for i in range(1, 7)}
+    assert rep["d1"].contaminated and rep["d1"].n_matched == 5
+    assert not rep["d2"].contaminated and rep["d2"].n_matched == 0
+    assert not rep["d3"].contaminated
+    assert rep["d4"].contaminated and rep["d4"].n_matched == 4
+    assert rep["d5"].n_ngrams == 0 and not rep["d5"].contaminated
+    assert rep["d6"].n_ngrams == 0 and not rep["d6"].contaminated
+
+    clean = {r.doc_id for r in D.decontaminate(docs, bench, n=5).collect()}
+    assert clean == {"d2", "d3", "d5", "d6"}
+
+    # min_matches raises the bar: d4's 4 matches no longer qualify
+    strict = {r.doc_id: r.contaminated for r in D.contamination_report(
+        docs, bench, n=5, min_matches=5).collect()}
+    assert strict["d1"] and not strict["d4"]
+
+
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _ref_grams(t, n):
+    ws = [w for w in _WS.split((t or "").lower().strip()) if w]
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)} \
+        if len(ws) >= n else set()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_contamination_fuzz_vs_python_reference(spark, seed):
+    rng = random.Random(4200 + seed)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → real collisions
+    n = rng.choice([2, 3, 4])
+
+    def sentence():
+        return " ".join(rng.choices(vocab, k=rng.randrange(0, 15)))
+
+    bench_rows = [(f"b{i}", sentence()) for i in range(6)]
+    doc_rows = [(f"d{i}",
+                 None if rng.random() < 0.1 else sentence())
+                for i in range(40)]
+    bg = set().union(*(_ref_grams(t, n) for _, t in bench_rows))
+    want = {i: len(_ref_grams(t, n) & bg) for i, t in doc_rows}
+
+    docs = spark.createDataFrame(doc_rows, "doc_id string, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id string, text string")
+    got = {r.doc_id: r.n_matched for r in
+           D.contamination_report(docs, bench, n=n).collect()}
+    assert got == want, f"seed={seed} n={n}"
+
+
+def test_broadcast_in_plan(spark):
+    """The benchmark side must reach the corpus probe as a broadcast —
+    a shuffle on n-gram over the corpus would be the 100-TB bottleneck."""
+    docs = spark.createDataFrame(_DOCS, "doc_id string, text string")
+    bench = spark.createDataFrame(_BENCH, "doc_id string, text string")
+    plan = (D.contamination_report(docs, bench, n=5, persist_grams=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE exchange on the gram hash — the tiny benchmark-side
+    # distinct; the corpus side must reach the probe shuffle-free
+    assert plan.count("Exchange hashpartitioning(g#") == 1
