@@ -743,6 +743,35 @@ def q_contamination_documents(spark, sf_dir):
     )
 
 
+def q_repetition_documents(spark, sf_dir):
+    """Gopher-style repetition signals with DETERMINISTICALLY PLANTED
+    line duplication (the synthetic corpus is single-line, so doc_id
+    mod 3 appends duplicate head-lines built identically in both
+    engines); the top-2-gram and dup-5-gram fractions run on the
+    genuine word-soup repetition.  One Arrow UDF pass — a stateless
+    projection, no shuffle (plan-pinned in tests/test_repetition.py)."""
+    from cerberus_spark.functions import repetition as R
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    d, head = F.col("doc_id"), F.substring(
+        F.coalesce(F.col("text"), F.lit("")), 1, 40)
+    aug = (
+        F.when(d % 3 == 1, F.concat(
+            t, F.lit("\n"), head, F.lit("\n"), head))
+        .when(d % 3 == 2, F.concat(
+            head, F.lit("\n"), head, F.lit("\n"), t, F.lit("\n"), t))
+        .otherwise(t)
+    )
+    rep = R.repetition_report(
+        docs.select("doc_id", aug.alias("text")),
+        top_ns=(2,), dup_ns=(5,))
+    return rep.select(
+        "doc_id", F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac", "dup_line_char_frac",
+        "top2gram_char_frac", "dup5gram_char_frac")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: compiled rule validation."""
     return q_validate_events_violations(spark, "/root/testdata/sf0.001")
@@ -799,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_transcripts": q_pack_transcripts,
         "tail_turns_transcripts": q_tail_turns_transcripts,
         "contamination_documents": q_contamination_documents,
+        "repetition_documents": q_repetition_documents,
     }
 
 
@@ -1027,6 +1057,80 @@ FROM (SELECT doc_id, lang, {_bucket_sql('doc_id::VARCHAR', 'strat')} AS bk
 WHERE (lang = 'en' AND bk < 5000)
    OR (lang = 'de' AND bk < 4000)
    OR (lang = 'zh' AND bk < 2000)
+"""
+
+#: repetition-signals twin (functions/repetition.py spec verbatim):
+#: every fraction is ONE integer/integer division, so the doubles are
+#: bit-identical across engines.  aug replays the planted duplicate
+#: head-lines; lines/words use the engine tokenization (ASCII \\s).
+_REPETITION_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1
+              THEN t || chr(10) || substr(t, 1, 40)
+                     || chr(10) || substr(t, 1, 40)
+              WHEN doc_id % 3 = 2
+              THEN substr(t, 1, 40) || chr(10) || substr(t, 1, 40)
+                     || chr(10) || t || chr(10) || t
+              ELSE t END AS text
+  FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)),
+base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(lower(text), chr(10)),
+                     x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+                     x -> length(x) > 0) AS lines,
+         list_filter(string_split_regex(
+                     regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                     '\\s+'), x -> length(x) > 0) AS ws
+  FROM aug),
+lc AS (SELECT doc_id, ln, count(*) AS cnt, length(ln) AS l
+       FROM (SELECT doc_id, unnest(lines) AS ln FROM base)
+       GROUP BY doc_id, ln),
+lstats AS (SELECT doc_id,
+                  sum(cnt) AS n_lines,
+                  (sum(cnt) - count(*)) / sum(cnt) AS dup_line_frac,
+                  CASE WHEN sum(cnt * l) > 0
+                       THEN sum((cnt - 1) * l) / sum(cnt * l)
+                       ELSE 0.0 END AS dup_line_char_frac
+           FROM lc GROUP BY doc_id),
+jl AS (SELECT doc_id, length(array_to_string(ws, ' ')) AS jlen,
+              length(array_to_string(ws, '')) AS wchars
+       FROM base),
+g2c AS (SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                    FROM base))
+        GROUP BY doc_id, g),
+top2 AS (SELECT doc_id, cnt * length(g) AS num
+         FROM (SELECT doc_id, g, cnt,
+                      row_number() OVER (PARTITION BY doc_id
+                          ORDER BY cnt DESC, g ASC) AS rk
+               FROM g2c)
+         WHERE rk = 1),
+g5 AS (SELECT doc_id, i, array_to_string(ws[i:i + 4], ' ') AS g
+       FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+             FROM base)),
+g5d AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) > 1),
+cov AS (SELECT DISTINCT g5.doc_id, g5.i + o.u AS j
+        FROM g5 JOIN g5d USING (doc_id, g)
+        CROSS JOIN (SELECT unnest(range(0, 5)) AS u) o),
+covn AS (SELECT c.doc_id, sum(length(b.ws[c.j])) AS num
+         FROM cov c JOIN base b USING (doc_id) GROUP BY c.doc_id)
+SELECT b.doc_id,
+       coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(l.dup_line_frac, 0.0)::DOUBLE AS dup_line_frac,
+       coalesce(l.dup_line_char_frac, 0.0)::DOUBLE AS dup_line_char_frac,
+       (CASE WHEN t.num IS NOT NULL AND j.jlen > 0
+             THEN t.num / j.jlen ELSE 0.0 END)::DOUBLE
+           AS top2gram_char_frac,
+       (CASE WHEN c.num IS NOT NULL AND j.wchars > 0
+             THEN c.num / j.wchars ELSE 0.0 END)::DOUBLE
+           AS dup5gram_char_frac
+FROM base b
+JOIN jl j USING (doc_id)
+LEFT JOIN lstats l USING (doc_id)
+LEFT JOIN top2 t USING (doc_id)
+LEFT JOIN covn c USING (doc_id)
 """
 
 #: the grammar checks' total order, descending (DESC NULLS LAST mirrors
@@ -1557,4 +1661,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_transcripts": _PACK_SQL,
         "tail_turns_transcripts": _TAIL_TURNS_SQL,
         "contamination_documents": _CONTAMINATION_SQL,
+        "repetition_documents": _REPETITION_SQL,
     }

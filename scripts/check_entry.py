@@ -50,6 +50,9 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if len(sys.argv) > 1:  # substring filters for fast iteration
+        queries = {k: v for k, v in queries.items()
+                   if any(a in k for a in sys.argv[1:])}
     failures = 0
     for name, fn in queries.items():
         t0 = time.time()
