@@ -743,6 +743,21 @@ def q_contamination_documents(spark, sf_dir):
     )
 
 
+def q_mixture_resample_documents(spark, sf_dir):
+    """Temperature-flattened language mixing (T=2): the en-heavy corpus
+    is downsampled toward share ∝ p^(1/2); the rarest language keeps
+    every row.  Content-addressed md5 buckets (split_assign's spec), so
+    the kept set is partitioning-invariant and the DuckDB twin replays
+    it row-exactly.  The corpus side joins the 5-row rate table via
+    broadcast — no corpus shuffle (plan-pinned in tests)."""
+    from cerberus_spark.operators import pipeline as P
+
+    docs = _read(spark, sf_dir, "documents")
+    out = P.mixture_resample(docs, "lang", "doc_id",
+                             temperature=2.0, seed="mix")
+    return out.select("doc_id", "lang", "mix_rate")
+
+
 def q_repetition_documents(spark, sf_dir):
     """Gopher-style repetition signals with DETERMINISTICALLY PLANTED
     line duplication (the synthetic corpus is single-line, so doc_id
@@ -829,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_turns_transcripts": q_tail_turns_transcripts,
         "contamination_documents": q_contamination_documents,
         "repetition_documents": q_repetition_documents,
+        "mixture_resample_documents": q_mixture_resample_documents,
     }
 
 
@@ -1048,6 +1064,24 @@ SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
                     ELSE 'test' END AS split
 FROM (SELECT doc_id, {_bucket_sql('doc_id::VARCHAR', 'r5')} AS b
       FROM documents)
+"""
+
+#: mixture_resample twin (T=2 → exponent 1/T-1 = -0.5 exactly): rate =
+#: p^-0.5 normalized to max 1, keep iff md5 bucket < floor(rate·10⁴).
+#: n/tot and w/mx are the same double ops in both engines; pow last-ulp
+#: skew cannot flip a row unless rate·10⁴ sits within 1 ulp of an
+#: integer (5 strata — checked green).
+_MIXTURE_SQL = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
+t AS (SELECT sum(n) AS tot FROM c),
+r AS (SELECT lang, pow(n / tot, -0.5) AS w FROM c, t),
+m AS (SELECT max(w) AS mx FROM r),
+th AS (SELECT lang, w / mx AS mix_rate,
+              floor(w / mx * 10000)::BIGINT AS thr FROM r, m)
+SELECT d.doc_id, d.lang, th.mix_rate
+FROM documents d JOIN th USING (lang)
+WHERE {_bucket_sql("doc_id::VARCHAR", "mix")} < th.thr
 """
 
 _STRATIFIED_SAMPLE_SQL = f"""
@@ -1662,4 +1696,5 @@ def oracle_sql() -> dict[str, str]:
         "tail_turns_transcripts": _TAIL_TURNS_SQL,
         "contamination_documents": _CONTAMINATION_SQL,
         "repetition_documents": _REPETITION_SQL,
+        "mixture_resample_documents": _MIXTURE_SQL,
     }

@@ -41,8 +41,8 @@ from pyspark.sql.types import IntegerType, StructField, StructType
 from ..functions import text as T
 
 __all__ = [
-    "hash_bucket", "split_assign", "stratified_sample", "tail_turns",
-    "pack_sequences",
+    "hash_bucket", "split_assign", "stratified_sample",
+    "mixture_resample", "tail_turns", "pack_sequences",
 ]
 
 #: separator between key and seed inside the hashed string — a control
@@ -115,6 +115,59 @@ def stratified_sample(
     for stratum, frac in fractions.items():
         keep = keep | ((s == stratum) & (bucket < int(frac * n_buckets)))
     return df.filter(keep)
+
+
+def mixture_resample(
+    df: DataFrame,
+    strata_col: str,
+    key: str | Column,
+    temperature: float = 1.0,
+    n_buckets: int = 10_000,
+    seed: str = "",
+    rate_col: str = "mix_rate",
+) -> DataFrame:
+    """Temperature-flattened domain mixing by deterministic downsample.
+
+    The standard multilingual/domain recipe (mT5 §3.1, XLM-R §3):
+    target share q_d ∝ p_d^(1/T) where p_d is stratum d's empirical
+    share.  Realized as downsampling ONLY — keep rate
+    r_d = p_d^(1/T-1) / max_e p_e^(1/T-1), so the largest-rate stratum
+    keeps everything and the resampled corpus follows q exactly in
+    expectation (r_d·c_d ∝ p_d^(1/T)).  T=1 keeps every row; T→∞
+    approaches uniform shares.  Rows are kept by the same
+    content-addressed md5 bucket as split_assign — deterministic,
+    partitioning-invariant, and stable under corpus growth within a
+    stratum-count snapshot.  NULL strata are dropped (explicit
+    allowlist, like stratified_sample).
+
+    Scale: the stratum-count aggregate is map-side-combined into a
+    tiny table (|domains| rows); rates derive from it with two
+    broadcast cross-joins and join back to the corpus as a BROADCAST
+    hash join — the corpus itself never shuffles.  Output carries
+    ``rate_col`` for observability.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    # the exponent is computed ONCE driver-side so engines replaying
+    # the spec (DuckDB oracle) share the exact double
+    expo = 1.0 / temperature - 1.0
+    strata = F.col(strata_col)
+    counts = (df.filter(strata.isNotNull())
+                .groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n")))
+    tot = counts.agg(F.sum("_n").alias("_tot"))
+    w = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "_w", F.pow(F.col("_n") / F.col("_tot"), F.lit(expo)))
+    mx = w.agg(F.max("_w").alias("_mx"))
+    rates = (w.crossJoin(F.broadcast(mx))
+             .select(strata_col,
+                     (F.col("_w") / F.col("_mx")).alias(rate_col),
+                     F.floor(F.col("_w") / F.col("_mx") * n_buckets)
+                     .cast("int").alias("_thr")))
+    bucket = hash_bucket(F.col(key) if isinstance(key, str) else key,
+                         n_buckets, seed)
+    return (df.join(F.broadcast(rates), strata_col)
+            .filter(bucket < F.col("_thr"))
+            .drop("_thr"))
 
 
 def _order(idx_col: str, order_tie: Sequence[str]) -> list[Column]:

@@ -200,3 +200,73 @@ def test_pack_plan_single_exchange_no_text_through_python(spark):
     # only, no text column below the python stage
     child = phys.split("MapInPandas", 1)[1]
     assert "n_tok" in child
+
+
+# ---------------------------------------------------------------------------
+# mixture_resample (temperature-flattened domain mixing)
+# ---------------------------------------------------------------------------
+
+
+def _md5_bucket(key, seed="", n=10_000):
+    import hashlib
+
+    h = hashlib.md5((str(key) + "\x1f" + seed).encode()).hexdigest()
+    return int(h[:8], 16) % n
+
+
+def test_mixture_resample_matches_python_replay(spark):
+    # 300 'big', 60 'mid', 15 'small', 25 NULL-stratum rows
+    rows = ([(i, "big") for i in range(300)]
+            + [(1000 + i, "mid") for i in range(60)]
+            + [(2000 + i, "small") for i in range(15)]
+            + [(3000 + i, None) for i in range(25)])
+    df = spark.createDataFrame(rows, "k long, s string")
+    got = {(r.k, r.s) for r in
+           P.mixture_resample(df, "s", "k", temperature=2.0,
+                              seed="mx").collect()}
+
+    # pure-Python replay of the spec
+    counts = {"big": 300, "mid": 60, "small": 15}
+    tot = sum(counts.values())
+    expo = 1.0 / 2.0 - 1.0
+    w = {d: (n / tot) ** expo for d, n in counts.items()}
+    mx = max(w.values())
+    thr = {d: int(w[d] / mx * 10_000) for d in w}
+    want = {(k, s) for k, s in rows
+            if s is not None and _md5_bucket(k, "mx") < thr[s]}
+    assert got == want
+    # the rarest stratum keeps everything (rate 1)
+    assert sum(1 for _, s in got if s == "small") == 15
+    # the biggest is thinned toward p^(1/T): thr_big/10k = (p_b/p_s)^-.5
+    assert thr["big"] == int((300 / 15) ** -0.5 * 10_000)
+
+
+def test_mixture_resample_t1_keeps_all_non_null(spark):
+    rows = [(i, ["a", "b"][i % 2]) for i in range(50)] + [(99, None)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = P.mixture_resample(df, "s", "k", temperature=1.0)
+    assert out.count() == 50
+    # mix_rate rides along for observability
+    assert set(out.select("mix_rate").distinct().toPandas()["mix_rate"]) \
+        == {1.0}
+
+
+def test_mixture_resample_partitioning_invariant(spark):
+    rows = [(i, "x" if i % 10 < 8 else "y") for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    a = {r.k for r in P.mixture_resample(df, "s", "k", 4.0).collect()}
+    b = {r.k for r in P.mixture_resample(df.repartition(17), "s", "k",
+                                         4.0).collect()}
+    assert a == b and 0 < len(a) < 500
+
+
+def test_mixture_resample_corpus_side_broadcast(spark):
+    rows = [(i, "x" if i % 10 < 8 else "y") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    plan = (P.mixture_resample(df, "s", "k", 2.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the corpus joins the tiny rate table via broadcast: no shuffle on
+    # the corpus side (the only exchanges feed the stratum-count aggs)
+    assert "BroadcastHashJoin" in plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert bad not in plan
