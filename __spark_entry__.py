@@ -743,6 +743,38 @@ def q_contamination_documents(spark, sf_dir):
     )
 
 
+def q_corpus_transcripts(spark, sf_dir):
+    """END-TO-END corpus assembly (cerberus_spark/corpus.py) over the
+    transcripts fixture: per-turn rule validation (flagship schema) →
+    conversation-grammar gate → PII redaction → content-addressed
+    split → greedy token packing, drops conversation-granular
+    throughout.  Near-dedup is off here so the twin stays non-iterative
+    SQL — its closure oracle is near_dedup_documents /
+    conv_near_dups_transcripts.  The DuckDB twin replays every stage
+    (the rule SQL is _TRANSCRIPTS_VIOLATIONS_SQL, the grammar
+    _SEQ_VIOLATIONS_SQL, redaction the staged regex chain, packing the
+    recursive CTE), so a hash match certifies the COMPOSITION — filter
+    granularity, redact-before-order, packing over redacted counts —
+    not just the stages."""
+    from cerberus_spark.corpus import build_corpus
+    from cerberus_spark.sources.transcripts import TURN_SCHEMA
+
+    df = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    b = build_corpus(
+        df, TURN_SCHEMA, order_tie=_SEQ_TIE,
+        sequence_rules=dict(first_roles=["system"],
+                            transitions=_SEQ_TRANSITIONS,
+                            contiguous=True, monotone_ts=True),
+        dedup_threshold=None, redact=True, split_seed="corp",
+        pack_budget=64)
+    packs = b.packs.select("conv_id", "rn", "n_tok", "pack_id")
+    return (b.turns.join(packs, ["conv_id", "rn"])
+            .select("conv_id", F.col("rn").cast("int").alias("rn"),
+                    "turn_idx", "role", "text", "split",
+                    F.col("n_tok").cast("long").alias("n_tok"),
+                    F.col("pack_id").cast("int").alias("pack_id")))
+
+
 def q_mixture_resample_documents(spark, sf_dir):
     """Temperature-flattened language mixing (T=2): the en-heavy corpus
     is downsampled toward share ∝ p^(1/2); the rarest language keeps
@@ -845,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": q_contamination_documents,
         "repetition_documents": q_repetition_documents,
         "mixture_resample_documents": q_mixture_resample_documents,
+        "corpus_transcripts": q_corpus_transcripts,
     }
 
 
@@ -1202,6 +1235,69 @@ WITH RECURSIVE t AS (
   FROM rec r JOIN t ON t.conv_id = r.conv_id AND t.rn = r.rn + 1
 )
 SELECT conv_id, rn, turn_idx, n_tok, pack_id::INT AS pack_id FROM rec
+"""
+
+
+def _redact_sql_expr(col: str) -> str:
+    """DuckDB twin of functions/pii.redact_pii: the staged replacement
+    chain as ONE nested expression (DuckDB non-E strings keep
+    backslashes literal, so the Java patterns embed verbatim — parity
+    proven by the redact_pii_documents oracle)."""
+    from cerberus_spark.functions.pii import PII_PATTERNS
+
+    cur = f"coalesce({col}, '')"
+    for _, pat, repl in PII_PATTERNS:
+        cur = (f"regexp_replace({cur}, '{pat.replace(chr(39), chr(39)*2)}',"
+               f" '{repl}', 'g')")
+    return cur
+
+
+def _corpus_oracle_sql() -> str:
+    """The end-to-end corpus twin: rule gate ∘ grammar gate ∘ redact ∘
+    split ∘ rn ∘ greedy pack, each stage the SAME SQL already pinned
+    individually, composed in build_corpus's order (redaction BEFORE
+    the rn total order — redacted text is a tiebreaker)."""
+    return f"""
+WITH RECURSIVE t AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')),
+ok AS (
+  SELECT DISTINCT conv_id FROM t
+  WHERE conv_id IS NOT NULL
+    AND conv_id NOT IN (SELECT conv_id FROM ({_TRANSCRIPTS_VIOLATIONS_SQL}) v
+                        WHERE conv_id IS NOT NULL)
+    AND conv_id NOT IN (SELECT conv_id FROM ({_SEQ_VIOLATIONS_SQL}) s
+                        WHERE conv_id IS NOT NULL)
+),
+red AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+         {_redact_sql_expr('text')} AS text
+  FROM t JOIN ok USING (conv_id)
+),
+srn AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN b < 9000 THEN 'train'
+              WHEN b < 9500 THEN 'val' ELSE 'test' END AS split,
+         row_number() OVER (PARTITION BY conv_id
+             ORDER BY turn_idx ASC NULLS FIRST, ts ASC NULLS FIRST,
+                      role ASC NULLS FIRST, text ASC NULLS FIRST,
+                      tool ASC NULLS FIRST)::INT AS rn,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> length(x) > 0)) AS n_tok
+  FROM (SELECT *, {_bucket_sql('conv_id', 'corp')} AS b FROM red)
+),
+rec AS (
+  SELECT conv_id, rn, n_tok, n_tok AS acc, 0 AS pack_id
+  FROM srn WHERE rn = 1
+  UNION ALL
+  SELECT s.conv_id, s.rn, s.n_tok,
+         CASE WHEN r.acc > 0 AND r.acc + s.n_tok > 64
+              THEN s.n_tok ELSE r.acc + s.n_tok END,
+         CASE WHEN r.acc > 0 AND r.acc + s.n_tok > 64
+              THEN r.pack_id + 1 ELSE r.pack_id END
+  FROM rec r JOIN srn s ON s.conv_id = r.conv_id AND s.rn = r.rn + 1
+)
+SELECT s.conv_id, s.rn, s.turn_idx, s.role, s.text, s.split,
+       s.n_tok::BIGINT AS n_tok, r.pack_id::INT AS pack_id
+FROM srn s JOIN rec r USING (conv_id, rn)
 """
 
 
@@ -1697,4 +1793,5 @@ def oracle_sql() -> dict[str, str]:
         "contamination_documents": _CONTAMINATION_SQL,
         "repetition_documents": _REPETITION_SQL,
         "mixture_resample_documents": _MIXTURE_SQL,
+        "corpus_transcripts": _corpus_oracle_sql(),
     }
