@@ -743,6 +743,18 @@ def q_contamination_documents(spark, sf_dir):
     )
 
 
+def q_surprisal_documents(spark, sf_dir):
+    """Self-scored unigram surprisal (CCNet's cheap tier): the corpus
+    trains its own add-1 unigram model, then every doc gets its mean
+    negative log-prob in micro-nat-quantized integers — BIGINT sums,
+    so the score is partitioning- and engine-independent by
+    construction (functions/surprisal.py spec)."""
+    from cerberus_spark.functions import surprisal as SP
+
+    docs = _read(spark, sf_dir, "documents")
+    return SP.surprisal_report(docs, "doc_id", "text")
+
+
 def q_corpus_transcripts(spark, sf_dir):
     """END-TO-END corpus assembly (cerberus_spark/corpus.py) over the
     transcripts fixture: per-turn rule validation (flagship schema) →
@@ -878,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": q_repetition_documents,
         "mixture_resample_documents": q_mixture_resample_documents,
         "corpus_transcripts": q_corpus_transcripts,
+        "surprisal_documents": q_surprisal_documents,
     }
 
 
@@ -1313,6 +1326,27 @@ FROM srn s JOIN rec r USING (conv_id, rn)
 
 _DUCK_WORDS = ("list_filter(string_split_regex(lower(trim(coalesce(text, ''))), "
                "'\\s+'), x -> length(x) > 0)")
+
+#: unigram-surprisal twin (functions/surprisal.py spec): add-1 unigram
+#: log-probs quantized to integer micro-nats (floor(ln·1e6)), so the
+#: per-doc sums are exact BIGINT arithmetic in both engines; the only
+#: doubles are the smoothed ratio, one ln, and two final divisions.
+_SURPRISAL_SQL = f"""
+WITH w AS (SELECT doc_id, {{words}} AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+st AS (SELECT sum(c) AS total, count(*) AS v FROM c),
+model AS (SELECT tok,
+                 floor(ln((c + 1.0) / (total + 1.0 * v)) * 1000000.0)::BIGINT
+                   AS lp
+          FROM c, st),
+dt AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY doc_id, tok),
+sc AS (SELECT doc_id, sum(lp * n) AS sq, sum(n) AS n_tok
+       FROM dt JOIN model USING (tok) GROUP BY doc_id)
+SELECT w.doc_id, coalesce(sc.n_tok, 0)::BIGINT AS n_tok,
+       coalesce((-sc.sq) / sc.n_tok / 1000000.0, 0.0)::DOUBLE AS surprisal
+FROM w LEFT JOIN sc USING (doc_id)
+"""
 
 #: decontamination twin: strict word 3-grams (no short-text fallback —
 #: unlike _DUCK_SHINGLES, a doc under 3 words has NO gram), distinct
@@ -1794,4 +1828,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": _REPETITION_SQL,
         "mixture_resample_documents": _MIXTURE_SQL,
         "corpus_transcripts": _corpus_oracle_sql(),
+        "surprisal_documents": _SURPRISAL_SQL.format(words=_DUCK_WORDS),
     }

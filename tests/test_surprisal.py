@@ -1,0 +1,101 @@
+"""Unigram surprisal (functions/surprisal.py): hand-checked planted
+fixture, OOV scoring against a foreign model, and a randomized
+differential vs a pure-Python replay of the quantized spec."""
+
+import math
+import random
+import re
+
+import pytest
+
+from cerberus_spark.functions import surprisal as S
+
+_DOCS = [
+    ("common", "the the the cat"),   # high-probability tokens
+    ("rare", "zyx qwv"),             # singletons -> high surprisal
+    ("empty", "   "),
+    ("null", None),
+]
+
+
+def _ref(rows, alpha=1.0, train=None):
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def toks(t):
+        return [w for w in ws_re.split((t or "").lower().strip()) if w]
+
+    train = train if train is not None else rows
+    from collections import Counter
+
+    c = Counter(t for _, txt in train for t in toks(txt))
+    total, v = sum(c.values()), len(c)
+    denom = total + alpha * v
+
+    def lp_q(tok):
+        p = (c[tok] + alpha) / denom if tok in c else alpha / denom
+        return math.floor(math.log(p) * 1e6)
+
+    out = {}
+    for i, txt in rows:
+        ts = toks(txt)
+        if not ts:
+            out[i] = (0, 0.0)
+        else:
+            sq = sum(lp_q(t) for t in ts)
+            out[i] = (len(ts), (-sq) / len(ts) / 1e6)
+    return out
+
+
+def test_surprisal_planted(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id string, text string")
+    got = {r.doc_id: (r.n_tok, r.surprisal)
+           for r in S.surprisal_report(df).collect()}
+    want = _ref(_DOCS)
+    assert got == want
+    # rare-token doc scores strictly above the stopword-heavy one
+    assert got["rare"][1] > got["common"][1] > 0
+    assert got["empty"] == (0, 0.0) and got["null"] == (0, 0.0)
+
+
+def test_surprisal_oov_against_foreign_model(spark):
+    train = spark.createDataFrame([("t", "aa bb aa")],
+                                  "doc_id string, text string")
+    score = spark.createDataFrame([("d", "aa zz")],
+                                  "doc_id string, text string")
+    got = S.surprisal_report(score, train=train).collect()[0]
+    want = _ref([("d", "aa zz")], train=[("t", "aa bb aa")])["d"]
+    assert (got.n_tok, got.surprisal) == want
+    # the OOV token 'zz' scored alpha/(total+alpha*V), not a crash/null
+    assert got.surprisal > 0
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_surprisal_fuzz_vs_python(spark, seed):
+    rng = random.Random(6200 + seed)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [(f"d{i}",
+             None if rng.random() < 0.1 else
+             " ".join(rng.choices(vocab, k=rng.randrange(0, 30))))
+            for i in range(40)]
+    alpha = rng.choice([0.5, 1.0, 2.0])
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.n_tok, r.surprisal)
+           for r in S.surprisal_report(df, alpha=alpha).collect()}
+    want = _ref(rows, alpha=alpha)
+    for k in want:
+        assert got[k][0] == want[k][0], f"seed={seed} doc={k} n_tok"
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-12), \
+            f"seed={seed} doc={k}"
+
+
+def test_surprisal_partitioning_invariant(spark):
+    """The quantized integer sums make the score independent of
+    partitioning — the property a raw double sum would not have."""
+    rows = [(f"d{i}", " ".join(f"w{j % 7}" for j in range(i % 25)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    a = {(r.doc_id, r.n_tok, r.surprisal)
+         for r in S.surprisal_report(df).collect()}
+    b = {(r.doc_id, r.n_tok, r.surprisal)
+         for r in S.surprisal_report(df.repartition(13)).collect()}
+    assert a == b
