@@ -168,6 +168,11 @@ def main() -> None:
         "minhash_near_dups_documents",
         "asof_purchase_events",
         "sessionize_events",
+        # round-5 text-analysis family (documents table)
+        "contamination_documents",
+        "repetition_documents",
+        "surprisal_documents",
+        "mixture_resample_documents",
     ]
     qs = entrymod.queries()
     # best-of-N per head query: a single co-tenant burst on this shared
