@@ -48,7 +48,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["ngrams_strict_udf", "contamination_report", "decontaminate"]
+__all__ = ["ngrams_strict_udf", "contamination_report",
+           "contamination_report_broadcast", "decontaminate"]
 
 _WS_RE = re.compile(r"\s+", re.ASCII)
 
@@ -138,6 +139,58 @@ def contamination_report(
                 F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
                 (F.coalesce("n_matched", F.lit(0)) >= min_matches)
                 .alias("contaminated")))
+
+
+def contamination_report_broadcast(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Shuffle-free variant of :func:`contamination_report`: the
+    benchmark's distinct gram STRINGS are collected once and shipped
+    as a Spark broadcast variable; one Arrow UDF computes each doc's
+    distinct-gram and matched counts against the in-memory set.
+
+    Same semantics (gram strings compare exactly — no 64-bit hash
+    approximation), different scale trade: ZERO exchanges — a pure
+    projection — at the cost of holding the eval grams on every
+    executor in Python (eval sets are MBs; fine).  Because it is
+    stateless it is the STREAMING form: append-mode safe on a
+    readStream frame, where the join+groupBy of the batch form would
+    demand watermarked aggregation.  The driver-side collect is of the
+    BENCHMARK only, never the corpus."""
+    sc = df.sparkSession.sparkContext
+    grams = ngrams_strict_udf(n)
+    bset = set(
+        r[0] for r in
+        bench.select(F.explode(grams(F.col(bench_text_col or text_col)))
+                     .alias("g")).distinct().collect())
+    bc = sc.broadcast(bset)
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("n_ngrams", T.IntegerType()),
+        T.StructField("n_matched", T.IntegerType())]))
+    def _probe(s: pd.Series) -> pd.DataFrame:
+        bg = bc.value
+        rows = []
+        for t in s:
+            if t is None:
+                rows.append((0, 0))
+                continue
+            ws = [w for w in _WS_RE.split(t.lower().strip()) if w]
+            gs = ({" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+                  if len(ws) >= n else set())
+            rows.append((len(gs), sum(1 for g in gs if g in bg)))
+        return pd.DataFrame(rows, columns=["n_ngrams", "n_matched"])
+
+    out = df.select(id_col, _probe(F.col(text_col)).alias("_c"))
+    return out.select(
+        id_col, "_c.n_ngrams", "_c.n_matched",
+        (F.col("_c.n_matched") >= min_matches).alias("contaminated"))
 
 
 def decontaminate(

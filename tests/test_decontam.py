@@ -99,3 +99,40 @@ def test_broadcast_in_plan(spark):
     # exactly ONE exchange on the gram hash — the tiny benchmark-side
     # distinct; the corpus side must reach the probe shuffle-free
     assert plan.count("Exchange hashpartitioning(g#") == 1
+
+
+def test_broadcast_variant_equals_join_variant(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id string, text string")
+    bench = spark.createDataFrame(_BENCH, "doc_id string, text string")
+    a = {tuple(r) for r in
+         D.contamination_report(docs, bench, n=5).collect()}
+    b = {tuple(r) for r in
+         D.contamination_report_broadcast(docs, bench, n=5).collect()}
+    assert a == b
+    # and it is a pure projection — zero exchanges
+    plan = (D.contamination_report_broadcast(docs, bench, n=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_contamination_streaming_append(spark, tmp_path):
+    """The broadcast form runs append-mode on a file stream — the
+    ingest-time decontamination gate."""
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(_DOCS, "doc_id string, text string")
+    docs.coalesce(1).write.parquet(src)
+    bench = spark.createDataFrame(_BENCH, "doc_id string, text string")
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    rep = D.contamination_report_broadcast(stream, bench, n=5)
+    q = (rep.writeStream.outputMode("append").format("memory")
+         .queryName("contam_stream").start())
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: r.contaminated for r in
+               spark.sql("select * from contam_stream").collect()}
+        assert got == {"d1": True, "d2": False, "d3": False,
+                       "d4": True, "d5": False, "d6": False}
+    finally:
+        q.stop()
