@@ -63,6 +63,8 @@ def build_corpus(
     splits: Sequence[tuple[str, float]] = (
         ("train", 0.9), ("val", 0.05), ("test", 0.05)),
     split_seed: str = "",
+    mixture_col: str | None = None,
+    mixture_temperature: float = 1.0,
     pack_budget: int | None = None,
     validator_kw: Mapping | None = None,
 ) -> CorpusBuild:
@@ -75,7 +77,11 @@ def build_corpus(
     takes :func:`~cerberus_spark.operators.sequence.sequence_summary`
     keyword arguments (first_roles / transitions / contiguous /
     monotone_ts); ``dedup_kw`` forwards to LSH candidate generation
-    (num_perm / bands / bucket_cap)."""
+    (num_perm / bands / bucket_cap).  ``mixture_col`` turns on
+    temperature-flattened domain resampling (share ∝ p^(1/T)) at
+    conversation granularity — a conversation's stratum is its
+    lowest-``idx_col`` turn's value, so mixed-stratum conversations
+    stay whole."""
     validator = SparkValidator(schema, key_cols=(conv_col, idx_col),
                                **dict(validator_kw or {}))
     res = validator.validate(df)
@@ -111,6 +117,19 @@ def build_corpus(
 
     if redact:
         turns = turns.withColumn(text_col, redact_pii(F.col(text_col)))
+
+    if mixture_col is not None:
+        # conversation-granular: resample on the conv's OWN stratum
+        # value per turn would split conversations whose turns differ —
+        # flatten the stratum to the conversation's first value first
+        conv_strata = (
+            turns.groupBy(conv_col)
+            .agg(F.min_by(mixture_col, idx_col).alias("_stratum")))
+        kept = P.mixture_resample(
+            conv_strata, "_stratum", conv_col,
+            temperature=mixture_temperature, seed=split_seed,
+        ).select(conv_col)
+        turns = turns.join(kept, conv_col, "left_semi")
 
     turns = P.split_assign(turns, conv_col, splits, seed=split_seed)
     w = W.partitionBy(conv_col).orderBy(

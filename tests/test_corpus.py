@@ -101,3 +101,35 @@ def test_build_corpus_optional_stages_off(spark):
     assert convs == {"good", "badseq", "dupA", "dupB"}
     # no redaction
     assert minimal.turns.filter(F.col("text").contains("@")).count() == 1
+
+
+def test_build_corpus_mixture_stage(spark):
+    # 12 'web' convs vs 2 'wiki' convs; T=4 flattens hard: every wiki
+    # conv survives (rate 1), web is thinned deterministically
+    rows = []
+    for c in range(12):
+        rows += [(f"web{c}", 0, "system", f"w{c} opening line"),
+                 (f"web{c}", 1, "user", f"w{c} follow up")]
+    for c in range(2):
+        rows += [(f"wiki{c}", 0, "system", f"k{c} opening line"),
+                 (f"wiki{c}", 1, "user", f"k{c} follow up")]
+    rows = [(conv, idx, role, txt,
+             "wiki" if conv.startswith("wiki") else "web")
+            for conv, idx, role, txt in rows]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " domain string")
+    schema = dict(_SCHEMA)
+    schema["domain"] = {"type": "string"}
+    b = build_corpus(df, schema, sequence_rules=None,
+                     dedup_threshold=None, redact=False,
+                     mixture_col="domain", mixture_temperature=4.0,
+                     split_seed="mx")
+    convs = {r.conv_id for r in b.turns.collect()}
+    assert {"wiki0", "wiki1"} <= convs          # rarest stratum intact
+    assert len([c for c in convs if c.startswith("web")]) < 12  # thinned
+    # conversations stay whole: every surviving conv has both turns
+    n = {r.conv_id: 0 for r in b.turns.collect()}
+    for r in b.turns.collect():
+        n[r.conv_id] += 1
+    assert set(n.values()) == {2}
