@@ -25,7 +25,7 @@ import urllib.request
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_ROWS = int(os.environ.get("TPROBE_ROWS", 2_000_000))
+N_ROWS = int(os.environ.get("TPROBE_ROWS", 1_000_000))
 REPS = int(os.environ.get("TPROBE_REPS", 2))
 
 
@@ -97,9 +97,11 @@ def run_level(cpus: int) -> dict:
         df.write.format("noop").mode("overwrite").save()
 
     jobs = {
-        # broadcast gram probe + one tiny count shuffle
+        # broadcast gram probe + one tiny count shuffle (production
+        # path: the gram frame persists, so the Arrow shingler runs
+        # once per pass instead of 3x)
         "contamination": lambda: noop(DC.contamination_report(
-            docs, bench, "doc_id", "text", n=3, persist_grams=False)),
+            docs, bench, "doc_id", "text", n=3)),
         # stateless Arrow projection — the linear-scaling floor
         "repetition": lambda: noop(R.repetition_report(
             docs, top_ns=(2, 3, 4), dup_ns=(5, 10))),
@@ -109,9 +111,18 @@ def run_level(cpus: int) -> dict:
         "mixture_resample": lambda: noop(P.mixture_resample(
             docs, "domain", "doc_id", temperature=2.0, seed="probe")),
     }
+    def _drop_job_caches():
+        # contamination_report persists its gram frame per call; drop
+        # everything EXCEPT the synth inputs so reps don't accumulate
+        # cached copies (then re-pin the inputs)
+        spark.catalog.clearCache()
+        docs.persist().count()
+        bench.persist().count()
+
     timings = {}
     for name, job in jobs.items():
         job()  # warm-up (codegen/JIT/Arrow worker spin-up)
+        _drop_job_caches()
         best, best_m = None, None
         reps, cpu_reps = [], []
         for _ in range(REPS):
@@ -119,7 +130,8 @@ def run_level(cpus: int) -> dict:
             t0 = time.time()
             job()
             e = time.time() - t0
-            m1 = _metrics(spark)
+            m1 = _metrics(spark)  # read BEFORE the cache re-pin below
+            _drop_job_caches()
             cpu_s = (m1["cpu_ns"] - m0["cpu_ns"]) / 1e9
             run_s = (m1["run_ms"] - m0["run_ms"]) / 1e3
             reps.append(round(e, 2))
@@ -144,7 +156,33 @@ def main():
         return
     levels = [int(c) for c in
               os.environ.get("TPROBE_LEVELS", "4,16").split(",")]
-    results = {}
+    out_path = os.path.join(REPO, "BENCH", "textops_scale_probe.json")
+
+    def _write(prior):
+        all_effs = {}
+        for c in sorted(int(k) for k in prior):
+            if str(4 * c) in prior:
+                all_effs[f"{c}_to_{4*c}"] = {
+                    op: round(
+                        (prior[str(4 * c)]["timings"][op]["rows_per_sec"]
+                         / prior[str(c)]["timings"][op]["rows_per_sec"])
+                        / 4, 3)
+                    for op in prior[str(c)]["timings"]
+                    if op in prior[str(4 * c)]["timings"]
+                }
+        with open(out_path, "w") as f:
+            json.dump({"levels": prior, "efficiency": all_effs}, f,
+                      indent=1)
+        return all_effs
+
+    prior = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("levels", {})
+        # levels are only comparable at the same corpus size
+        prior = {k: v for k, v in prior.items()
+                 if v.get("n_rows") == N_ROWS}
+    all_effs = {}
     for cpus in levels:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -157,25 +195,11 @@ def main():
             raise RuntimeError(
                 f"level cpus={cpus} failed:\n{out.stdout[-2000:]}\n"
                 f"{out.stderr[-2000:]}")
-        results[cpus] = json.loads(lines[-1])
-    out_path = os.path.join(REPO, "BENCH", "textops_scale_probe.json")
-    prior = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            prior = json.load(f).get("levels", {})
-    prior.update({str(k): v for k, v in results.items()})
-    all_effs = {}
-    for c in sorted(int(k) for k in prior):
-        if str(4 * c) in prior:
-            all_effs[f"{c}_to_{4*c}"] = {
-                op: round(
-                    (prior[str(4 * c)]["timings"][op]["rows_per_sec"]
-                     / prior[str(c)]["timings"][op]["rows_per_sec"]) / 4, 3)
-                for op in prior[str(c)]["timings"]
-                if op in prior[str(4 * c)]["timings"]
-            }
-    with open(out_path, "w") as f:
-        json.dump({"levels": prior, "efficiency": all_effs}, f, indent=1)
+        prior[str(cpus)] = json.loads(lines[-1])
+        # write-through after EVERY level: a dead level (co-tenant OOM
+        # of a python worker, subprocess timeout) must not discard the
+        # levels that already ran
+        all_effs = _write(prior)
     print(json.dumps({"efficiency": all_effs, "levels_run": levels},
                      indent=1))
 
