@@ -125,9 +125,14 @@ def build_corpus(
         conv_strata = (
             turns.groupBy(conv_col)
             .agg(F.min_by(mixture_col, idx_col).alias("_stratum")))
+        # NOT split_seed verbatim: sharing the bucket stream with
+        # split_assign would correlate the two stages — a thinned
+        # stratum's survivors occupy a bucket PREFIX, which the split
+        # thresholds would then carve non-proportionally (a hard-thinned
+        # domain would land ~entirely in 'train')
         kept = P.mixture_resample(
             conv_strata, "_stratum", conv_col,
-            temperature=mixture_temperature, seed=split_seed,
+            temperature=mixture_temperature, seed=split_seed + "/mixture",
         ).select(conv_col)
         turns = turns.join(kept, conv_col, "left_semi")
 

@@ -133,3 +133,48 @@ def test_build_corpus_mixture_stage(spark):
     for r in b.turns.collect():
         n[r.conv_id] += 1
     assert set(n.values()) == {2}
+
+
+def test_mixture_and_split_buckets_are_independent(spark):
+    """Regression: the mixture stage must NOT consume the same bucket
+    stream as split_assign — survivors of a hard-thinned stratum would
+    occupy a bucket prefix and all land in 'train'.  Full pure-Python
+    replay of both stages pins the exact surviving (conv -> split)."""
+    import hashlib
+    import math
+
+    rows = [(f"web{c}", 0, "system", f"w{c} line") for c in range(300)]
+    rows += [(f"wiki{c}", 0, "system", f"k{c} line") for c in range(3)]
+    rows = [(conv, idx, role, txt,
+             "wiki" if conv.startswith("wiki") else "web")
+            for conv, idx, role, txt in rows]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " domain string")
+    schema = dict(_SCHEMA)
+    schema["domain"] = {"type": "string"}
+    b = build_corpus(df, schema, sequence_rules=None,
+                     dedup_threshold=None, redact=False,
+                     mixture_col="domain", mixture_temperature=3.0,
+                     split_seed="mixsplit")
+    got = {r.conv_id: r.split for r in b.turns.collect()}
+
+    def bucket(k, seed):
+        h = hashlib.md5((k + "\x1f" + seed).encode()).hexdigest()
+        return int(h[:8], 16) % 10_000
+
+    expo = 1.0 / 3.0 - 1.0
+    w = {"web": (300 / 303) ** expo, "wiki": (3 / 303) ** expo}
+    mx = max(w.values())
+    thr = {d: math.floor(w[d] / mx * 10_000) for d in w}
+    want = {}
+    for conv, _, _, _, dom in rows:
+        if bucket(conv, "mixsplit/mixture") < thr[dom]:
+            bk = bucket(conv, "mixsplit")
+            want[conv] = ("train" if bk < 9000
+                          else "val" if bk < 9500 else "test")
+    assert got == want
+    # the replay itself must be a meaningful scenario: real thinning
+    # AND more than one split value among survivors
+    assert 0 < len(want) < 303
+    assert len(set(want.values())) > 1
