@@ -18,6 +18,7 @@ tables, which AQE broadcasts.  Nothing here collects to the driver.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping, Sequence
 from dataclasses import dataclass
 
@@ -30,6 +31,47 @@ from .functions.pii import redact_pii
 from .operators import pipeline as P
 
 __all__ = ["CorpusBuild", "build_corpus"]
+
+
+_REP_FIELD = re.compile(r"^(?:top(\d+)gram_char_frac|dup(\d+)gram_char_frac"
+                        r"|dup_line_frac|dup_line_char_frac)$")
+
+
+def _quality_filter(conv_text: DataFrame, conv_col: str, text_col: str,
+                    bounds: Mapping) -> DataFrame:
+    """conv ids whose conversation text satisfies every (min, max)
+    bound.  Signal registry: tokens, quality_score, and the repetition
+    fields; repetition runs ONE Arrow pass computing exactly the
+    requested n-gram orders."""
+    top_ns, dup_ns, cols = [], [], []
+    for name in bounds:
+        if name == "tokens":
+            cols.append(T.token_count(F.col(text_col)).alias(name))
+        elif name == "quality_score":
+            cols.append(T.quality_score(F.col(text_col)).alias(name))
+        elif (m := _REP_FIELD.match(name)):
+            if m.group(1):
+                top_ns.append(int(m.group(1)))
+            elif m.group(2):
+                dup_ns.append(int(m.group(2)))
+        else:
+            raise ValueError(f"unknown quality signal: {name!r}")
+    scored = conv_text.select(conv_col, text_col, *cols)
+    if top_ns or dup_ns or "dup_line_frac" in bounds \
+            or "dup_line_char_frac" in bounds:
+        from .functions.repetition import repetition_signals_udf
+
+        rep = repetition_signals_udf(sorted(set(top_ns)),
+                                     sorted(set(dup_ns)))
+        scored = scored.withColumn("_rep", rep(F.col(text_col))) \
+                       .select("*", "_rep.*").drop("_rep")
+    pred = F.lit(True)
+    for name, (lo, hi) in bounds.items():
+        if lo is not None:
+            pred = pred & (F.col(name) >= lo)
+        if hi is not None:
+            pred = pred & (F.col(name) <= hi)
+    return scored.filter(pred).select(conv_col)
 
 
 @dataclass
@@ -57,6 +99,7 @@ def build_corpus(
     text_col: str = "text",
     order_tie: Sequence[str] = (),
     sequence_rules: Mapping | None = None,
+    quality_bounds: Mapping[str, tuple] | None = None,
     dedup_threshold: float | None = 0.6,
     dedup_kw: Mapping | None = None,
     redact: bool = True,
@@ -77,7 +120,14 @@ def build_corpus(
     takes :func:`~cerberus_spark.operators.sequence.sequence_summary`
     keyword arguments (first_roles / transitions / contiguous /
     monotone_ts); ``dedup_kw`` forwards to LSH candidate generation
-    (num_perm / bands / bucket_cap).  ``mixture_col`` turns on
+    (num_perm / bands / bucket_cap).  ``quality_bounds`` maps signal
+    names to (min, max) bounds (None = unbounded) evaluated on the
+    CONVERSATION'S concatenated text — ``tokens``, ``quality_score``,
+    and the repetition family by field name (``dup_line_frac``,
+    ``dup_line_char_frac``, ``top{n}gram_char_frac``,
+    ``dup{n}gram_char_frac``); a conversation outside any bound is
+    dropped whole, BEFORE near-dedup (garbage must not become a
+    cluster's kept representative).  ``mixture_col`` turns on
     temperature-flattened domain resampling (share ∝ p^(1/T)) at
     conversation granularity — a conversation's stratum is its
     lowest-``idx_col`` turn's value, so mixed-stratum conversations
@@ -106,10 +156,22 @@ def build_corpus(
             seq_summary.filter(F.col("seq_ok")).select(conv_col),
             conv_col, "left_semi")
 
-    if dedup_threshold is not None:
+    conv_text = None
+    if dedup_threshold is not None or quality_bounds:
         conv_text = T.conversation_text(
             turns, conv_col, text_col,
             order_cols=(idx_col, *order_tie))
+
+    if quality_bounds:
+        ok_quality = _quality_filter(conv_text, conv_col, text_col,
+                                     quality_bounds)
+        turns = turns.join(ok_quality, conv_col, "left_semi")
+        if dedup_threshold is not None:
+            # dedup sees only quality-passing conversations (a garbage
+            # conv must not become a cluster's kept representative)
+            conv_text = conv_text.join(ok_quality, conv_col, "left_semi")
+
+    if dedup_threshold is not None:
         kept = dedup_near(conv_text, conv_col, text_col,
                           threshold=dedup_threshold,
                           **dict(dedup_kw or {}))

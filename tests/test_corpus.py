@@ -178,3 +178,56 @@ def test_mixture_and_split_buckets_are_independent(spark):
     # AND more than one split value among survivors
     assert 0 < len(want) < 303
     assert len(set(want.values())) > 1
+
+
+def test_build_corpus_quality_bounds(spark):
+    rows = [
+        ("good", 0, "system", "a healthy opening line with content"),
+        ("good", 1, "user", "and a normal reply follows here"),
+        # a wall of duplicate lines; the conversation concatenation
+        # joins turns with ' ', so the last one merges with the next
+        # turn's text -> conversation dup_line_frac = 1/3
+        ("repeaty", 0, "system", "same line\nsame line\nsame line"),
+        ("repeaty", 1, "user", "whatever else"),
+        # two tokens total -> under the min-token floor
+        ("tiny", 0, "system", "too short"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    b = build_corpus(
+        df, _SCHEMA, sequence_rules=None, dedup_threshold=None,
+        redact=False,
+        quality_bounds={"tokens": (4, None),
+                        "dup_line_frac": (None, 0.3)})
+    convs = {r.conv_id for r in b.turns.collect()}
+    assert convs == {"good"}
+
+    # unknown signal names fail loudly, not silently pass-through
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown quality signal"):
+        build_corpus(df, _SCHEMA, sequence_rules=None,
+                     dedup_threshold=None, redact=False,
+                     quality_bounds={"nope": (0, 1)})
+
+
+def test_quality_gate_runs_before_dedup(spark):
+    # near-identical pair where the LOWER id fails quality: with the
+    # gate before dedup, the higher-id twin must SURVIVE (the garbage
+    # conv cannot be the cluster's kept representative)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    junk = "x\nx\nx\nx\nx\nx\nx\nx"  # dup_line_frac 7/8
+    rows = [
+        ("aa", 0, "system", base),
+        ("aa", 1, "user", junk),
+        ("bb", 0, "system", base),
+        ("bb", 1, "user", "a clean tail of words here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    b = build_corpus(
+        df, _SCHEMA, sequence_rules=None, dedup_threshold=0.5,
+        redact=False, quality_bounds={"dup_line_frac": (None, 0.3)})
+    convs = {r.conv_id for r in b.turns.collect()}
+    assert convs == {"bb"}
