@@ -48,15 +48,9 @@ __all__ = ["unigram_model", "surprisal_report"]
 _Q = 1_000_000.0
 
 
-def unigram_model(train: DataFrame, text_col: str = "text",
-                  alpha: float = 1.0) -> tuple[DataFrame, DataFrame]:
-    """Train the smoothed unigram model.
-
-    Returns ``(model, stats)``: model = (tok, lp_q6 bigint), stats =
-    one row (total bigint, v bigint, oov_q6 bigint) carrying the
-    out-of-vocab score for foreign corpora."""
-    toks = train.select(F.explode(words(F.col(text_col))).alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+def _model_from_counts(counts: DataFrame,
+                       alpha: float) -> tuple[DataFrame, DataFrame]:
+    """(model, stats) from a (tok, _c) token-count table."""
     stats = counts.agg(
         F.sum("_c").alias("total"), F.count(F.lit(1)).alias("v"))
     denom = F.col("total") + F.lit(alpha) * F.col("v")
@@ -73,6 +67,18 @@ def unigram_model(train: DataFrame, text_col: str = "text",
     return model, stats
 
 
+def unigram_model(train: DataFrame, text_col: str = "text",
+                  alpha: float = 1.0) -> tuple[DataFrame, DataFrame]:
+    """Train the smoothed unigram model.
+
+    Returns ``(model, stats)``: model = (tok, lp_q6 bigint), stats =
+    one row (total bigint, v bigint, oov_q6 bigint) carrying the
+    out-of-vocab score for foreign corpora."""
+    toks = train.select(F.explode(words(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    return _model_from_counts(counts, alpha)
+
+
 def surprisal_report(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      train: DataFrame | None = None,
@@ -82,12 +88,24 @@ def surprisal_report(df: DataFrame, id_col: str = "doc_id",
     ``(id_col, n_tok, surprisal)`` for every input row.  ``train``
     defaults to ``df`` itself (self-scoring — no OOV by
     construction)."""
-    model, stats = unigram_model(train if train is not None else df,
-                                 text_col, alpha)
-    if broadcast_model:
-        model = F.broadcast(model)
     dt = (df.select(id_col, F.explode(words(F.col(text_col))).alias("tok"))
             .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("_n")))
+    if train is None:
+        # self-scoring: the model's token counts are a further
+        # aggregation of dt — NOT a second corpus scan.  dt MUST be
+        # persisted here: it feeds four plan consumers (scoring join,
+        # model counts, and the stats row twice via the cross-joins),
+        # and Catalyst re-expands an unpersisted subtree per consumer —
+        # measured 4 full explode+tokenize passes over the corpus.
+        # The cached table is (id, tok)-distinct counts, far smaller
+        # than the text it replaces, spillable (MEMORY_AND_DISK).
+        dt = dt.persist()
+        counts = dt.groupBy("tok").agg(F.sum("_n").alias("_c"))
+        model, stats = _model_from_counts(counts, alpha)
+    else:
+        model, stats = unigram_model(train, text_col, alpha)
+    if broadcast_model:
+        model = F.broadcast(model)
     scored = (dt.join(model, "tok", "left")
               .crossJoin(F.broadcast(stats.select("oov_q6")))
               .groupBy(id_col)

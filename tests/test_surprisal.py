@@ -99,3 +99,15 @@ def test_surprisal_partitioning_invariant(spark):
     b = {(r.doc_id, r.n_tok, r.surprisal)
          for r in S.surprisal_report(df.repartition(13)).collect()}
     assert a == b
+
+
+def test_self_scoring_single_corpus_tokenization(spark):
+    """Self-scoring derives the model from the persisted per-doc token
+    counts: the explode+tokenize runs once into the cache and every
+    consumer (scoring join, model counts, both stats cross-joins)
+    reads InMemoryTableScan — without the persist, Catalyst re-expands
+    the subtree per consumer (measured 4 full corpus passes)."""
+    df = spark.createDataFrame(_DOCS, "doc_id string, text string")
+    plan = (S.surprisal_report(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert plan.count("InMemoryTableScan") >= 3
