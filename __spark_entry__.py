@@ -743,6 +743,24 @@ def q_contamination_documents(spark, sf_dir):
     )
 
 
+def q_cross_dedup_documents(spark, sf_dir):
+    """Incremental-ingest dedup: docs with doc_id%10 in {0,1,2} play
+    the already-kept reference corpus, the rest the new crawl; verified
+    cross-corpus near-dup pairs at Jaccard ≥ 0.6.  Bipartite banding —
+    new·new and ref·ref pairs never materialize; the DuckDB twin is the
+    EXACT all-bipartite-pairs Jaccard, so a hash match certifies
+    candidate recall 1 on the fixture."""
+    from cerberus_spark.functions import dedup as DD
+
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 < 3)
+    new = docs.filter(F.col("doc_id") % 10 >= 3)
+    pairs = DD.cross_dup_pairs(new, ref, "doc_id", "text",
+                               threshold=0.6)
+    return pairs.select("id_new", "id_ref",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_surprisal_documents(spark, sf_dir):
     """Self-scored unigram surprisal (CCNet's cheap tier): the corpus
     trains its own add-1 unigram model, then every doc gets its mean
@@ -891,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample_documents": q_mixture_resample_documents,
         "corpus_transcripts": q_corpus_transcripts,
         "surprisal_documents": q_surprisal_documents,
+        "cross_dedup_documents": q_cross_dedup_documents,
     }
 
 
@@ -1434,6 +1453,26 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE
 """
 
 
+#: cross-corpus twin: EXACT bipartite shingle Jaccard, ref = doc_id%10
+#: in {0,1,2}, new = the rest — ground truth for the banded cross-LSH
+#: path (a hash match certifies bipartite candidate recall 1 on the
+#: fixture AND bit-exact verification)
+_CROSS_DEDUP_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {{words}} AS ws FROM documents
+), sh AS (
+    SELECT doc_id, {{shingles}} AS s FROM w WHERE len(ws) > 0
+)
+SELECT n.doc_id AS id_new, r.doc_id AS id_ref,
+       round(len(list_intersect(n.s, r.s))::DOUBLE
+             / (len(n.s) + len(r.s) - len(list_intersect(n.s, r.s))), 6)
+         AS jaccard
+FROM sh n JOIN sh r ON n.doc_id % 10 >= 3 AND r.doc_id % 10 < 3
+WHERE len(list_intersect(n.s, r.s))::DOUBLE
+      / (len(n.s) + len(r.s) - len(list_intersect(n.s, r.s))) >= 0.6
+"""
+
+
 # recursive-CTE connected components over the exact pair graph: min
 # reachable id per node; rows whose component root is another id drop
 _NEAR_DEDUP_SQL = f"""
@@ -1829,4 +1868,6 @@ def oracle_sql() -> dict[str, str]:
         "mixture_resample_documents": _MIXTURE_SQL,
         "corpus_transcripts": _corpus_oracle_sql(),
         "surprisal_documents": _SURPRISAL_SQL.format(words=_DUCK_WORDS),
+        "cross_dedup_documents": _CROSS_DEDUP_SQL.format(
+            words=_DUCK_WORDS, shingles=_DUCK_SHINGLES),
     }

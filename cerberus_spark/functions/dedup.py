@@ -423,6 +423,113 @@ def dedup_near(df: DataFrame, id_col: str, text_col: str,
     return df.join(drops, id_col, "left_anti")
 
 
+def cross_dup_pairs(new: DataFrame, ref: DataFrame, id_col: str,
+                    text_col: str, threshold: float = 0.8, k: int = 3,
+                    num_perm: int = 32, bands: int = 8,
+                    bucket_cap: int = 200) -> DataFrame:
+    """Verified near-dup pairs BETWEEN two corpora — (id_new, id_ref,
+    jaccard ≥ threshold) — the incremental-ingest primitive: dedup a
+    new crawl against the corpus already kept, without re-pairing the
+    old corpus with itself.
+
+    Same machinery as :func:`ngram_jaccard_pairs` (Arrow shingles →
+    64-bit pre-hash → banded MinHash buckets → exact matching-hash
+    Jaccard from the SAME persisted relation), with two differences:
+
+    * The in-bucket expansion is the new×ref BIPARTITE product only —
+      new·new and ref·ref pairs never materialize, so the candidate
+      volume is what the ingest actually needs.
+    * ``bucket_cap`` ranks each SIDE of a bucket independently;
+      overflow NEW members still pair with the bucket's first ref
+      member (a new doc is never silently exempted from the check),
+      overflow REF members are dropped (the retained cap already
+      represents that bucket's reference content — same cap trade as
+      the in-corpus path, documented there).
+
+    The two id spaces are independent — ids may collide across
+    corpora; sides are tracked structurally, never by id value.
+    Empty-text policy matches the family: tokenless rows on either
+    side are excluded."""
+    from pyspark import StorageLevel
+
+    nf = new.filter(F.size(words(F.col(text_col))) > 0).select(
+        F.lit(0).alias("_side"), F.col(id_col).alias("_oid"),
+        F.col(text_col).alias("_text"))
+    rf = ref.filter(F.size(words(F.col(text_col))) > 0).select(
+        F.lit(1).alias("_side"), F.col(id_col).alias("_oid"),
+        F.col(text_col).alias("_text"))
+    sh64 = (nf.unionByName(rf)
+            .select("_side", "_oid",
+                    F.explode(shingles_udf(k)(F.col("_text"))).alias("_sh"))
+            .select("_side", "_oid", F.xxhash64("_sh").alias("_sh64"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+
+    rows_per_band = num_perm // bands
+    sig = sh64.groupBy("_side", "_oid").agg(
+        *[F.min(F.xxhash64(F.col("_sh64"), F.lit(i))).alias(f"_h{i}")
+          for i in range(num_perm)])
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"_h{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bhash"))
+        for b in range(bands)])
+    banded = (sig.select("_side", "_oid",
+                         F.explode(band_structs).alias("bb"))
+              .select("_side", "_oid", "bb.band", "bb.bhash"))
+    ranked = banded.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("band", "bhash", "_side").orderBy("_oid")))
+    kept = ranked.filter(F.col("_rn") <= bucket_cap)
+    newb = kept.filter(F.col("_side") == 0).select(
+        "band", "bhash", F.col("_oid").alias("id_new"))
+    refb = kept.filter(F.col("_side") == 1).select(
+        "band", "bhash", F.col("_oid").alias("id_ref"))
+    pairs = newb.join(refb, ["band", "bhash"]).select("id_new", "id_ref")
+    ref_heads = ranked.filter(
+        (F.col("_side") == 1) & (F.col("_rn") == 1)).select(
+        "band", "bhash", F.col("_oid").alias("id_ref"))
+    overflow = (ranked.filter((F.col("_side") == 0)
+                              & (F.col("_rn") > bucket_cap))
+                .select("band", "bhash", F.col("_oid").alias("id_new"))
+                .join(ref_heads, ["band", "bhash"])
+                .select("id_new", "id_ref"))
+    cands = pairs.unionByName(overflow).distinct()
+
+    a = sh64.filter(F.col("_side") == 0).select(
+        F.col("_oid").alias("id_new"), "_sh64")
+    b = sh64.filter(F.col("_side") == 1).select(
+        F.col("_oid").alias("id_ref"), "_sh64")
+    inter = (cands.join(a, "id_new").join(b, ["id_ref", "_sh64"])
+             .groupBy("id_new", "id_ref")
+             .agg(F.count(F.lit(1)).alias("_inter")))
+    sizes = sh64.groupBy("_side", "_oid").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.filter(F.col("_side") == 0).select(
+        F.col("_oid").alias("id_new"), F.col("n").alias("_na"))
+    nb = sizes.filter(F.col("_side") == 1).select(
+        F.col("_oid").alias("id_ref"), F.col("n").alias("_nb"))
+    return (inter.join(na, "id_new").join(nb, "id_ref")
+            .select("id_new", "id_ref",
+                    (F.col("_inter")
+                     / (F.col("_na") + F.col("_nb") - F.col("_inter")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def dedup_against(new: DataFrame, ref: DataFrame, id_col: str,
+                  text_col: str, threshold: float = 0.8,
+                  **lsh_kw) -> DataFrame:
+    """Incremental ingest dedup: the NEW rows that are near-duplicates
+    of nothing in the reference corpus.  One left-anti join of the new
+    frame against the (tiny) matched-id list; the reference corpus is
+    read, never modified, and never self-paired.  Tokenless new rows
+    pass through untouched (no evidence ⇒ no drop)."""
+    matched = (cross_dup_pairs(new, ref, id_col, text_col,
+                               threshold=threshold, **lsh_kw)
+               .select(F.col("id_new").alias(id_col)).distinct())
+    return new.join(matched, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
