@@ -49,7 +49,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["ngrams_strict_udf", "contamination_report",
-           "contamination_report_broadcast", "decontaminate"]
+           "contamination_report_broadcast", "collect_benchmark_grams",
+           "decontaminate"]
 
 _WS_RE = re.compile(r"\s+", re.ASCII)
 
@@ -141,14 +142,26 @@ def contamination_report(
                 .alias("contaminated")))
 
 
+def collect_benchmark_grams(bench: DataFrame, text_col: str = "text",
+                            n: int = 8) -> set:
+    """Driver-side distinct gram strings of the eval set — collect ONCE
+    and reuse across batches/streams via
+    ``contamination_report_broadcast(grams_set=...)``."""
+    return set(
+        r[0] for r in
+        bench.select(F.explode(ngrams_strict_udf(n)(F.col(text_col)))
+                     .alias("g")).distinct().collect())
+
+
 def contamination_report_broadcast(
     df: DataFrame,
-    bench: DataFrame,
+    bench: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str | None = None,
     n: int = 8,
     min_matches: int = 1,
+    grams_set: set | None = None,
 ) -> DataFrame:
     """Shuffle-free variant of :func:`contamination_report`: the
     benchmark's distinct gram STRINGS are collected once and shipped
@@ -162,14 +175,15 @@ def contamination_report_broadcast(
     stateless it is the STREAMING form: append-mode safe on a
     readStream frame, where the join+groupBy of the batch form would
     demand watermarked aggregation.  The driver-side collect is of the
-    BENCHMARK only, never the corpus."""
-    sc = df.sparkSession.sparkContext
-    grams = ngrams_strict_udf(n)
-    bset = set(
-        r[0] for r in
-        bench.select(F.explode(grams(F.col(bench_text_col or text_col)))
-                     .alias("g")).distinct().collect())
-    bc = sc.broadcast(bset)
+    BENCHMARK only, never the corpus; pass ``grams_set``
+    (:func:`collect_benchmark_grams`) to skip even that — e.g. once per
+    stream instead of once per micro-batch."""
+    if grams_set is None:
+        if bench is None:
+            raise ValueError("pass either bench or grams_set")
+        grams_set = collect_benchmark_grams(
+            bench, bench_text_col or text_col, n)
+    bc = df.sparkSession.sparkContext.broadcast(grams_set)
 
     @F.pandas_udf(T.StructType([
         T.StructField("n_ngrams", T.IntegerType()),

@@ -391,3 +391,77 @@ def drift_foreach_batch(out_dir: str, specs: list | None = None,
             f"{out_dir}/drift_metrics/epoch={epoch_id}")
 
     return _run
+
+
+def corpus_ingest_foreach_batch(
+    out_dir: str,
+    bench: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    validator: SparkValidator | None = None,
+    quality_bounds: dict | None = None,
+    contamination_n: int = 8,
+    min_matches: int = 1,
+    dedup_threshold: float | None = 0.8,
+    dedup_kw: dict | None = None,
+):
+    """Streaming corpus ingest: every micro-batch of new documents runs
+    the full acceptance gate — rule validation, benchmark
+    decontamination, quality bounds, within-batch near-dedup, and
+    near-dedup AGAINST EVERYTHING ALREADY KEPT — and the survivors are
+    appended to the corpus, which is itself the dedup reference for
+    every later batch.
+
+    Statelessness/state split mirrors ``dataset_checks_foreach_batch``:
+
+    * The eval set's grams are collected ONCE here (wiring time), not
+      per batch, and probed via the zero-exchange broadcast UDF.
+    * The kept-corpus "store" is the OUTPUT itself —
+      ``{out_dir}/corpus/epoch=N`` parquet; the cross-batch reference
+      reads ``epoch < current`` (partition-pruned), so a retried epoch
+      never dedups against its own half-committed write.  State lives
+      on disk as bucketable parquet, never in executor memory — the
+      reference join is dedup_against's bipartite LSH, so a 10^12-doc
+      corpus is a shuffle problem, not a memory problem.
+    * Idempotent: each epoch overwrites exactly its own partition.
+    """
+    from ..corpus import _quality_filter
+    from ..functions.decontam import (collect_benchmark_grams,
+                                      contamination_report_broadcast)
+    from ..functions.dedup import dedup_against, dedup_near
+    from ..plans.checkpoint import fs_exists
+
+    grams_set = (collect_benchmark_grams(bench, text_col, contamination_n)
+                 if bench is not None else None)
+    corpus_path = f"{out_dir}/corpus"
+
+    def _run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        df = batch_df
+        if validator is not None:
+            df = (validator.annotate(df).filter(F.col("passed"))
+                  .drop("violations", "passed"))
+        if grams_set is not None:
+            rep = contamination_report_broadcast(
+                df, id_col=id_col, text_col=text_col, n=contamination_n,
+                min_matches=min_matches, grams_set=grams_set)
+            df = df.join(rep.filter("contaminated").select(id_col),
+                         id_col, "left_anti")
+        if quality_bounds:
+            ok = _quality_filter(df.select(id_col, text_col), id_col,
+                                 text_col, quality_bounds)
+            df = df.join(ok, id_col, "left_semi")
+        if dedup_threshold is not None:
+            df = dedup_near(df, id_col, text_col,
+                            threshold=dedup_threshold,
+                            **dict(dedup_kw or {}))
+            if fs_exists(spark, corpus_path):
+                ref = (spark.read.parquet(corpus_path)
+                       .filter(F.col("epoch") < epoch_id))
+                df = dedup_against(df, ref, id_col, text_col,
+                                   threshold=dedup_threshold,
+                                   **dict(dedup_kw or {}))
+        (df.write.mode("overwrite")
+         .parquet(f"{corpus_path}/epoch={epoch_id}"))
+
+    return _run

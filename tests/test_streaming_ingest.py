@@ -1,0 +1,101 @@
+"""Streaming corpus ingest (streaming/validate_stream.py:
+corpus_ingest_foreach_batch): the full acceptance gate per micro-batch
+with the kept corpus as its own cross-batch dedup reference."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from cerberus_spark.streaming.validate_stream import (
+    corpus_ingest_foreach_batch,
+)
+
+_SCHEMA = {
+    "doc_id": {"type": "string", "required": True},
+    "lang": {"type": "string", "allowed": ["en"]},
+    "text": {"type": "string"},
+}
+
+_BASE = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon")
+_EVAL = "the held out benchmark sentence nobody may train on"
+
+_FILE1 = [
+    ("docA", "en", _BASE),
+    # near-dup of docA in the SAME batch -> within-batch dedup keeps
+    # the min id (docA)
+    ("docB", "en", _BASE + " extra tail"),
+    # 2 tokens -> under the quality floor
+    ("docC", "en", "too short"),
+    # embeds the eval sentence -> decontamination gate
+    ("docD", "en", "padding words then " + _EVAL + " and more padding"),
+]
+_FILE2 = [
+    # near-dup of the ALREADY-KEPT docA -> cross-batch dedup_against
+    ("docE", "en", _BASE + " other tail"),
+    # clean and unique -> kept
+    ("docF", "en", "a genuinely fresh document with plenty of new "
+                   "content words to shingle properly"),
+    # rule violation (lang outside allowed)
+    ("docG", "xx", "language gate should remove this row entirely"),
+]
+
+
+def test_corpus_ingest_two_batches(spark, tmp_path):
+    from cerberus_spark import SparkValidator
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ddl = "doc_id string, lang string, text string"
+    spark.createDataFrame(_FILE1, ddl).coalesce(1) \
+        .write.mode("append").parquet(src)
+    time.sleep(1.2)  # distinct mod-times -> deterministic batch order
+    spark.createDataFrame(_FILE2, ddl).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    bench = spark.createDataFrame([(_EVAL,)], "text string")
+    v = SparkValidator(_SCHEMA, key_cols=("doc_id",))
+    cb = corpus_ingest_foreach_batch(
+        out, bench=bench, id_col="doc_id", text_col="text",
+        validator=v, quality_bounds={"tokens": (3, None)},
+        contamination_n=5, dedup_threshold=0.6)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream.writeStream.foreachBatch(cb).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = spark.read.parquet(f"{out}/corpus")
+    ids = {r.doc_id for r in kept.collect()}
+    # exactly one of the near-dup family {A, B, E} survives; C (quality),
+    # D (contaminated), G (rule) never land; F always lands
+    assert len(ids & {"docA", "docB", "docE"}) == 1
+    assert ids & {"docC", "docD", "docG"} == set()
+    assert "docF" in ids
+    # epochs are the partition column of the corpus itself
+    assert {r.epoch for r in kept.select("epoch").distinct().collect()} \
+        == {0, 1}
+
+
+def test_corpus_ingest_epoch_retry_is_idempotent(spark, tmp_path):
+    """Re-running an epoch callback overwrites its own partition and
+    does not dedup against its own half-committed write."""
+    out = str(tmp_path / "out")
+    cb = corpus_ingest_foreach_batch(
+        out, id_col="doc_id", text_col="text", dedup_threshold=0.6)
+    ddl = "doc_id string, text string"
+    b0 = spark.createDataFrame([("a", _BASE)], ddl)
+    cb(b0, 0)
+    # retry epoch 0: the doc must survive (not self-deduped), once
+    cb(b0, 0)
+    kept = spark.read.parquet(f"{out}/corpus")
+    assert [r.doc_id for r in kept.collect()] == ["a"]
+    # a later epoch WITH a near-dup of epoch 0's doc drops it
+    b1 = spark.createDataFrame([("z", _BASE + " tail")], ddl)
+    cb(b1, 1)
+    assert {r.doc_id for r in
+            spark.read.parquet(f"{out}/corpus").collect()} == {"a"}
