@@ -404,6 +404,7 @@ def corpus_ingest_foreach_batch(
     min_matches: int = 1,
     dedup_threshold: float | None = 0.8,
     dedup_kw: dict | None = None,
+    record_stats: bool = True,
 ):
     """Streaming corpus ingest: every micro-batch of new documents runs
     the full acceptance gate — rule validation, benchmark
@@ -424,6 +425,12 @@ def corpus_ingest_foreach_batch(
       reference join is dedup_against's bipartite LSH, so a 10^12-doc
       corpus is a shuffle problem, not a memory problem.
     * Idempotent: each epoch overwrites exactly its own partition.
+    * ``record_stats`` writes a one-row funnel per epoch
+      (``{out_dir}/ingest_stats/epoch=N``: n_in → n_valid → n_clean →
+      n_quality → n_unique → n_kept) — the acceptance-rate time series
+      an ingest operator actually watches.  Each gate's frame is
+      persisted before counting so the funnel never re-runs a dedup
+      pass.
     """
     from ..corpus import _quality_filter
     from ..functions.decontam import (collect_benchmark_grams,
@@ -437,31 +444,51 @@ def corpus_ingest_foreach_batch(
 
     def _run(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        df = batch_df
+        pinned, funnel = [], {}
+
+        def gate(df, name):
+            # pin each gate's output so funnel counts and the next
+            # stage never re-run the (possibly dedup-sized) lineage
+            if record_stats:
+                df = df.persist()
+                pinned.append(df)
+                funnel[name] = df.count()
+            return df
+
+        df = gate(batch_df, "n_in")
         if validator is not None:
-            df = (validator.annotate(df).filter(F.col("passed"))
-                  .drop("violations", "passed"))
+            df = gate(validator.annotate(df).filter(F.col("passed"))
+                      .drop("violations", "passed"), "n_valid")
         if grams_set is not None:
             rep = contamination_report_broadcast(
                 df, id_col=id_col, text_col=text_col, n=contamination_n,
                 min_matches=min_matches, grams_set=grams_set)
-            df = df.join(rep.filter("contaminated").select(id_col),
-                         id_col, "left_anti")
+            df = gate(df.join(rep.filter("contaminated").select(id_col),
+                              id_col, "left_anti"), "n_clean")
         if quality_bounds:
             ok = _quality_filter(df.select(id_col, text_col), id_col,
                                  text_col, quality_bounds)
-            df = df.join(ok, id_col, "left_semi")
+            df = gate(df.join(ok, id_col, "left_semi"), "n_quality")
         if dedup_threshold is not None:
-            df = dedup_near(df, id_col, text_col,
-                            threshold=dedup_threshold,
-                            **dict(dedup_kw or {}))
+            df = gate(dedup_near(df, id_col, text_col,
+                                 threshold=dedup_threshold,
+                                 **dict(dedup_kw or {})), "n_unique")
             if fs_exists(spark, corpus_path):
                 ref = (spark.read.parquet(corpus_path)
                        .filter(F.col("epoch") < epoch_id))
                 df = dedup_against(df, ref, id_col, text_col,
                                    threshold=dedup_threshold,
                                    **dict(dedup_kw or {}))
+        df = gate(df, "n_kept")
         (df.write.mode("overwrite")
          .parquet(f"{corpus_path}/epoch={epoch_id}"))
+        if record_stats:
+            (spark.createDataFrame(
+                [tuple(funnel.values())],
+                ", ".join(f"{k} long" for k in funnel))
+             .write.mode("overwrite")
+             .parquet(f"{out_dir}/ingest_stats/epoch={epoch_id}"))
+        for p in pinned:
+            p.unpersist()
 
     return _run

@@ -99,3 +99,29 @@ def test_corpus_ingest_epoch_retry_is_idempotent(spark, tmp_path):
     cb(b1, 1)
     assert {r.doc_id for r in
             spark.read.parquet(f"{out}/corpus").collect()} == {"a"}
+
+
+def test_corpus_ingest_funnel_stats(spark, tmp_path):
+    from cerberus_spark import SparkValidator
+
+    out = str(tmp_path / "out")
+    bench = spark.createDataFrame([(_EVAL,)], "text string")
+    v = SparkValidator(_SCHEMA, key_cols=("doc_id",))
+    cb = corpus_ingest_foreach_batch(
+        out, bench=bench, id_col="doc_id", text_col="text",
+        validator=v, quality_bounds={"tokens": (3, None)},
+        contamination_n=5, dedup_threshold=0.6)
+    ddl = "doc_id string, lang string, text string"
+    cb(spark.createDataFrame(_FILE1, ddl), 0)
+    cb(spark.createDataFrame(_FILE2, ddl), 1)
+
+    stats = {r.epoch: r.asDict() for r in
+             spark.read.parquet(f"{out}/ingest_stats").collect()}
+    # epoch 0: 4 in, all valid, docD contaminated, docC quality,
+    # docB within-batch dup -> 1 kept
+    assert stats[0]["n_in"] == 4 and stats[0]["n_valid"] == 4
+    assert stats[0]["n_clean"] == 3 and stats[0]["n_quality"] == 2
+    assert stats[0]["n_unique"] == 1 and stats[0]["n_kept"] == 1
+    # epoch 1: 3 in, docG invalid, docE cross-batch dup -> 1 kept
+    assert stats[1]["n_in"] == 3 and stats[1]["n_valid"] == 2
+    assert stats[1]["n_unique"] == 2 and stats[1]["n_kept"] == 1
