@@ -616,6 +616,78 @@ def embedding_near_dups(df: DataFrame, id_col: str, emb_col: str,
     )
 
 
+def embedding_dups_against(new: DataFrame, ref: DataFrame, id_col: str,
+                           emb_col: str, threshold: float = 0.95,
+                           n_bits: int = 12, n_tables: int = 4,
+                           seed: int = 42, bucket_cap: int = 200,
+                           dim: int | None = None) -> DataFrame:
+    """Cross-corpus embedding near-dups — (id_new, id_ref, cosine ≥
+    threshold): the semantic-similarity twin of :func:`cross_dup_pairs`
+    for incremental ingest.  Same hyperplane-LSH tables as
+    :func:`embedding_near_dups` (identical seed ⇒ both corpora hash
+    into the SAME buckets), but the in-bucket expansion is the new×ref
+    bipartite product only; ``bucket_cap`` ranks each side separately
+    and overflow NEW members still pair with the bucket's ref head.
+    Id spaces are independent across corpora."""
+    from .similarity import (
+        LSH_PLAN_LITERAL_BUDGET, cosine, hyperplanes, lsh_bucket,
+        lsh_buckets_udf,
+    )
+
+    if dim is None:
+        probe = new.select(emb_col).first()
+        if probe is None or probe[0] is None:
+            id_type = dict(new.dtypes)[id_col]
+            return new.sparkSession.createDataFrame(
+                [], f"id_new {id_type}, id_ref {id_type}, cosine double")
+        dim = len(probe[0])
+    planes = [hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
+
+    def banded(df, side):
+        if dim * n_bits * n_tables <= LSH_PLAN_LITERAL_BUDGET:
+            tables = F.array(*[
+                F.struct(F.lit(t).alias("tbl"),
+                         lsh_bucket(F.col(emb_col), planes[t]).alias("bkt"))
+                for t in range(n_tables)])
+        else:
+            bkts = lsh_buckets_udf(planes)(F.col(emb_col))
+            tables = F.transform(
+                bkts, lambda b, i: F.struct(i.alias("tbl"), b.alias("bkt")))
+        return (df.select(F.lit(side).alias("_side"),
+                          F.col(id_col).alias("_oid"), tables.alias("_ts"))
+                .select("_side", "_oid", F.explode("_ts").alias("tb"))
+                .select("_side", "_oid", "tb.tbl", "tb.bkt"))
+
+    both = banded(new, 0).unionByName(banded(ref, 1))
+    ranked = both.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("tbl", "bkt", "_side").orderBy("_oid")))
+    kept = ranked.filter(F.col("_rn") <= bucket_cap)
+    newb = kept.filter(F.col("_side") == 0).select(
+        "tbl", "bkt", F.col("_oid").alias("id_new"))
+    refb = kept.filter(F.col("_side") == 1).select(
+        "tbl", "bkt", F.col("_oid").alias("id_ref"))
+    pairs = newb.join(refb, ["tbl", "bkt"]).select("id_new", "id_ref")
+    ref_heads = ranked.filter(
+        (F.col("_side") == 1) & (F.col("_rn") == 1)).select(
+        "tbl", "bkt", F.col("_oid").alias("id_ref"))
+    overflow = (ranked.filter((F.col("_side") == 0)
+                              & (F.col("_rn") > bucket_cap))
+                .select("tbl", "bkt", F.col("_oid").alias("id_new"))
+                .join(ref_heads, ["tbl", "bkt"])
+                .select("id_new", "id_ref"))
+    cand = pairs.unionByName(overflow).distinct()
+
+    ea = new.select(F.col(id_col).alias("id_new"),
+                    F.col(emb_col).alias("_emb_n"))
+    eb = ref.select(F.col(id_col).alias("id_ref"),
+                    F.col(emb_col).alias("_emb_r"))
+    return (cand.join(ea, "id_new").join(eb, "id_ref")
+            .withColumn("cos", cosine(F.col("_emb_n"), F.col("_emb_r")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_new", "id_ref", F.col("cos").alias("cosine")))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -110,3 +110,80 @@ def test_overflow_new_members_still_checked(spark):
     kept = D.dedup_against(new, ref, "doc_id", "text",
                            threshold=0.9, bucket_cap=5)
     assert kept.count() == 0
+
+
+def test_embedding_dups_against_planted(spark):
+    import math
+
+    from cerberus_spark.functions.dedup import embedding_dups_against
+
+    dim = 16
+
+    def vec(seed):
+        # deterministic, mutually distant unit-ish vectors
+        return [math.sin(seed * 31 + j * 7) for j in range(dim)]
+
+    ref_rows = [(i, vec(i)) for i in range(8)]
+    new_rows = [
+        # near-copy of ref 3 -> pair
+        (100, [x + 0.01 for x in vec(3)]),
+        # distant -> no pair
+        (101, vec(50)),
+        # near-copy of another NEW row -> bipartite: no pair emitted
+        (102, vec(60)),
+        (103, [x + 0.005 for x in vec(60)]),
+    ]
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)
+                             * sum(x * x for x in b))
+
+    # ground truth by brute force (sin-derived vectors can coincide)
+    want = {(ni, ri) for ni, nv in new_rows for ri, rv in ref_rows
+            if cos(nv, rv) >= 0.99}
+    assert (100, 3) in want  # the planted pair is real
+
+    new = spark.createDataFrame(new_rows, "vec_id long, emb array<double>")
+    ref = spark.createDataFrame(ref_rows, "vec_id long, emb array<double>")
+    pairs = {(r.id_new, r.id_ref) for r in embedding_dups_against(
+        new, ref, "vec_id", "emb", threshold=0.99, dim=dim,
+        n_bits=8, n_tables=6).collect()}
+    assert pairs == want
+    # bipartite: the 102~103 new-new near-copy never surfaces
+    assert not any(a in (102, 103) and b in (102, 103) for a, b in pairs)
+
+
+def test_embedding_dups_against_exact_bruteforce(spark):
+    import math
+    import random
+
+    from cerberus_spark.functions.dedup import embedding_dups_against
+
+    rng = random.Random(77)
+    dim = 12
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    ref_rows = [(i, vec()) for i in range(12)]
+    new_rows = [(i, vec()) for i in range(12)]  # overlapping id space
+    for t in range(3):  # plant cross near-dups
+        v = ref_rows[t][1]
+        new_rows[t] = (200 + t, [x + rng.gauss(0, 0.01) for x in v])
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    want = {(ni, ri) for ni, nv in new_rows for ri, rv in ref_rows
+            if cos(nv, rv) >= 0.98}
+    new = spark.createDataFrame(new_rows, "vec_id long, emb array<double>")
+    ref = spark.createDataFrame(ref_rows, "vec_id long, emb array<double>")
+    got = {(r.id_new, r.id_ref) for r in embedding_dups_against(
+        new, ref, "vec_id", "emb", threshold=0.98, dim=dim,
+        n_bits=8, n_tables=8).collect()}
+    # precision exact; recall = 1-(1-p^8)^8 with p = 1-theta/pi ~ .96
+    # at cosine .98 -> ~1.0 on the planted pairs
+    assert got == want
