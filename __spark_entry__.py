@@ -743,6 +743,27 @@ def q_contamination_documents(spark, sf_dir):
     )
 
 
+def q_cross_embedding_dups(spark, sf_dir):
+    """Semantic incremental ingest: the planted near-copies of the
+    first 10 vectors play the new batch, the whole embeddings table
+    the kept corpus; bipartite hyperplane-LSH buckets (shared seed ⇒
+    same buckets both sides) + exact cosine verify.  The DuckDB twin
+    is the EXACT all-bipartite-pairs cosine."""
+    from cerberus_spark.functions.dedup import embedding_dups_against
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    new = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.zip_with("embedding", F.reverse("embedding"),
+                   lambda x, r: x + 0.05 * r).alias("embedding"))
+    pairs = embedding_dups_against(new, emb, "vec_id", "embedding",
+                                   threshold=0.95, dim=64)
+    return pairs.select("id_new", "id_ref",
+                        F.round("cosine", 4).alias("cosine"))
+
+
 def q_cross_dedup_documents(spark, sf_dir):
     """Incremental-ingest dedup: docs with doc_id%10 in {0,1,2} play
     the already-kept reference corpus, the rest the new crawl; verified
@@ -910,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_transcripts": q_corpus_transcripts,
         "surprisal_documents": q_surprisal_documents,
         "cross_dedup_documents": q_cross_dedup_documents,
+        "cross_embedding_dups": q_cross_embedding_dups,
     }
 
 
@@ -1509,6 +1531,22 @@ FROM allv a JOIN allv b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.95
 """
 
+#: cross-corpus embedding twin: ref = the embeddings table, new = the
+#: derived near-copies of vec_id<10 — EXACT all-bipartite-pairs cosine
+_CROSS_EMBEDDING_SQL = """
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), newv AS (
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(range(len(e)), i -> e[i + 1] + 0.05 * e[len(e) - i]) AS e
+    FROM base WHERE vec_id < 10
+)
+SELECT n.vec_id AS id_new, r.vec_id AS id_ref,
+       round(list_cosine_similarity(n.e, r.e), 4) AS cosine
+FROM newv n JOIN base r ON true
+WHERE list_cosine_similarity(n.e, r.e) >= 0.95
+"""
+
 _LSH_TOPK_PLANTED_SQL = """
 WITH base AS (
     SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
@@ -1870,4 +1908,5 @@ def oracle_sql() -> dict[str, str]:
         "surprisal_documents": _SURPRISAL_SQL.format(words=_DUCK_WORDS),
         "cross_dedup_documents": _CROSS_DEDUP_SQL.format(
             words=_DUCK_WORDS, shingles=_DUCK_SHINGLES),
+        "cross_embedding_dups": _CROSS_EMBEDDING_SQL,
     }
