@@ -743,6 +743,20 @@ def q_contamination_documents(spark, sf_dir):
     )
 
 
+def q_excise_documents(spark, sf_dir):
+    """Span-level decontamination over the same mod-50 eval split as
+    contamination_documents: matched 3-gram windows are EXCISED
+    (positional coverage — overlaps never double-count), the rest of
+    the document survives with original word forms.  Zero exchanges
+    (broadcast gram set probed in one Arrow projection)."""
+    from cerberus_spark.functions import decontam as DC
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return DC.excise_contamination(corpus, bench, "doc_id", "text", n=3)
+
+
 def q_cross_embedding_dups(spark, sf_dir):
     """Semantic incremental ingest: the planted near-copies of the
     first 10 vectors play the new batch, the whole embeddings table
@@ -932,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surprisal_documents": q_surprisal_documents,
         "cross_dedup_documents": q_cross_dedup_documents,
         "cross_embedding_dups": q_cross_embedding_dups,
+        "excise_documents": q_excise_documents,
     }
 
 
@@ -1387,6 +1402,45 @@ sc AS (SELECT doc_id, sum(lp * n) AS sq, sum(n) AS n_tok
 SELECT w.doc_id, coalesce(sc.n_tok, 0)::BIGINT AS n_tok,
        coalesce((-sc.sq) / sc.n_tok / 1000000.0, 0.0)::DOUBLE AS surprisal
 FROM w LEFT JOIN sc USING (doc_id)
+"""
+
+#: excision twin: positions of matched lowercase 3-grams expand to
+#: covered word indexes (distinct — overlaps counted once); the clean
+#: text re-joins the UNCOVERED original-case words in order
+_EXCISE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(
+             regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g'),
+             '\\s+'), x -> length(x) > 0) AS ws
+  FROM documents WHERE doc_id % 50 <> 0),
+bw AS (SELECT doc_id, ws, list_transform(ws, x -> lower(x)) AS wl FROM b),
+bgr AS (SELECT DISTINCT unnest(grams) AS gg FROM (
+  SELECT CASE WHEN len(ws) >= 3
+              THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+              ELSE [] END AS grams
+  FROM (SELECT {_DUCK_WORDS} AS ws FROM documents WHERE doc_id % 50 = 0))),
+pos AS (SELECT doc_id, i,
+               wl[i] || ' ' || wl[i + 1] || ' ' || wl[i + 2] AS g
+        FROM (SELECT doc_id, wl, unnest(range(1, len(wl) - 1)) AS i
+              FROM bw)),
+m AS (SELECT doc_id, i FROM pos JOIN bgr ON pos.g = bgr.gg),
+cov AS (SELECT DISTINCT m.doc_id, m.i + o.u AS j
+        FROM m CROSS JOIN (SELECT unnest(range(0, 3)) AS u) o),
+wrd AS (SELECT doc_id, j, ws[j] AS w
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS j
+              FROM bw)),
+kept AS (SELECT w.doc_id, string_agg(w.w, ' ' ORDER BY w.j) AS clean
+         FROM wrd w LEFT JOIN cov c
+           ON c.doc_id = w.doc_id AND c.j = w.j
+         WHERE c.j IS NULL GROUP BY w.doc_id),
+nrm AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+SELECT b.doc_id,
+       CASE WHEN b.text IS NULL THEN NULL
+            ELSE coalesce(k.clean, '') END AS text_clean,
+       coalesce(n.n_removed, 0)::INT AS n_removed
+FROM b LEFT JOIN kept k USING (doc_id) LEFT JOIN nrm n USING (doc_id)
 """
 
 #: decontamination twin: strict word 3-grams (no short-text fallback —
@@ -1909,4 +1963,5 @@ def oracle_sql() -> dict[str, str]:
         "cross_dedup_documents": _CROSS_DEDUP_SQL.format(
             words=_DUCK_WORDS, shingles=_DUCK_SHINGLES),
         "cross_embedding_dups": _CROSS_EMBEDDING_SQL,
+        "excise_documents": _EXCISE_SQL,
     }

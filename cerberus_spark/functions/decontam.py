@@ -50,7 +50,7 @@ from pyspark.sql import types as T
 
 __all__ = ["ngrams_strict_udf", "contamination_report",
            "contamination_report_broadcast", "collect_benchmark_grams",
-           "decontaminate"]
+           "excise_contamination", "decontaminate"]
 
 _WS_RE = re.compile(r"\s+", re.ASCII)
 
@@ -205,6 +205,68 @@ def contamination_report_broadcast(
     return out.select(
         id_col, "_c.n_ngrams", "_c.n_matched",
         (F.col("_c.n_matched") >= min_matches).alias("contaminated"))
+
+
+def excise_contamination(
+    df: DataFrame,
+    bench: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    grams_set: set | None = None,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping a contaminated
+    document, remove exactly the words covered by benchmark-matching
+    n-grams and keep the rest — the span-level policy most production
+    pipelines prefer (dropping a 50k-word doc over one quoted eval
+    sentence wastes the other 49,990 words).
+
+    Returns every input row as ``(id_col, out_col, n_removed)``:
+    ``out_col`` is the original-case words NOT covered by any matched
+    n-gram, re-joined with single spaces (whitespace is normalized —
+    the output is tokenizer-bound text, not a byte-preserving edit);
+    overlapping matched windows never double-count (positional
+    coverage, same construction as repetition's dup-gram fraction).
+    Matching is on the engine's lowercased tokens; the REBUILD keeps
+    each surviving word's original form.  NULL text stays NULL.
+
+    Scale: same zero-exchange shape as
+    :func:`contamination_report_broadcast` — one Arrow projection
+    probing the broadcast gram set; ``grams_set`` skips the per-call
+    benchmark collect."""
+    if grams_set is None:
+        if bench is None:
+            raise ValueError("pass either bench or grams_set")
+        grams_set = collect_benchmark_grams(
+            bench, bench_text_col or text_col, n)
+    bc = df.sparkSession.sparkContext.broadcast(grams_set)
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("clean", T.StringType()),
+        T.StructField("n_removed", T.IntegerType())]))
+    def _excise(s: pd.Series) -> pd.DataFrame:
+        bg = bc.value
+        rows = []
+        for t in s:
+            if t is None:
+                rows.append((None, 0))
+                continue
+            ws = [w for w in _WS_RE.split(t.strip()) if w]
+            lc = [w.lower() for w in ws]
+            covered = [False] * len(ws)
+            for i in range(len(lc) - n + 1):
+                if " ".join(lc[i:i + n]) in bg:
+                    for j in range(i, i + n):
+                        covered[j] = True
+            kept = [w for w, c in zip(ws, covered) if not c]
+            rows.append((" ".join(kept), sum(covered)))
+        return pd.DataFrame(rows, columns=["clean", "n_removed"])
+
+    out = df.select(id_col, _excise(F.col(text_col)).alias("_e"))
+    return out.select(id_col, F.col("_e.clean").alias(out_col),
+                      "_e.n_removed")
 
 
 def decontaminate(

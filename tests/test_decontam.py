@@ -136,3 +136,53 @@ def test_contamination_streaming_append(spark, tmp_path):
                        "d4": True, "d5": False, "d6": False}
     finally:
         q.stop()
+
+
+def _ref_excise(t, bg, n):
+    if t is None:
+        return (None, 0)
+    ws = [w for w in _WS.split(t.strip()) if w]
+    lc = [w.lower() for w in ws]
+    cov = [False] * len(ws)
+    for i in range(len(lc) - n + 1):
+        if " ".join(lc[i:i + n]) in bg:
+            for j in range(i, i + n):
+                cov[j] = True
+    return (" ".join(w for w, c in zip(ws, cov) if not c), sum(cov))
+
+
+def test_excise_contamination_planted(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id string, text string")
+    bench = spark.createDataFrame(_BENCH, "doc_id string, text string")
+    got = {r.doc_id: (r.text_clean, r.n_removed) for r in
+           D.excise_contamination(docs, bench, n=5).collect()}
+    # d1: the embedded b1 sentence (9 words) is excised, case kept
+    assert got["d1"] == ("intro words then and a tail", 9)
+    # d2/d3/d5: untouched (whitespace-normalized)
+    assert got["d2"] == (_DOCS[1][1], 0)
+    assert got["d5"] == ("tiny doc", 0)
+    # d4: the b2 hit goes, original casing of survivors kept
+    assert got["d4"] == ("thanks", 8)
+    # null stays null
+    assert got["d6"] == (None, 0)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_excise_fuzz_vs_python(spark, seed):
+    rng = random.Random(9300 + seed)
+    vocab = [f"w{i}" for i in range(10)]
+    n = rng.choice([2, 3])
+
+    def sentence(k_hi=18):
+        return " ".join(rng.choices(vocab, k=rng.randrange(0, k_hi)))
+
+    bench_rows = [(f"b{i}", sentence(8)) for i in range(5)]
+    doc_rows = [(f"d{i}", None if rng.random() < 0.1 else sentence())
+                for i in range(40)]
+    bg = set().union(*(_ref_grams(t, n) for _, t in bench_rows))
+    want = {i: _ref_excise(t, bg, n) for i, t in doc_rows}
+    docs = spark.createDataFrame(doc_rows, "doc_id string, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id string, text string")
+    got = {r.doc_id: (r.text_clean, r.n_removed) for r in
+           D.excise_contamination(docs, bench, n=n).collect()}
+    assert got == want, f"seed={seed} n={n}"
