@@ -24,7 +24,9 @@ Scale shape (the part that matters at 100 TB)
   ``F.broadcast`` to every executor — the corpus NEVER shuffles on
   n-gram: the join is a map-side broadcast hash semi-probe that
   pipelines into the corpus scan.
-* Join keys are ``xxhash64`` of the n-gram string, not the string —
+* Join keys are a 64-bit hash of the n-gram string (blake2b-8,
+  computed in the same Arrow pass that builds the grams), not the
+  string —
   8 bytes per probe instead of ~8·word_len, and the broadcast table
   is a long hash set.  At 10^12 corpus n-grams the 64-bit birthday
   term contributes ~1e-8 false-match probability per document —
@@ -45,66 +47,102 @@ from __future__ import annotations
 import re
 
 import pandas as pd
+from pyspark import Broadcast
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["ngrams_strict_udf", "contamination_report",
+__all__ = ["ngrams_strict_udf", "ngram_hashes_udf",
+           "contamination_report",
            "contamination_report_broadcast", "collect_benchmark_grams",
            "excise_contamination", "decontaminate"]
 
 _WS_RE = re.compile(r"\s+", re.ASCII)
+#: ASCII edge-strip — Python's str.strip() is unicode-wide and would
+#: diverge from the engine tokenization spec (same caveat as
+#: dedup.shingles_udf) on e.g. NBSP-edged text
+_EDGE_RE = re.compile(r"^\s+|\s+$", re.ASCII)
+
+
+def _words(t: str) -> list[str]:
+    """The engine tokenization (functions/text.words) in Python:
+    ASCII edge-strip, ASCII ``\\s+`` split, drop empties."""
+    return [w for w in _WS_RE.split(_EDGE_RE.sub("", t)) if w]
+
+
+def _grams_of(t: str | None, n: int) -> list[str]:
+    if t is None:
+        return []
+    ws = _words(t.lower())
+    if len(ws) < n:
+        return []
+    return list(dict.fromkeys(
+        " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)))
+
+
+def _gram_hash(g: str) -> int:
+    """64-bit gram hash (blake2b-8) — the join key both corpus and
+    benchmark sides share.  Computed in Python on both sides, so the
+    pairing is consistent by construction; collisions carry the same
+    ~s²/2⁶⁴ birthday term the module header documents."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+        "big", signed=True)
 
 
 def ngrams_strict_udf(n: int) -> Column:
     """Factory: Arrow-batched DISTINCT strict word n-grams.
 
     Mirrors functions/text.words tokenization exactly (lowercase,
-    edge-strip, ASCII whitespace split); texts with fewer than ``n``
-    words yield an EMPTY array (no degenerate short-gram fallback).
-    """
+    ASCII edge-strip, ASCII whitespace split); texts with fewer than
+    ``n`` words yield an EMPTY array (no degenerate short-gram
+    fallback)."""
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _ng(s: pd.Series) -> pd.Series:
-        def f(t):
-            if t is None:
-                return []
-            ws = _WS_RE.split(t.lower().strip())
-            ws = [w for w in ws if w]
-            if len(ws) < n:
-                return []
-            return list(dict.fromkeys(
-                " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)))
-
-        return s.map(f)
+        return s.map(lambda t: _grams_of(t, n))
 
     return _ng
 
 
+def ngram_hashes_udf(n: int) -> Column:
+    """Like :func:`ngrams_strict_udf` but emits the 64-bit gram hashes
+    (array<long>) — 8 bytes per gram instead of the gram string, so
+    downstream persists/joins carry longs, never text."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _ngh(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: [_gram_hash(g) for g in _grams_of(t, n)])
+
+    return _ngh
+
+
 def _doc_grams(df: DataFrame, id_cols: list[str], text_col: str,
                n: int, persist: bool) -> DataFrame:
-    """(id_cols..., n_ngrams, _grams) — one Arrow shingler pass.
+    """(id_cols..., n_ngrams, _ghs array<long>) — one Arrow pass.
 
     Without the persist, this frame's THREE consumers (the explode
     branch, the explode's Catalyst-inferred ``size > 0`` pushdown
     filter, and the report's per-doc gram count) each re-run the
     Python n-gram UDF over the corpus — measured as 3 ArrowEvalPython
-    nodes in the executed plan.  One cached pass of (ids, count,
-    grams) is strictly smaller than the text it replaces."""
+    nodes in the executed plan.  The cached column is the HASHES
+    (8 bytes/gram), not the gram strings (~n× the document text —
+    a storage blowup, not a cache)."""
     out = df.select(
-        *id_cols, ngrams_strict_udf(n)(F.col(text_col)).alias("_grams")
-    ).withColumn("n_ngrams", F.size("_grams"))
+        *id_cols, ngram_hashes_udf(n)(F.col(text_col)).alias("_ghs")
+    ).withColumn("n_ngrams", F.size("_ghs"))
     return out.persist() if persist else out
 
 
 def benchmark_ngram_hashes(bench: DataFrame, text_col: str = "text",
                            n: int = 8) -> DataFrame:
-    """Distinct xxhash64 n-gram hashes of the benchmark set — one
-    column ``g``.  Small enough to broadcast; persist it yourself if
-    probing several corpora."""
+    """Distinct 64-bit n-gram hashes of the benchmark set — one column
+    ``g``.  Small enough to broadcast; persist it yourself if probing
+    several corpora."""
     return (bench
-            .select(F.explode(ngrams_strict_udf(n)(F.col(text_col)))
-                    .alias("_g"))
-            .select(F.xxhash64("_g").alias("g"))
+            .select(F.explode(ngram_hashes_udf(n)(F.col(text_col)))
+                    .alias("g"))
             .distinct())
 
 
@@ -128,8 +166,7 @@ def contamination_report(
     """
     bg = benchmark_ngram_hashes(bench, bench_text_col or text_col, n)
     grams = _doc_grams(df, [id_col], text_col, n, persist_grams)
-    dg = (grams.select(id_col, F.explode("_grams").alias("_g"))
-          .select(id_col, F.xxhash64("_g").alias("g")))
+    dg = grams.select(id_col, F.explode("_ghs").alias("g"))
     matched = (dg.join(F.broadcast(bg), "g")
                  .groupBy(id_col)
                  .agg(F.count("*").alias("n_matched")))
@@ -161,7 +198,7 @@ def contamination_report_broadcast(
     bench_text_col: str | None = None,
     n: int = 8,
     min_matches: int = 1,
-    grams_set: set | None = None,
+    grams_set: set | Broadcast | None = None,
 ) -> DataFrame:
     """Shuffle-free variant of :func:`contamination_report`: the
     benchmark's distinct gram STRINGS are collected once and shipped
@@ -183,7 +220,11 @@ def contamination_report_broadcast(
             raise ValueError("pass either bench or grams_set")
         grams_set = collect_benchmark_grams(
             bench, bench_text_col or text_col, n)
-    bc = df.sparkSession.sparkContext.broadcast(grams_set)
+    # an already-shipped Broadcast handle is reused as-is — a per-call
+    # sc.broadcast would re-serialize the eval grams to every executor
+    # on every call (every micro-batch, for streaming callers)
+    bc = (grams_set if isinstance(grams_set, Broadcast)
+          else df.sparkSession.sparkContext.broadcast(grams_set))
 
     @F.pandas_udf(T.StructType([
         T.StructField("n_ngrams", T.IntegerType()),
@@ -195,7 +236,7 @@ def contamination_report_broadcast(
             if t is None:
                 rows.append((0, 0))
                 continue
-            ws = [w for w in _WS_RE.split(t.lower().strip()) if w]
+            ws = _words(t.lower())
             gs = ({" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
                   if len(ws) >= n else set())
             rows.append((len(gs), sum(1 for g in gs if g in bg)))
@@ -214,7 +255,7 @@ def excise_contamination(
     text_col: str = "text",
     bench_text_col: str | None = None,
     n: int = 8,
-    grams_set: set | None = None,
+    grams_set: set | Broadcast | None = None,
     out_col: str = "text_clean",
 ) -> DataFrame:
     """SURGICAL decontamination: instead of dropping a contaminated
@@ -241,7 +282,11 @@ def excise_contamination(
             raise ValueError("pass either bench or grams_set")
         grams_set = collect_benchmark_grams(
             bench, bench_text_col or text_col, n)
-    bc = df.sparkSession.sparkContext.broadcast(grams_set)
+    # an already-shipped Broadcast handle is reused as-is — a per-call
+    # sc.broadcast would re-serialize the eval grams to every executor
+    # on every call (every micro-batch, for streaming callers)
+    bc = (grams_set if isinstance(grams_set, Broadcast)
+          else df.sparkSession.sparkContext.broadcast(grams_set))
 
     @F.pandas_udf(T.StructType([
         T.StructField("clean", T.StringType()),
@@ -253,7 +298,7 @@ def excise_contamination(
             if t is None:
                 rows.append((None, 0))
                 continue
-            ws = [w for w in _WS_RE.split(t.strip()) if w]
+            ws = _words(t)
             lc = [w.lower() for w in ws]
             covered = [False] * len(ws)
             for i in range(len(lc) - n + 1):

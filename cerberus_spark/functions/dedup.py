@@ -426,7 +426,8 @@ def dedup_near(df: DataFrame, id_col: str, text_col: str,
 def cross_dup_pairs(new: DataFrame, ref: DataFrame, id_col: str,
                     text_col: str, threshold: float = 0.8, k: int = 3,
                     num_perm: int = 32, bands: int = 8,
-                    bucket_cap: int = 200) -> DataFrame:
+                    bucket_cap: int = 200,
+                    persist_shingles: bool = True) -> DataFrame:
     """Verified near-dup pairs BETWEEN two corpora — (id_new, id_ref,
     jaccard ≥ threshold) — the incremental-ingest primitive: dedup a
     new crawl against the corpus already kept, without re-pairing the
@@ -461,8 +462,12 @@ def cross_dup_pairs(new: DataFrame, ref: DataFrame, id_col: str,
     sh64 = (nf.unionByName(rf)
             .select("_side", "_oid",
                     F.explode(shingles_udf(k)(F.col("_text"))).alias("_sh"))
-            .select("_side", "_oid", F.xxhash64("_sh").alias("_sh64"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+            .select("_side", "_oid", F.xxhash64("_sh").alias("_sh64")))
+    if persist_shingles:
+        # same knob as ngram_jaccard_pairs so callers (e.g. the
+        # streaming ingest) can forward ONE dedup_kw dict to both the
+        # within-batch and cross-corpus passes
+        sh64 = sh64.persist(StorageLevel.MEMORY_AND_DISK)
 
     rows_per_band = num_perm // bands
     sig = sh64.groupBy("_side", "_oid").agg(
@@ -554,11 +559,15 @@ def embedding_near_dups(df: DataFrame, id_col: str, emb_col: str,
         lsh_buckets_udf,
     )
 
+    # NULL embeddings carry no similarity evidence — exclude them (and
+    # make the dim probe read the first NON-NULL row: a leading null
+    # must not disable the whole pass)
+    df = df.filter(F.col(emb_col).isNotNull())
     if dim is None:
         # lazy fallback only — callers that know the embedding width should
         # pass ``dim`` so no driver action runs in the build path
         probe = df.select(emb_col).first()
-        if probe is None or probe[0] is None:
+        if probe is None:
             # empty input: no pairs (and no dimension to plan hyperplanes for)
             id_type = dict(df.dtypes)[id_col]
             return df.sparkSession.createDataFrame(
@@ -634,9 +643,15 @@ def embedding_dups_against(new: DataFrame, ref: DataFrame, id_col: str,
         lsh_buckets_udf,
     )
 
+    # NULL embeddings carry no similarity evidence: exclude them from
+    # BOTH sides (they would otherwise bucket together on NULL hashes),
+    # and probe the first NON-NULL row for the dimension — a leading
+    # null row must not silently disable the whole check
+    new = new.filter(F.col(emb_col).isNotNull())
+    ref = ref.filter(F.col(emb_col).isNotNull())
     if dim is None:
         probe = new.select(emb_col).first()
-        if probe is None or probe[0] is None:
+        if probe is None:
             id_type = dict(new.dtypes)[id_col]
             return new.sparkSession.createDataFrame(
                 [], f"id_new {id_type}, id_ref {id_type}, cosine double")

@@ -158,11 +158,24 @@ def mixture_resample(
     w = counts.crossJoin(F.broadcast(tot)).withColumn(
         "_w", F.pow(F.col("_n") / F.col("_tot"), F.lit(expo)))
     mx = w.agg(F.max("_w").alias("_mx"))
+    # floor() quantizes the keep rate to 1/n_buckets steps; a stratum
+    # whose rate falls BELOW 1/n_buckets would floor to threshold 0 and
+    # silently vanish — the opposite of "downsample toward q".  That is
+    # a resolution failure, not a sampling decision: fail loudly and
+    # tell the caller to raise n_buckets (md5 buckets support up to
+    # ~4e9).  The guard evaluates on the |domains|-row rate table only.
+    raw_thr = F.floor(F.col("_w") / F.col("_mx") * n_buckets)
+    thr = F.when(
+        (F.col("_w") > 0) & (raw_thr < 1),
+        F.raise_error(F.concat(
+            F.lit("mixture_resample: stratum "), F.col(strata_col),
+            F.lit(f" keep rate < 1/{n_buckets}; raise n_buckets")))
+        .cast("bigint"),
+    ).otherwise(raw_thr)
     rates = (w.crossJoin(F.broadcast(mx))
              .select(strata_col,
                      (F.col("_w") / F.col("_mx")).alias(rate_col),
-                     F.floor(F.col("_w") / F.col("_mx") * n_buckets)
-                     .cast("int").alias("_thr")))
+                     thr.cast("int").alias("_thr")))
     bucket = hash_bucket(F.col(key) if isinstance(key, str) else key,
                          n_buckets, seed)
     return (df.join(F.broadcast(rates), strata_col)

@@ -438,8 +438,12 @@ def corpus_ingest_foreach_batch(
     from ..functions.dedup import dedup_against, dedup_near
     from ..plans.checkpoint import fs_exists
 
-    grams_set = (collect_benchmark_grams(bench, text_col, contamination_n)
-                 if bench is not None else None)
+    # collect AND broadcast the eval grams once here — a per-batch
+    # sc.broadcast would re-ship the set to every executor every epoch
+    grams_bc = None
+    if bench is not None:
+        grams_bc = bench.sparkSession.sparkContext.broadcast(
+            collect_benchmark_grams(bench, text_col, contamination_n))
     corpus_path = f"{out_dir}/corpus"
 
     def _run(batch_df: DataFrame, epoch_id: int) -> None:
@@ -459,10 +463,10 @@ def corpus_ingest_foreach_batch(
         if validator is not None:
             df = gate(validator.annotate(df).filter(F.col("passed"))
                       .drop("violations", "passed"), "n_valid")
-        if grams_set is not None:
+        if grams_bc is not None:
             rep = contamination_report_broadcast(
                 df, id_col=id_col, text_col=text_col, n=contamination_n,
-                min_matches=min_matches, grams_set=grams_set)
+                min_matches=min_matches, grams_set=grams_bc)
             df = gate(df.join(rep.filter("contaminated").select(id_col),
                               id_col, "left_anti"), "n_clean")
         if quality_bounds:

@@ -187,3 +187,19 @@ def test_embedding_dups_against_exact_bruteforce(spark):
     # precision exact; recall = 1-(1-p^8)^8 with p = 1-theta/pi ~ .96
     # at cosine .98 -> ~1.0 on the planted pairs
     assert got == want
+
+
+def test_embedding_dups_against_null_rows_skipped(spark):
+    """A NULL embedding leading the new frame must not disable the
+    check, and null rows on either side never pair."""
+    from cerberus_spark.functions.dedup import embedding_dups_against
+
+    v = [float(j + 1) for j in range(8)]
+    new = spark.createDataFrame(
+        [(1, None), (2, v)], "vec_id long, emb array<double>")
+    ref = spark.createDataFrame(
+        [(7, v), (8, None)], "vec_id long, emb array<double>")
+    pairs = {(r.id_new, r.id_ref) for r in embedding_dups_against(
+        new, ref, "vec_id", "emb", threshold=0.999,
+        n_bits=6, n_tables=4).collect()}
+    assert pairs == {(2, 7)}

@@ -186,3 +186,40 @@ def test_excise_fuzz_vs_python(spark, seed):
     got = {r.doc_id: (r.text_clean, r.n_removed) for r in
            D.excise_contamination(docs, bench, n=n).collect()}
     assert got == want, f"seed={seed} n={n}"
+
+
+def test_ascii_tokenization_matches_engine_spec(spark):
+    """NBSP-edged text: the engine spec (ASCII \\s) keeps the NBSP
+    attached to the first token, so the gram does NOT match — Python's
+    unicode-wide strip would have stripped it and produced a false
+    positive. Both variants must agree with the spec."""
+    docs = spark.createDataFrame(
+        [("d1", " the quick brown fox jumps")],
+        "doc_id string, text string")
+    bench = spark.createDataFrame([("b", "the quick brown fox jumps")],
+                                  "doc_id string, text string")
+    a = D.contamination_report(docs, bench, n=5).collect()[0]
+    b = D.contamination_report_broadcast(docs, bench, n=5).collect()[0]
+    assert (a.n_matched, a.contaminated) == (0, False)
+    assert (b.n_matched, b.contaminated) == (0, False)
+    # plain ASCII edges still match
+    docs2 = spark.createDataFrame(
+        [("d2", "  the quick brown fox jumps  ")],
+        "doc_id string, text string")
+    c = D.contamination_report_broadcast(docs2, bench, n=5).collect()[0]
+    assert c.contaminated
+
+
+def test_broadcast_handle_reuse(spark):
+    """A pre-shipped Broadcast handle is accepted and reused (the
+    streaming ingest ships the eval grams once, not per batch)."""
+    docs = spark.createDataFrame(_DOCS, "doc_id string, text string")
+    bench = spark.createDataFrame(_BENCH, "doc_id string, text string")
+    gs = D.collect_benchmark_grams(bench, "text", 5)
+    bc = spark.sparkContext.broadcast(gs)
+    got = {tuple(r) for r in D.contamination_report_broadcast(
+        docs, id_col="doc_id", text_col="text", n=5,
+        grams_set=bc).collect()}
+    want = {tuple(r) for r in D.contamination_report_broadcast(
+        docs, bench, n=5).collect()}
+    assert got == want

@@ -270,3 +270,17 @@ def test_mixture_resample_corpus_side_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     for bad in ("SortMergeJoin", "ShuffledHashJoin"):
         assert bad not in plan
+
+
+def test_mixture_resample_resolution_guard(spark):
+    """A stratum whose keep rate would floor to 0/n_buckets raises
+    loudly instead of silently annihilating the stratum."""
+    import pytest as _pytest
+
+    rows = [(i, "big") for i in range(3000)] + [(9999, "rare")]
+    df = spark.createDataFrame(rows, "k long, s string")
+    # T=2: big's keep rate = (3000)^-0.5 ~ 0.018 < 1/n_buckets=0.1 ->
+    # threshold floors to 0 -> must raise, not annihilate the stratum
+    out = P.mixture_resample(df, "s", "k", temperature=2.0, n_buckets=10)
+    with _pytest.raises(Exception, match="raise n_buckets"):
+        out.collect()

@@ -125,3 +125,19 @@ def test_corpus_ingest_funnel_stats(spark, tmp_path):
     # epoch 1: 3 in, docG invalid, docE cross-batch dup -> 1 kept
     assert stats[1]["n_in"] == 3 and stats[1]["n_valid"] == 2
     assert stats[1]["n_unique"] == 2 and stats[1]["n_kept"] == 1
+
+
+def test_corpus_ingest_forwards_dedup_kw_to_cross_pass(spark, tmp_path):
+    """dedup_kw must be accepted by BOTH the within-batch and the
+    cross-corpus dedup (epoch >= 1 regression: persist_shingles used
+    to explode in cross_dup_pairs only after epoch 0 had committed)."""
+    out = str(tmp_path / "out")
+    cb = corpus_ingest_foreach_batch(
+        out, id_col="doc_id", text_col="text", dedup_threshold=0.6,
+        dedup_kw={"persist_shingles": False, "num_perm": 16, "bands": 8},
+        record_stats=False)
+    ddl = "doc_id string, text string"
+    cb(spark.createDataFrame([("a", _BASE)], ddl), 0)
+    cb(spark.createDataFrame([("z", _BASE + " tail")], ddl), 1)
+    assert {r.doc_id for r in
+            spark.read.parquet(f"{out}/corpus").collect()} == {"a"}
