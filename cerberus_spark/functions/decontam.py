@@ -163,6 +163,15 @@ def contamination_report(
     is the document's distinct strict n-gram count, ``n_matched`` how
     many of those appear in the benchmark set, and ``contaminated``
     whether ``n_matched >= min_matches``.
+
+    CACHE LIFETIME: with ``persist_grams=True`` (default) the per-doc
+    gram-hash frame stays pinned until the ContextCleaner GCs the
+    report's plan — correct for one-shot reports, but a BATCH LOOP
+    (e.g. a per-epoch ingest calling this every micro-batch) would
+    accumulate one cached relation per call.  Loop callers should pass
+    ``persist_grams=False`` (pays the UDF 3× per call, but nothing
+    pins) or use :func:`contamination_report_broadcast`, the stateless
+    zero-cache form built for exactly that shape.
     """
     bg = benchmark_ngram_hashes(bench, bench_text_col or text_col, n)
     grams = _doc_grams(df, [id_col], text_col, n, persist_grams)

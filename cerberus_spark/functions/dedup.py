@@ -317,6 +317,22 @@ def minhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str,
     return ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold)
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager blocks behind an eagerly
+    ``localCheckpoint``'ed frame.  ``DataFrame.unpersist`` only covers
+    CacheManager-registered plans; a checkpoint's RDD blocks otherwise
+    live until the ContextCleaner GCs the JVM Dataset — O(rounds)
+    superseded label tables in the union-find loop.  The analyzed plan
+    of a checkpointed frame is a ``LogicalRDD`` holding the
+    materialized RDD, so unpersisting that RDD frees the blocks
+    immediately.  Best-effort: plan-shape drift degrades to the old
+    GC-eventually behavior, never an error."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
                          max_iters: int = 25) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``, where
@@ -355,6 +371,8 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
     # the corpus.  (On a real cluster with executor loss concerns, set
     # a reliable checkpoint dir and swap in ``checkpoint``.)
     labels = labels.localCheckpoint(eager=True)
+    ckpt = labels  # handle on the CHECKPOINTED frame (not a projection
+    # over it) so the superseded round's blocks can be freed
     converged = False
     for _ in range(max_iters):
         neighbor_min = (
@@ -386,13 +404,18 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
             new_labels.filter(F.col("comp") != F.col("_prev"))
             .limit(1).count()
         )
+        # the new checkpoint supersedes the previous round's — free its
+        # blocks now instead of accumulating O(rounds) × node-list in
+        # executor storage until ContextCleaner GC
+        _free_local_checkpoint(ckpt)
+        ckpt = new_labels
         labels = new_labels.select("node", "comp")
         if changed == 0:
             converged = True
             break
     edges.unpersist()
     if not converged:
-        labels.unpersist()
+        _free_local_checkpoint(ckpt)
         raise RuntimeError(
             f"connected_components: labels still changing after "
             f"{max_iters} rounds — component labels would be PARTIAL "

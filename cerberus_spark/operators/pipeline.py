@@ -183,8 +183,19 @@ def mixture_resample(
             .drop("_thr"))
 
 
-def _order(idx_col: str, order_tie: Sequence[str]) -> list[Column]:
-    return [F.col(c).asc_nulls_first() for c in (idx_col, *order_tie)]
+def _order_cols(idx_col: str, order_tie: Sequence) -> list[Column]:
+    """Ordering columns for the conversation window.  ``order_tie``
+    entries may be names OR Column expressions — the production
+    tiebreak for dirty data is ``F.xxhash64('text')``, which keeps the
+    total order deterministic while the shuffle carries an 8-byte hash
+    instead of the document text (the lexicographic default exists for
+    oracle replay, where DuckDB must order by the same visible value)."""
+    return [F.col(idx_col),
+            *(F.col(c) if isinstance(c, str) else c for c in order_tie)]
+
+
+def _order(idx_col: str, order_tie: Sequence) -> list[Column]:
+    return [c.asc_nulls_first() for c in _order_cols(idx_col, order_tie)]
 
 
 def tail_turns(
@@ -192,17 +203,18 @@ def tail_turns(
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
     k: int = 8,
-    order_tie: Sequence[str] = (),
+    order_tie: Sequence = (),
 ) -> DataFrame:
     """Keep the LAST ``k`` turns of each conversation (context-window
     truncation).  One window pass on the conv_id exchange; ordering
-    must be total (pass ``order_tie``) for dirty data with duplicate
-    turn_idx.  Adds ``rn_desc`` (1 = final turn) so callers can
-    re-anchor positions after the cut."""
+    must be total (pass ``order_tie`` — names or Columns, e.g.
+    ``F.xxhash64('text')`` to keep the shuffle text-free) for dirty
+    data with duplicate turn_idx.  Adds ``rn_desc`` (1 = final turn)
+    so callers can re-anchor positions after the cut."""
     # exact mirror of the ascending total order: same column priority,
     # DESC NULLS LAST, so rn_desc ranks are the reverse of rn ranks
     w = W.partitionBy(conv_col).orderBy(
-        *[F.col(c).desc_nulls_last() for c in (idx_col, *order_tie)])
+        *[c.desc_nulls_last() for c in _order_cols(idx_col, order_tie)])
     return (df.withColumn("rn_desc", F.row_number().over(w))
             .filter(F.col("rn_desc") <= k))
 
@@ -213,7 +225,7 @@ def pack_sequences(
     idx_col: str = "turn_idx",
     text_col: str = "text",
     budget: int = 2048,
-    order_tie: Sequence[str] = (),
+    order_tie: Sequence = (),
 ) -> DataFrame:
     """Greedy token-budget packing: walk each conversation's turns in
     total order, accumulate whitespace-token counts
@@ -238,7 +250,15 @@ def pack_sequences(
     scan walks each partition, carrying (conv, acc, pack) state across
     Arrow batch boundaries.  Same single exchange, ~50× the per-row
     throughput; the Arrow batches carry three ints per turn, no text
-    (rn and token counts are computed JVM-side)."""
+    (rn and token counts are computed JVM-side).
+
+    That layout reuse is an implementation-detail contract with
+    Catalyst (plan-pinned, but not an API guarantee), so the scan
+    carries a runtime guard: each conversation's ``rn`` values must
+    arrive as the exact sequence 1,2,3,… — any re-plan that reorders,
+    splits, or interleaves conversations breaks that invariant and
+    raises ``RuntimeError`` instead of silently mis-packing (the guard
+    is two int compares per turn; see ``_make_pack_walker``)."""
     w = W.partitionBy(conv_col).orderBy(*_order(idx_col, order_tie))
     slim = df.select(
         conv_col,
@@ -252,16 +272,40 @@ def pack_sequences(
     out_schema = StructType(
         list(slim.schema.fields) + [StructField("pack_id", IntegerType())])
 
+    return slim.mapInPandas(_make_pack_walker(conv_col, budget), out_schema)
+
+
+def _make_pack_walker(conv_col: str, budget: int):
+    """The per-partition greedy packing scan (module-level factory so
+    tests can drive it with forged out-of-order frames)."""
+
     def pack_partition(batches):
         cur_conv = object()  # sentinel unequal to any key (incl. None)
         acc = pack = 0
+        cur_rn = 0
         for pdf in batches:
             convs = pdf[conv_col].tolist()
             toks = pdf["n_tok"].tolist()
+            rns = pdf["rn"].tolist()
             out = np.empty(len(toks), dtype=np.int32)
-            for i, (conv, tok) in enumerate(zip(convs, toks)):
+            for i, (conv, tok, rn) in enumerate(zip(convs, toks, rns)):
                 if conv != cur_conv:
                     cur_conv, acc, pack = conv, 0, 0
+                    cur_rn = 0
+                # ORDER GUARD: rn is row_number over exactly this
+                # conversation's rows, so a correct layout delivers the
+                # strict sequence 1,2,3,… per conversation within one
+                # partition.  A re-planned upstream (extra exchange,
+                # dropped sort, conversation split across partitions)
+                # breaks the sequence — fail loudly, never mis-pack.
+                if rn != cur_rn + 1:
+                    raise RuntimeError(
+                        f"pack_sequences: rows for {conv_col}={conv!r} "
+                        f"arrived out of order (rn={rn} after "
+                        f"rn={cur_rn}) — the upstream window's physical "
+                        f"layout no longer reaches mapInPandas intact; "
+                        f"packing would be silently wrong")
+                cur_rn = rn
                 if acc > 0 and acc + tok > budget:
                     pack += 1
                     acc = tok
@@ -270,4 +314,4 @@ def pack_sequences(
                 out[i] = pack
             yield pdf.assign(pack_id=out)
 
-    return slim.mapInPandas(pack_partition, out_schema)
+    return pack_partition

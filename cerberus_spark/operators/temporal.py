@@ -93,12 +93,21 @@ def asof_join(
         F.col(right_ts).alias("__mt"),
         *[F.col(p).alias(p) for p in payload],
     )
+    # the tie column rides NATIVELY (no cast): a long cast would turn a
+    # non-numeric tie into NULL under non-ANSI semantics — restoring
+    # exactly the nondeterminism the parameter exists to prevent — or
+    # throw at runtime under ANSI.  Any orderable type works (Catalyst
+    # rejects unorderable ones, e.g. maps, at analysis time with a
+    # clear error); ties only discriminate among RIGHT rows at equal
+    # (ts, side), so left rows carry NULL (sorts first — a right row
+    # with a NULL tie loses to any non-NULL tie, matching the long
+    # path's NULL ordering).
     tie = F.col(right_tie) if right_tie else F.lit(0)
     rsel = rp.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__t"),
         F.lit(right_side).alias("__side"),
-        tie.cast("long").alias("__tie"),
+        tie.alias("__tie"),
         pay.alias("__p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
           for c in left.columns],
@@ -107,7 +116,7 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__t"),
         F.lit(left_side).alias("__side"),
-        F.lit(0).cast("long").alias("__tie"),
+        F.lit(None).cast(rsel.schema["__tie"].dataType).alias("__tie"),
         F.lit(None).cast(rsel.schema["__p"].dataType).alias("__p"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )

@@ -96,12 +96,19 @@ def ordering_violations_stream(
         for pdf in pdf_iter:
             pdf = pdf.sort_values(order_col)
             orders = pdf[order_col].to_numpy()
-            ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000  # micros
-            for o, t in zip(orders, ts):
-                o, t = int(o), int(t)
+            tsraw = pd.to_datetime(pdf[ts_col])
+            ts = tsraw.astype("int64") // 1000  # micros
+            for o, t, tnull in zip(orders, ts, tsraw.isna()):
+                # NULL ts mirrors the batch lag semantics (same masking
+                # as sequence_violations_stream): it is never compared
+                # against — without the mask NaT becomes the −2⁶³
+                # sentinel, emitting a spurious violation AND poisoning
+                # last_ts so later real regressions are masked — and it
+                # voids the next row's comparison too
+                o, t = int(o), (None if tnull else int(t))
                 if last_order is not None and o <= last_order:
                     continue  # late arrival: not lag-adjacent to state
-                if last_ts is not None and t < last_ts:
+                if last_ts is not None and t is not None and t < last_ts:
                     out[conv_col].append(conv)
                     out[order_col].append(o)
                     out["ts_micros"].append(t)

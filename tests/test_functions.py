@@ -216,10 +216,17 @@ def test_streaming_stateful_ordering(spark, tmp_path):
     # c3 has an in-batch regression; c2 turn -1 arrives LATE with an
     # earlier-but-valid ts (ADVICE r2: must NOT be flagged against the
     # state's newer ts, and must not rewind state)
+    # c4 pins the NULL-ts mask (r5 ADVICE): a NULL ts must be neither
+    # flagged (NaT would otherwise become the −2⁶³ sentinel and emit a
+    # spurious violation) nor compared against (it voids the NEXT row's
+    # comparison, like the batch lag) — only the real regression at
+    # turn 3 (vs turn 2's ts) counts
     spark.createDataFrame(
         [("c1", 2, base + 2 * sec), ("c2", 1, base + 9 * sec),
          ("c2", -1, base - 5 * sec),
-         ("c3", 0, base + 9 * sec), ("c3", 1, base + 3 * sec)], ddl
+         ("c3", 0, base + 9 * sec), ("c3", 1, base + 3 * sec),
+         ("c4", 0, base + 9 * sec), ("c4", 1, None),
+         ("c4", 2, base), ("c4", 3, base - 5 * sec)], ddl
     ).coalesce(1).write.mode("append").parquet(src)
 
     schema = spark.read.parquet(src).schema
@@ -232,7 +239,7 @@ def test_streaming_stateful_ordering(spark, tmp_path):
         q.processAllAvailable()
         got = {(r.conv_id, r.turn_idx) for r in spark.sql(
             "select * from ooo_turns").collect()}
-        assert got == {("c1", 2), ("c3", 1)}
+        assert got == {("c1", 2), ("c3", 1), ("c4", 3)}
     finally:
         q.stop()
 
@@ -722,6 +729,21 @@ def test_connected_components_pointer_jump_and_convergence_guard(spark):
 
     with pytest.raises(RuntimeError, match="still changing"):
         dedup.connected_components(chain, max_iters=1)
+
+
+def test_connected_components_frees_superseded_checkpoints(spark):
+    """Each round's localCheckpoint supersedes the previous one; the old
+    blocks must be freed immediately (r5 ADVICE), not accumulate
+    O(rounds) label tables until ContextCleaner GC.  After the run at
+    most ONE persistent RDD may remain above the baseline — the
+    returned final label table (the caller's result)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    comps = dedup.connected_components(chain, max_iters=8)
+    comps.count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - base <= 1
 
 
 def test_conversation_text_deterministic_order(spark):

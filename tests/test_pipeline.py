@@ -202,6 +202,72 @@ def test_pack_plan_single_exchange_no_text_through_python(spark):
     assert "n_tok" in child
 
 
+def test_pack_order_guard_raises_on_forged_frame():
+    """The mapInPandas scan asserts each conversation's rn values arrive
+    as the strict sequence 1,2,3,… (r5 ADVICE/VERDICT item 3): a future
+    Catalyst re-plan that reorders, splits, or interleaves conversations
+    must fail loudly, never silently mis-pack."""
+    import pandas as pd
+    import pytest
+
+    walker = P._make_pack_walker("conv_id", 8)
+
+    # in-order rows pass, including a conv split across Arrow batches
+    b1 = pd.DataFrame({"conv_id": ["a", "a", "b"], "rn": [1, 2, 1],
+                       "turn_idx": [0, 1, 0], "n_tok": [3, 4, 2]})
+    b2 = pd.DataFrame({"conv_id": ["b"], "rn": [2],
+                       "turn_idx": [1], "n_tok": [5]})
+    out = pd.concat(list(walker(iter([b1, b2]))))
+    assert list(out["pack_id"]) == [0, 0, 0, 0]
+
+    # reordered within a conversation
+    forged = pd.DataFrame({"conv_id": ["a", "a"], "rn": [2, 1],
+                           "turn_idx": [1, 0], "n_tok": [1, 1]})
+    with pytest.raises(RuntimeError, match="out of order"):
+        list(P._make_pack_walker("conv_id", 8)(iter([forged])))
+
+    # a conversation arriving mid-sequence (split across partitions)
+    split = pd.DataFrame({"conv_id": ["a"], "rn": [3],
+                          "turn_idx": [2], "n_tok": [1]})
+    with pytest.raises(RuntimeError, match="out of order"):
+        list(P._make_pack_walker("conv_id", 8)(iter([split])))
+
+    # an interleaved conversation returning after another conv
+    inter = pd.DataFrame({"conv_id": ["a", "b", "a"], "rn": [1, 1, 2],
+                          "turn_idx": [0, 0, 1], "n_tok": [1, 1, 1]})
+    with pytest.raises(RuntimeError, match="out of order"):
+        list(P._make_pack_walker("conv_id", 8)(iter([inter])))
+
+
+def test_pack_and_tail_order_tie_accepts_columns(spark):
+    """`order_tie` takes Column expressions (VERDICT item 7): the
+    production tiebreak ``xxhash64(text)`` keeps the conv_id shuffle
+    text-free while staying a total, deterministic order.  On data
+    where turn_idx is already unique the assignment is identical to the
+    lexicographic default."""
+    df = _turns_df(spark).filter(F.col("turn_idx").isNotNull()) \
+        .dropDuplicates(["conv_id", "turn_idx"])
+    default = P.pack_sequences(df, budget=8, order_tie=("text",))
+    hashed = P.pack_sequences(df, budget=8,
+                              order_tie=(F.xxhash64("text"),))
+    key = ["conv_id", "rn", "turn_idx", "n_tok", "pack_id"]
+    assert sorted(map(tuple, default.select(key).collect())) == \
+        sorted(map(tuple, hashed.select(key).collect()))
+
+    # the plan above the exchange never references raw text: the window
+    # sort key is materialized as the 8-byte hash BELOW the shuffle
+    phys = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64(text" in phys
+    above_exchange = phys.split("Exchange", 1)[0]
+    assert "text#" not in above_exchange
+    # while the lexicographic default must carry text through the sort
+    phys_d = default._jdf.queryExecution().executedPlan().toString()
+    assert "text#" in phys_d.split("Exchange", 1)[0]
+
+    tails = P.tail_turns(df, k=2, order_tie=(F.xxhash64("text"),))
+    assert tails.count() == df.select("conv_id").distinct().count() * 2
+
+
 # ---------------------------------------------------------------------------
 # mixture_resample (temperature-flattened domain mixing)
 # ---------------------------------------------------------------------------

@@ -146,6 +146,26 @@ def test_asof_right_tie_break(spark):
     assert out[0].v_asof == 20.0
 
 
+def test_asof_right_tie_non_numeric(spark):
+    """The tie column rides natively (r5 ADVICE): a STRING tie must
+    break ties by its own ordering — the old ``cast('long')`` turned it
+    into NULL (non-ANSI), silently restoring the nondeterminism the
+    parameter exists to prevent.  A right row with a NULL tie loses to
+    any non-NULL tie."""
+    t0 = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame([Row(k="a", t=t0 + datetime.timedelta(seconds=9))])
+    right = spark.createDataFrame(
+        [Row(k="a", t=t0, tag="r2", v=20.0),
+         Row(k="a", t=t0, tag=None, v=5.0),
+         Row(k="a", t=t0, tag="r1", v=10.0)]
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        payload=["v"], right_tie="tag",
+    ).collect()
+    assert out[0].v_asof == 20.0  # max string tag wins; NULL tag loses
+
+
 # DuckDB twin of sessionize(): NULLS FIRST matches Spark's asc default,
 # and the COALESCE(..., TRUE) matches the engine's "NULL ts opens its
 # own session" rule (Spark: false|NULL → NULL → coalesce(…,1)).
