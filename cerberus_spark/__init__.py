@@ -10,6 +10,7 @@ partitioning/skew handling, mergeable sketches, resumable checkpoints.
 """
 
 from . import errors
+from .errors import BaseErrorHandler, BasicErrorHandler, ToyErrorHandler
 from .dsl import (
     Registry,
     RuleSetSchema,
@@ -25,6 +26,9 @@ __version__ = "0.1.0"
 __all__ = [
     "SparkValidator",
     "ValidationResult",
+    "BaseErrorHandler",
+    "BasicErrorHandler",
+    "ToyErrorHandler",
     "RuleSetSchema",
     "SchemaError",
     "Registry",

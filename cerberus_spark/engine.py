@@ -38,9 +38,12 @@ from .operators.normalize import Normalizer, Slot, has_normalization
 class ValidationResult:
     """Lazy handles on the three output shapes of one validation pass."""
 
-    def __init__(self, annotated: DataFrame, key_cols: tuple[str, ...]):
+    def __init__(self, annotated: DataFrame, key_cols: tuple[str, ...],
+                 error_handler=None):
         self.annotated = annotated
         self.key_cols = key_cols
+        self.error_handler = (error_handler if error_handler is not None
+                              else E.BasicErrorHandler())
 
     @property
     def violations(self) -> DataFrame:
@@ -69,6 +72,25 @@ class ValidationResult:
             F.sum((~F.col("passed")).cast("long")).alias("n_failed"),
             F.sum(F.size("violations").cast("long")).alias("n_violations"),
         )
+
+    def errors(self, where=None, limit: int = 10_000):
+        """Render collected violation rows through the validator's
+        error handler — the analog of the reference's ``validator.
+        errors`` property (validator.py:471-475: ``return
+        self.error_handler(self._errors)``).  Driver-side by design:
+        intended for per-document / debugging result sets, so pass
+        ``where`` (a Column or SQL string) to restrict to the rows of
+        interest; ``limit`` hard-caps the collect (raise it explicitly
+        if you really mean to render more)."""
+        df = self.violations_sorted()
+        if where is not None:
+            df = df.filter(where)
+        rows = [r.asDict() for r in df.limit(limit).collect()]
+        self.error_handler.start(self)
+        try:
+            return self.error_handler(rows)
+        finally:
+            self.error_handler.end(self)
 
     def counts(self) -> tuple[int, int]:
         row = self.annotated.agg(
@@ -129,6 +151,7 @@ class SparkValidator:
         types: Mapping | None = None,
         rules: Mapping | None = None,
         on_key_collision: str = "error",
+        error_handler=E.BasicErrorHandler,
     ):
         # ``rules`` registers custom NAMED rules usable in schemas — the
         # engine's version of subclassing the reference with
@@ -161,6 +184,10 @@ class SparkValidator:
         if on_key_collision not in ("error", "last_wins"):
             raise ValueError(
                 "on_key_collision must be 'error' or 'last_wins'")
+        # reference validator.py:96-102,177: error_handler accepts a
+        # class, an instance, or a (class, config) tuple, and drives
+        # how collected errors render (ValidationResult.errors())
+        self.error_handler = E.init_error_handler(error_handler)
         self.normalizer = Normalizer(coercers, setters, null_semantics,
                                      on_key_collision=on_key_collision)
         self.compiler = RuleCompiler(self.ctx)
@@ -330,7 +357,8 @@ class SparkValidator:
         ]
 
     def validate(self, df: DataFrame) -> ValidationResult:
-        return ValidationResult(self.annotate(df), self.key_cols)
+        return ValidationResult(self.annotate(df), self.key_cols,
+                                error_handler=self.error_handler)
 
     def normalized(self, df: DataFrame) -> DataFrame:
         """Normalization only (reference: normalized(), validator.py:666-688)."""

@@ -262,6 +262,113 @@ def error_tree(violation_rows) -> dict:
     return tree
 
 
+class BaseErrorHandler:
+    """Pluggable driver-side error formatter — the analog of the
+    reference's handler ABC (reference errors.py:358-446): a handler is
+    a callable collecting violation ROWS (dict/Row with the
+    VIOLATION_STRUCT fields — the engine's ValidationError analog) and
+    rendering them in whatever shape the caller wants.  Inject via
+    ``SparkValidator(error_handler=...)`` (class, instance, or
+    ``(class, config_dict)`` tuple, exactly the reference's accepted
+    shapes, validator.py:194-207); ``ValidationResult.errors()`` then
+    renders through it.
+
+    Subclasses implement ``__call__`` (and usually ``add``); ``emit``/
+    ``start``/``end`` are optional stream-style hooks kept for API
+    parity."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, violation_rows):
+        raise NotImplementedError
+
+    def __iter__(self):
+        raise NotImplementedError
+
+    def add(self, row):
+        raise NotImplementedError
+
+    def extend(self, rows):
+        for r in rows:
+            self.add(r)
+
+    def emit(self, row):
+        pass
+
+    def clear(self):
+        pass
+
+    def start(self, result):
+        pass
+
+    def end(self, result):
+        pass
+
+
+class BasicErrorHandler(BaseErrorHandler):
+    """Default handler: renders violation rows as the reference's
+    legacy nested ``{field: [message | {subfield: [...]}]}`` dict
+    (reference errors.py:461-560) via :func:`error_tree`."""
+
+    messages = MESSAGES
+
+    def __init__(self, tree: dict | None = None):
+        self.rows: list = []
+        self.tree: dict = {} if tree is None else tree
+
+    def __call__(self, violation_rows):
+        self.clear()
+        self.extend(violation_rows)
+        return self.pretty_tree
+
+    def __iter__(self):
+        return iter(self.rows)
+
+    def add(self, row):
+        self.rows.append(row)
+
+    def clear(self):
+        self.rows = []
+
+    @property
+    def pretty_tree(self) -> dict:
+        self.tree = error_tree(self.rows)
+        return self.tree
+
+    def __str__(self):
+        from pprint import pformat
+
+        return pformat(self.pretty_tree)
+
+
+class ToyErrorHandler(BaseErrorHandler):
+    """Reference errors.py:428-434 verbatim semantics — the test
+    suite's 'must never actually render' sentinel handler."""
+
+    def __call__(self, *args, **kwargs):
+        raise RuntimeError("This is not supposed to happen.")
+
+    def clear(self):
+        pass
+
+
+def init_error_handler(error_handler=BasicErrorHandler):
+    """Resolve the accepted handler shapes (class | instance |
+    ``(class, config)``) to an instance — the reference's
+    ``__init_error_handler`` (validator.py:194-207), including the
+    verbatim ``RuntimeError('Invalid error_handler.')``."""
+    eh_config = {}
+    if isinstance(error_handler, tuple):
+        error_handler, eh_config = error_handler
+    if isinstance(error_handler, type) and issubclass(error_handler,
+                                                      BaseErrorHandler):
+        return error_handler(**eh_config)
+    if isinstance(error_handler, BaseErrorHandler):
+        return error_handler
+    raise RuntimeError("Invalid error_handler.")
+
+
 class _TreeNode:
     __slots__ = ("errors", "descendants")
 

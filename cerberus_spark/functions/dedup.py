@@ -551,9 +551,210 @@ def dedup_against(new: DataFrame, ref: DataFrame, id_col: str,
     of nothing in the reference corpus.  One left-anti join of the new
     frame against the (tiny) matched-id list; the reference corpus is
     read, never modified, and never self-paired.  Tokenless new rows
-    pass through untouched (no evidence ⇒ no drop)."""
+    pass through untouched (no evidence ⇒ no drop).
+
+    NOTE: this re-shingles ``ref`` on every call.  A LOOP caller (one
+    call per ingest epoch, ``ref`` = everything kept so far) pays
+    compute quadratic in the stream length — use the persisted band
+    store instead (:func:`write_band_store` at each epoch commit,
+    :func:`dedup_against_store` to probe), which never re-tokenizes
+    the reference side."""
     matched = (cross_dup_pairs(new, ref, id_col, text_col,
                                threshold=threshold, **lsh_kw)
+               .select(F.col("id_new").alias(id_col)).distinct())
+    return new.join(matched, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash band store — incremental-ingest state
+# ---------------------------------------------------------------------------
+#
+# The r5 streaming ingest's one scale-killer: per-epoch
+# ``dedup_against(batch, everything_kept_so_far)`` re-reads the kept
+# corpus TEXT, re-runs the Arrow shingler over it, and re-aggregates its
+# MinHash signatures — per-epoch cost linear in the corpus, total ingest
+# cost QUADRATIC in stream length.  Every one of those artifacts is
+# deterministic (xxhash64 permutations are seed-free by construction),
+# so they can be written ONCE at epoch commit and probed forever:
+#
+#   {store}/bands/epoch=N   (band int, bhash long, _id)  ~bands rows/doc
+#   {store}/hashes/epoch=N  (_id, _sh64 long)            ~shingles rows/doc
+#   {store}/meta            one row (k, num_perm, bands) — probe guard
+#
+# A probe (a) bands the NEW batch, (b) left-semi-joins the band store
+# against the batch's (band, bhash) keys — the store side is scanned
+# (two longs + id, columnar, no text, no Python) but never shuffled
+# (the probe side broadcasts), (c) expands only the touched buckets
+# bipartitely under the same caps as cross_dup_pairs, and (d) verifies
+# exact Jaccard against the hash store restricted to CANDIDATE ref ids
+# (left-semi again).  Per-epoch compute is ∝ batch + candidates; the
+# only corpus-proportional term left is the columnar long scan of the
+# store — the cheapest possible touch (at 10^12 docs, bucket the store
+# tables by bhash/_id in a real catalog to prune even that).
+
+
+def _band_structs(num_perm: int, bands: int):
+    rows_per_band = num_perm // bands
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"_h{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bhash"))
+        for b in range(bands)])
+
+
+def _check_store_meta(spark, store_dir: str, k: int, num_perm: int,
+                      bands: int, create: bool) -> None:
+    """Band rows are only comparable under identical (k, num_perm,
+    bands) — a probe with different parameters would silently miss
+    every pair.  The store pins its parameters at creation; mismatch
+    raises."""
+    from ..plans.checkpoint import fs_exists
+
+    meta_path = f"{store_dir}/meta"
+    if fs_exists(spark, meta_path):
+        row = spark.read.parquet(meta_path).first()
+        got = (row["k"], row["num_perm"], row["bands"])
+        if got != (k, num_perm, bands):
+            raise ValueError(
+                f"band store at {store_dir} was written with "
+                f"(k, num_perm, bands)={got}, probe/write requested "
+                f"{(k, num_perm, bands)} — band hashes are not "
+                f"comparable across parameter sets")
+    elif create:
+        spark.createDataFrame([(k, num_perm, bands)],
+                              "k int, num_perm int, bands int") \
+            .coalesce(1).write.mode("overwrite").parquet(meta_path)
+    else:
+        raise ValueError(f"no band store at {store_dir} (missing meta)")
+
+
+def write_band_store(df: DataFrame, store_dir: str, epoch: int,
+                     id_col: str, text_col: str, k: int = 3,
+                     num_perm: int = 32, bands: int = 8) -> None:
+    """Append one epoch's survivors to the band store (see the section
+    comment above).  Idempotent per epoch — a retried epoch overwrites
+    exactly its own partitions.  Ids must be unique across epochs (each
+    doc is committed by exactly one epoch — the ingest contract).
+    Tokenless rows carry no shingle evidence and are not stored, same
+    policy as the whole near-dup family."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    _check_store_meta(spark, store_dir, k, num_perm, bands, create=True)
+    sh64 = _sh64_df(df.filter(F.size(words(F.col(text_col))) > 0),
+                    id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sh64.write.mode("overwrite").parquet(
+            f"{store_dir}/hashes/epoch={epoch}")
+        sig = _sig_from_sh64(sh64, num_perm)
+        (sig.select("_id", F.explode(_band_structs(num_perm, bands))
+                    .alias("bb"))
+            .select("_id", "bb.band", "bb.bhash")
+            .write.mode("overwrite").parquet(
+                f"{store_dir}/bands/epoch={epoch}"))
+    finally:
+        sh64.unpersist()
+
+
+def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
+                           text_col: str, threshold: float = 0.8,
+                           *, max_epoch: int | None = None, k: int = 3,
+                           num_perm: int = 32, bands: int = 8,
+                           bucket_cap: int = 200,
+                           persist_shingles: bool = True) -> DataFrame:
+    """(id_new, id_ref, jaccard ≥ threshold) of the NEW batch against
+    the band store — pair-identical to
+    ``cross_dup_pairs(new, ref, ...)`` over the same reference rows
+    (pinned by test_band_store_pairs_equal_recompute), but the ref side
+    is never re-shingled: bands and shingle hashes come from the store.
+
+    ``max_epoch`` restricts the reference to ``epoch < max_epoch``
+    (partition-pruned) so a retried epoch never probes its own
+    half-committed write.  Caps mirror ``cross_dup_pairs``: each side
+    of a touched bucket is ranked independently, overflow NEW members
+    still pair with the bucket's first stored ref member."""
+    from pyspark import StorageLevel
+
+    spark = new.sparkSession
+    _check_store_meta(spark, store_dir, k, num_perm, bands, create=False)
+    ref_bands = spark.read.parquet(f"{store_dir}/bands")
+    ref_hashes = spark.read.parquet(f"{store_dir}/hashes")
+    if max_epoch is not None:
+        ref_bands = ref_bands.filter(F.col("epoch") < max_epoch)
+        ref_hashes = ref_hashes.filter(F.col("epoch") < max_epoch)
+
+    nf = new.filter(F.size(words(F.col(text_col))) > 0)
+    sh64_new = _sh64_df(nf, id_col, text_col, k)
+    bands_new = (_sig_from_sh64(sh64_new, num_perm)
+                 .select("_id", F.explode(_band_structs(num_perm, bands))
+                         .alias("bb"))
+                 .select(F.col("_id").alias("id_new"), "bb.band", "bb.bhash"))
+    if persist_shingles:
+        # sh64_new feeds the signature agg AND the verify join; bands_new
+        # feeds the touched-bucket probe AND the bipartite expansion —
+        # both are batch-sized
+        sh64_new = sh64_new.persist(StorageLevel.MEMORY_AND_DISK)
+        bands_new = bands_new.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # the store is scanned (columnar longs — no text, no UDF, no
+    # signature agg) and filtered by the batch's bucket keys; the small
+    # probe side broadcasts, so the store is NEVER shuffled
+    touched = bands_new.select("band", "bhash").distinct()
+    ref_touched = ref_bands.join(F.broadcast(touched), ["band", "bhash"],
+                                 "left_semi") \
+        .select("band", "bhash", F.col("_id").alias("id_ref"))
+
+    rn_new = bands_new.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("band", "bhash").orderBy("id_new")))
+    rn_ref = ref_touched.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("band", "bhash").orderBy("id_ref")))
+    newb = rn_new.filter(F.col("_rn") <= bucket_cap) \
+        .select("band", "bhash", "id_new")
+    refb = rn_ref.filter(F.col("_rn") <= bucket_cap) \
+        .select("band", "bhash", "id_ref")
+    pairs = newb.join(refb, ["band", "bhash"]).select("id_new", "id_ref")
+    ref_heads = rn_ref.filter(F.col("_rn") == 1) \
+        .select("band", "bhash", "id_ref")
+    overflow = (rn_new.filter(F.col("_rn") > bucket_cap)
+                .select("band", "bhash", "id_new")
+                .join(ref_heads, ["band", "bhash"])
+                .select("id_new", "id_ref"))
+    cands = pairs.unionByName(overflow).distinct()
+
+    # exact-Jaccard verify against the hash store restricted to the
+    # candidate ref ids (left-semi: candidate-proportional agg)
+    cand_ids = cands.select("id_ref").distinct()
+    ref_cand = (ref_hashes
+                .join(F.broadcast(cand_ids),
+                      ref_hashes["_id"] == cand_ids["id_ref"], "left_semi")
+                .select(F.col("_id").alias("id_ref"), "_sh64")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    a = sh64_new.select(F.col("_id").alias("id_new"), "_sh64")
+    inter = (cands.join(a, "id_new").join(ref_cand, ["id_ref", "_sh64"])
+             .groupBy("id_new", "id_ref")
+             .agg(F.count(F.lit(1)).alias("_inter")))
+    na = sh64_new.groupBy("_id").agg(F.count(F.lit(1)).alias("_na")) \
+        .select(F.col("_id").alias("id_new"), "_na")
+    nb = ref_cand.groupBy("id_ref").agg(F.count(F.lit(1)).alias("_nb"))
+    return (inter.join(na, "id_new").join(nb, "id_ref")
+            .select("id_new", "id_ref",
+                    (F.col("_inter")
+                     / (F.col("_na") + F.col("_nb") - F.col("_inter")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def dedup_against_store(new: DataFrame, store_dir: str, id_col: str,
+                        text_col: str, threshold: float = 0.8,
+                        **kw) -> DataFrame:
+    """The NEW rows near-duplicating nothing in the band store — the
+    loop-safe form of :func:`dedup_against`: per-epoch cost ∝ batch +
+    candidates instead of ∝ corpus."""
+    matched = (cross_dup_pairs_stored(new, store_dir, id_col, text_col,
+                                      threshold=threshold, **kw)
                .select(F.col("id_new").alias(id_col)).distinct())
     return new.join(matched, id_col, "left_anti")
 
@@ -722,6 +923,152 @@ def embedding_dups_against(new: DataFrame, ref: DataFrame, id_col: str,
                     F.col(emb_col).alias("_emb_r"))
     return (cand.join(ea, "id_new").join(eb, "id_ref")
             .withColumn("cos", cosine(F.col("_emb_n"), F.col("_emb_r")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_new", "id_ref", F.col("cos").alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# persisted embedding-bucket store — the semantic mirror of the band store
+# ---------------------------------------------------------------------------
+#
+# Hyperplane LSH signatures are a pure function of (embedding, dim,
+# n_bits, n_tables, seed) — seed-stable by construction (the same
+# guarantee embedding_dups_against relies on to share bucket space), so
+# a loop caller can persist each epoch's (tbl, bkt, _id) rows once and
+# probe them forever instead of re-hashing the kept corpus per epoch.
+# Embeddings themselves are NOT duplicated into the store: the exact
+# cosine verify reads them from the caller's reference frame (the kept
+# corpus), restricted to candidate ids by a broadcast semi-join.
+
+
+def _emb_bucket_rows(df: DataFrame, id_col: str, emb_col: str,
+                     planes: list, dim: int, n_bits: int,
+                     n_tables: int) -> DataFrame:
+    """(_id, tbl, bkt) bucket rows — the shared banding of
+    embedding_near_dups / embedding_dups_against, factored so the store
+    writer and prober hash identically."""
+    from .similarity import (LSH_PLAN_LITERAL_BUDGET, lsh_bucket,
+                             lsh_buckets_udf)
+
+    if dim * n_bits * n_tables <= LSH_PLAN_LITERAL_BUDGET:
+        tables = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     lsh_bucket(F.col(emb_col), planes[t]).alias("bkt"))
+            for t in range(n_tables)])
+    else:
+        bkts = lsh_buckets_udf(planes)(F.col(emb_col))
+        tables = F.transform(
+            bkts, lambda b, i: F.struct(i.alias("tbl"), b.alias("bkt")))
+    return (df.select(F.col(id_col).alias("_id"), tables.alias("_ts"))
+            .select("_id", F.explode("_ts").alias("tb"))
+            .select("_id", "tb.tbl", "tb.bkt"))
+
+
+def write_embedding_store(df: DataFrame, store_dir: str, epoch: int,
+                          id_col: str, emb_col: str, n_bits: int = 12,
+                          n_tables: int = 4, seed: int = 42,
+                          dim: int | None = None) -> None:
+    """Append one epoch's survivors' LSH bucket ids to the embedding
+    store ({store_dir}/buckets/epoch=N + a one-row meta pinning
+    (n_bits, n_tables, seed, dim) so every later write/probe hashes
+    into the identical bucket space).  NULL embeddings carry no
+    similarity evidence and are not stored."""
+    from ..plans.checkpoint import fs_exists
+    from .similarity import hyperplanes
+
+    spark = df.sparkSession
+    df = df.filter(F.col(emb_col).isNotNull())
+    meta_path = f"{store_dir}/meta"
+    if fs_exists(spark, meta_path):
+        m = spark.read.parquet(meta_path).first()
+        if (m["n_bits"], m["n_tables"], m["seed"]) != (n_bits, n_tables, seed):
+            raise ValueError(
+                f"embedding store at {store_dir} pinned "
+                f"(n_bits, n_tables, seed)="
+                f"{(m['n_bits'], m['n_tables'], m['seed'])}, write "
+                f"requested {(n_bits, n_tables, seed)}")
+        dim = m["dim"]
+    else:
+        if dim is None:
+            probe = df.select(emb_col).first()
+            if probe is None:
+                return  # nothing to store; meta pins on first real write
+            dim = len(probe[0])
+        spark.createDataFrame(
+            [(n_bits, n_tables, seed, dim)],
+            "n_bits int, n_tables int, seed int, dim int"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    planes = [hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
+    (_emb_bucket_rows(df, id_col, emb_col, planes, dim, n_bits, n_tables)
+     .write.mode("overwrite").parquet(f"{store_dir}/buckets/epoch={epoch}"))
+
+
+def embedding_dups_against_store(new: DataFrame, ref: DataFrame,
+                                 store_dir: str, id_col: str, emb_col: str,
+                                 threshold: float = 0.95, *,
+                                 max_epoch: int | None = None,
+                                 bucket_cap: int = 200) -> DataFrame:
+    """(id_new, id_ref, cosine ≥ threshold) of the NEW batch against the
+    persisted bucket store — pair-identical to
+    ``embedding_dups_against(new, ref, ...)`` over the same reference
+    rows, but the ref side is never re-hashed: buckets come from the
+    store, and ``ref`` (the kept corpus) is only read for the CANDIDATE
+    ids' embeddings (broadcast semi-join).  All LSH parameters come
+    from the store's meta — no drift possible."""
+    from pyspark import StorageLevel
+
+    from ..plans.checkpoint import fs_exists
+    from .similarity import cosine_pair_auto, hyperplanes
+
+    spark = new.sparkSession
+    meta_path = f"{store_dir}/meta"
+    if not fs_exists(spark, meta_path):
+        raise ValueError(f"no embedding store at {store_dir} (missing meta)")
+    m = spark.read.parquet(meta_path).first()
+    n_bits, n_tables, seed, dim = (m["n_bits"], m["n_tables"],
+                                   m["seed"], m["dim"])
+    planes = [hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
+
+    new = new.filter(F.col(emb_col).isNotNull())
+    newb = (_emb_bucket_rows(new, id_col, emb_col, planes, dim, n_bits,
+                             n_tables)
+            .select(F.col("_id").alias("id_new"), "tbl", "bkt")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    store = spark.read.parquet(f"{store_dir}/buckets")
+    if max_epoch is not None:
+        store = store.filter(F.col("epoch") < max_epoch)
+    touched = newb.select("tbl", "bkt").distinct()
+    refb_all = (store.join(F.broadcast(touched), ["tbl", "bkt"], "left_semi")
+                .select("tbl", "bkt", F.col("_id").alias("id_ref")))
+
+    rn_new = newb.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("tbl", "bkt").orderBy("id_new")))
+    rn_ref = refb_all.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("tbl", "bkt").orderBy("id_ref")))
+    pairs = (rn_new.filter(F.col("_rn") <= bucket_cap)
+             .select("tbl", "bkt", "id_new")
+             .join(rn_ref.filter(F.col("_rn") <= bucket_cap)
+                   .select("tbl", "bkt", "id_ref"), ["tbl", "bkt"])
+             .select("id_new", "id_ref"))
+    ref_heads = rn_ref.filter(F.col("_rn") == 1) \
+        .select("tbl", "bkt", "id_ref")
+    overflow = (rn_new.filter(F.col("_rn") > bucket_cap)
+                .select("tbl", "bkt", "id_new")
+                .join(ref_heads, ["tbl", "bkt"])
+                .select("id_new", "id_ref"))
+    cands = pairs.unionByName(overflow).distinct()
+
+    cand_ids = cands.select("id_ref").distinct()
+    er = (ref.select(F.col(id_col).alias("id_ref"),
+                     F.col(emb_col).alias("_emb_r"))
+          .join(F.broadcast(cand_ids), "id_ref", "left_semi"))
+    ea = new.select(F.col(id_col).alias("id_new"),
+                    F.col(emb_col).alias("_emb_n"))
+    return (cands.join(ea, "id_new").join(er, "id_ref")
+            .withColumn("cos", cosine_pair_auto(
+                F.col("_emb_n"), F.col("_emb_r"), dim))
             .filter(F.col("cos") >= threshold)
             .select("id_new", "id_ref", F.col("cos").alias("cosine")))
 

@@ -39,11 +39,14 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from .text import words
 
-__all__ = ["unigram_model", "surprisal_report"]
+__all__ = ["unigram_model", "surprisal_report", "ngram_surprisal_report"]
 
 _Q = 1_000_000.0
 
@@ -114,6 +117,159 @@ def surprisal_report(df: DataFrame, id_col: str = "doc_id",
                    F.sum("_n").alias("n_tok")))
     base = df.select(id_col)
     return (base.join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+                    F.coalesce(
+                        (-F.col("_sum_q")) / F.col("n_tok") / F.lit(_Q),
+                        F.lit(0.0)).alias("surprisal")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram surprisal with stupid backoff (the CCNet-adjacent upgrade)
+# ---------------------------------------------------------------------------
+#
+# Spec (shared verbatim with the DuckDB oracle; Brants et al. 2007
+# "stupid backoff" — the standard web-scale choice because it needs no
+# discount fitting and composes from raw counts):
+#
+# * Position i of a document scores with the HIGHEST order its left
+#   context allows (no BOS padding): i=0 → unigram, i=1 → bigram path,
+#   i≥2 → trigram path (for order=3).
+# * trigram path: c3(w-2,w-1,w) > 0 ? ln(c3 / c2(w-2,w-1))
+#                 : ln(λ) + bigram path
+#   bigram path:  c2(w-1,w)   > 0 ? ln(c2 / c1(w-1))
+#                 : ln(λ) + unigram
+#   unigram:      ln((c1(w)+α) / (total + α·V))   (add-alpha; OOV = α/…)
+# * λ = 0.4 (the paper's constant), α = 1.0 by default.
+# * Same micro-nat quantization as the unigram tier: lp_q6 =
+#   floor(lp · 1e6) per position; per-document BIGINT sums — exactly
+#   associative, partitioning/row-order/engine invariant.
+#   surprisal = (-sum_q / n_tok) / 1e6 nats/token.
+#
+# Scale shape: ONE Arrow pass emits (w, prev, prev2) position tuples
+# (the Column HOF formulation is CodegenFallback — the shingle lesson);
+# counts are groupBys with map-side combine whose width is the type
+# count, not the corpus; scoring pre-aggregates per-doc DISTINCT tuple
+# multiplicities (collapsing hot-token skew exactly like the unigram
+# tier's (id, tok) pre-agg) and joins the count tables on hashed keys —
+# AQE skew-split; broadcast_model opt-in for known-small vocabularies.
+
+
+def ngram_tuples_udf() -> Column:
+    """Arrow-batched position tuples: array<struct<w, p1, p2>> where
+    p1/p2 are the previous / previous-previous tokens (NULL at the
+    document head).  Tokenization mirrors functions/text.words exactly
+    (lowercase, ASCII edge-strip, ASCII ``\\s+`` split)."""
+    import re
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+    out_t = T.ArrayType(T.StructType([
+        T.StructField("w", T.StringType()),
+        T.StructField("p1", T.StringType()),
+        T.StructField("p2", T.StringType()),
+    ]))
+
+    @F.pandas_udf(out_t)
+    def _ng(s: pd.Series) -> pd.Series:
+        def f(t):
+            if t is None:
+                t = ""
+            t = t.lower().strip(" \t\n\r\f\v")
+            ws = ws_re.split(t) if t else []
+            return [(w,
+                     ws[i - 1] if i >= 1 else None,
+                     ws[i - 2] if i >= 2 else None)
+                    for i, w in enumerate(ws)]
+        return s.map(f)
+
+    return _ng
+
+
+def _position_tuples(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (df.select(F.col(id_col).alias("_id"),
+                      F.explode(ngram_tuples_udf()(F.col(text_col)))
+                      .alias("g"))
+            .select("_id", "g.w", "g.p1", "g.p2"))
+
+
+def ngram_surprisal_report(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           train: DataFrame | None = None,
+                           order: int = 3, alpha: float = 1.0,
+                           lam: float = 0.4,
+                           broadcast_model: bool = False) -> DataFrame:
+    """Per-document mean n-gram surprisal with stupid backoff (spec in
+    the section comment): ``(id_col, n_tok, surprisal)`` for every
+    input row.  ``order`` ∈ {2, 3}; ``train`` defaults to ``df``
+    (self-scoring — backoff then never fires for grams the document
+    itself contributes, matching the recipe's corpus-self-model tier)."""
+    if order not in (2, 3):
+        raise ValueError("order must be 2 or 3 (1 = surprisal_report)")
+    pos = _position_tuples(df, id_col, text_col)
+    # per-doc DISTINCT tuple multiplicities: every downstream join and
+    # the final sum ride on (id, w, p1, p2, _n) — hot-token repeats
+    # inside a doc collapse here, the same skew defuse as the unigram
+    # tier.  Persist: feeds the scoring joins AND (when self-scoring)
+    # all three count tables — unpinned, Catalyst re-runs the Arrow
+    # explode once per consumer.
+    dpos = (pos.groupBy("_id", "w", "p1", "p2")
+            .agg(F.count(F.lit(1)).alias("_n")).persist())
+    tbase = (_position_tuples(train, id_col, text_col) if train is not None
+             else None)
+
+    def _counts(cols, flt):
+        src = tbase if tbase is not None else dpos
+        weight = F.lit(1) if tbase is not None else F.col("_n")
+        return (src.filter(flt) if flt is not None else src) \
+            .groupBy(*cols).agg(F.sum(weight).alias("_c"))
+
+    c1 = _counts(["w"], None)
+    c2 = _counts(["p1", "w"], F.col("p1").isNotNull())
+    stats = c1.agg(F.sum("_c").alias("total"),
+                   F.count(F.lit(1)).alias("v"))
+    if broadcast_model:
+        c1, c2 = F.broadcast(c1), F.broadcast(c2)
+
+    s = (dpos
+         .join(c1.select(F.col("w"), F.col("_c").alias("_c1w")), "w", "left")
+         .join(c1.select(F.col("w").alias("p1"), F.col("_c").alias("_c1p1")),
+               "p1", "left")
+         .join(c2.select("p1", "w", F.col("_c").alias("_c2")),
+               ["p1", "w"], "left"))
+    if order == 3:
+        c3 = _counts(["p2", "p1", "w"], F.col("p2").isNotNull())
+        if broadcast_model:
+            c3 = F.broadcast(c3)
+        s = (s.join(c2.select(F.col("p1").alias("p2"),
+                              F.col("w").alias("p1"),
+                              F.col("_c").alias("_c2ctx")),
+                    ["p2", "p1"], "left")
+             .join(c3.select("p2", "p1", "w", F.col("_c").alias("_c3")),
+                   ["p2", "p1", "w"], "left"))
+    s = s.crossJoin(F.broadcast(stats))
+
+    denom = F.col("total") + F.lit(alpha) * F.col("v")
+    uni = F.log((F.coalesce("_c1w", F.lit(0)) + F.lit(alpha)) / denom)
+    big = F.when(F.col("_c2").isNotNull(),
+                 F.log(F.col("_c2") / F.col("_c1p1"))) \
+        .otherwise(F.lit(math.log(lam)) + uni)
+    if order == 3:
+        tri = F.when(F.col("_c3").isNotNull(),
+                     F.log(F.col("_c3") / F.col("_c2ctx"))) \
+            .otherwise(F.lit(math.log(lam)) + big)
+        lp = (F.when(F.col("p1").isNull(), uni)
+              .when(F.col("p2").isNull(), big)
+              .otherwise(tri))
+    else:
+        lp = F.when(F.col("p1").isNull(), uni).otherwise(big)
+    lp_q6 = F.floor(lp * F.lit(_Q)).cast("long")
+
+    scored = (s.groupBy("_id")
+              .agg(F.sum(lp_q6 * F.col("_n")).alias("_sum_q"),
+                   F.sum("_n").alias("n_tok")))
+    base = df.select(F.col(id_col))
+    return (base.join(scored.withColumnRenamed("_id", id_col),
+                      id_col, "left")
             .select(id_col,
                     F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
                     F.coalesce(

@@ -424,25 +424,37 @@ def corpus_ingest_foreach_batch(
 
     * The eval set's grams are collected ONCE here (wiring time), not
       per batch, and probed via the zero-exchange broadcast UDF.
-    * The kept-corpus "store" is the OUTPUT itself —
-      ``{out_dir}/corpus/epoch=N`` parquet; the cross-batch reference
-      reads ``epoch < current`` (partition-pruned), so a retried epoch
-      never dedups against its own half-committed write.  State lives
-      on disk as bucketable parquet, never in executor memory — the
-      reference join is dedup_against's bipartite LSH, so a 10^12-doc
-      corpus is a shuffle problem, not a memory problem.
-    * Idempotent: each epoch overwrites exactly its own partition.
+    * Cross-batch dedup state is the persisted MINHASH BAND STORE
+      (``{out_dir}/band_store``): each epoch commit also writes the
+      survivors' (band, bhash, id) rows and their shingle-hash relation
+      (functions.dedup.write_band_store), and every later batch probes
+      the store (``dedup_against_store``, ``epoch < current`` so a
+      retried epoch never probes its own half-committed write).  The
+      kept corpus TEXT is therefore never re-read and never re-shingled
+      — per-epoch cost is ∝ batch + candidates plus a columnar long
+      scan of the store, where the r4/r5 design
+      (``dedup_against(batch, whole_kept_corpus)``) re-tokenized
+      everything kept so far every epoch: total ingest compute
+      quadratic in stream length.  State lives on disk as bucketable
+      parquet, never in executor memory.
+    * Idempotent: each epoch overwrites exactly its own partitions
+      (corpus, band store, stats).
     * ``record_stats`` writes a one-row funnel per epoch
       (``{out_dir}/ingest_stats/epoch=N``: n_in → n_valid → n_clean →
-      n_quality → n_unique → n_kept) — the acceptance-rate time series
-      an ingest operator actually watches.  Each gate's frame is
-      persisted before counting so the funnel never re-runs a dedup
-      pass.
+      n_quality → n_unique → n_kept).  The funnel is computed in ONE
+      pass: every row is tagged with its exit stage (first failing
+      gate — per-row gates are pure projections, so evaluating them
+      for all rows is free and order-equivalent to the sequential
+      filter chain) and ONE aggregation over the staged frame yields
+      every count — stats adds a single extra job per epoch, not one
+      persist+count per gate (r5 VERDICT item 6).
     """
     from ..corpus import _quality_filter
     from ..functions.decontam import (collect_benchmark_grams,
                                       contamination_report_broadcast)
-    from ..functions.dedup import dedup_against, dedup_near
+    from ..functions.dedup import (connected_components,
+                                   cross_dup_pairs_stored,
+                                   ngram_jaccard_pairs, write_band_store)
     from ..plans.checkpoint import fs_exists
 
     # collect AND broadcast the eval grams once here — a per-batch
@@ -452,52 +464,111 @@ def corpus_ingest_foreach_batch(
         grams_bc = bench.sparkSession.sparkContext.broadcast(
             collect_benchmark_grams(bench, text_col, contamination_n))
     corpus_path = f"{out_dir}/corpus"
+    store_dir = f"{out_dir}/band_store"
+    kw = dict(dedup_kw or {})
+    store_kw = {p: kw[p] for p in ("k", "num_perm", "bands") if p in kw}
+    probe_kw = {p: kw[p]
+                for p in ("k", "num_perm", "bands", "bucket_cap",
+                          "persist_shingles") if p in kw}
+    _FLAGS = ["_ok_valid", "_contam", "_ok_q", "_dup_within", "_dup_cross"]
 
     def _run(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        pinned, funnel = [], {}
+        pinned = []
 
-        def gate(df, name):
-            # pin each gate's output so funnel counts and the next
-            # stage never re-run the (possibly dedup-sized) lineage
-            if record_stats:
-                df = df.persist()
-                pinned.append(df)
-                funnel[name] = df.count()
-            return df
-
-        df = gate(batch_df, "n_in")
+        # ---- per-row gates: ONE projection pass over the batch ----
         if validator is not None:
-            df = gate(validator.annotate(df).filter(F.col("passed"))
-                      .drop("violations", "passed"), "n_valid")
+            df = (validator.annotate(batch_df).drop("violations")
+                  .withColumnRenamed("passed", "_ok_valid"))
+        else:
+            df = batch_df.withColumn("_ok_valid", F.lit(True))
         if grams_bc is not None:
             rep = contamination_report_broadcast(
                 df, id_col=id_col, text_col=text_col, n=contamination_n,
                 min_matches=min_matches, grams_set=grams_bc)
-            df = gate(df.join(rep.filter("contaminated").select(id_col),
-                              id_col, "left_anti"), "n_clean")
+            df = (df.join(rep.select(id_col, "contaminated"), id_col, "left")
+                  .withColumn("_contam",
+                              F.coalesce("contaminated", F.lit(False)))
+                  .drop("contaminated"))
+        else:
+            df = df.withColumn("_contam", F.lit(False))
         if quality_bounds:
             ok = _quality_filter(df.select(id_col, text_col), id_col,
-                                 text_col, quality_bounds)
-            df = gate(df.join(ok, id_col, "left_semi"), "n_quality")
+                                 text_col, quality_bounds) \
+                .withColumn("_ok_q", F.lit(True))
+            df = (df.join(ok, id_col, "left")
+                  .withColumn("_ok_q", F.coalesce("_ok_q", F.lit(False))))
+        else:
+            df = df.withColumn("_ok_q", F.lit(True))
+
+        # ---- relational gates: dedup drop-id lists over survivors ----
+        pre_ok = (F.col("_ok_valid") & ~F.col("_contam") & F.col("_ok_q"))
         if dedup_threshold is not None:
-            df = gate(dedup_near(df, id_col, text_col,
-                                 threshold=dedup_threshold,
-                                 **dict(dedup_kw or {})), "n_unique")
-            if fs_exists(spark, corpus_path):
-                ref = (spark.read.parquet(corpus_path)
-                       .filter(F.col("epoch") < epoch_id))
-                df = dedup_against(df, ref, id_col, text_col,
-                                   threshold=dedup_threshold,
-                                   **dict(dedup_kw or {}))
-        df = gate(df, "n_kept")
-        (df.write.mode("overwrite")
-         .parquet(f"{corpus_path}/epoch={epoch_id}"))
+            surv = df.filter(pre_ok).persist()
+            pinned.append(surv)
+            pairs = ngram_jaccard_pairs(surv, id_col, text_col,
+                                        threshold=dedup_threshold, **kw)
+            comps = connected_components(pairs)
+            within = (comps.filter(F.col("node") != F.col("comp"))
+                      .select(F.col("node").alias(id_col))
+                      .withColumn("_dup_within", F.lit(True)))
+            surv2 = surv.join(within.select(id_col), id_col, "left_anti")
+            if fs_exists(spark, f"{store_dir}/bands"):
+                matched = (cross_dup_pairs_stored(
+                    surv2.select(id_col, text_col), store_dir,
+                    id_col, text_col, threshold=dedup_threshold,
+                    max_epoch=epoch_id, **probe_kw)
+                    .select(F.col("id_new").alias(id_col)).distinct()
+                    .withColumn("_dup_cross", F.lit(True)))
+            else:
+                matched = (spark.createDataFrame(
+                    [], df.select(id_col).schema)
+                    .withColumn("_dup_cross", F.lit(True)))
+            df = (df.join(within, id_col, "left")
+                  .join(matched, id_col, "left")
+                  .withColumn("_dup_within",
+                              F.coalesce("_dup_within", F.lit(False)))
+                  .withColumn("_dup_cross",
+                              F.coalesce("_dup_cross", F.lit(False))))
+        else:
+            df = (df.withColumn("_dup_within", F.lit(False))
+                  .withColumn("_dup_cross", F.lit(False)))
+
+        # ---- stage tag + single staged frame for write AND funnel ----
+        stage = (F.when(~F.col("_ok_valid"), F.lit("valid"))
+                 .when(F.col("_contam"), F.lit("clean"))
+                 .when(~F.col("_ok_q"), F.lit("quality"))
+                 .when(F.col("_dup_within"), F.lit("unique"))
+                 .when(F.col("_dup_cross"), F.lit("cross"))
+                 .otherwise(F.lit("kept")))
+        staged = df.withColumn("_stage", stage).persist()
+        pinned.append(staged)
+        kept = staged.filter(F.col("_stage") == "kept") \
+            .drop("_stage", *_FLAGS)
+        kept.write.mode("overwrite").parquet(
+            f"{corpus_path}/epoch={epoch_id}")
+        if dedup_threshold is not None:
+            # commit the survivors' bands/hashes so later epochs probe
+            # the store instead of re-shingling the kept corpus
+            write_band_store(kept.select(id_col, text_col), store_dir,
+                             epoch_id, id_col, text_col, **store_kw)
         if record_stats:
-            (spark.createDataFrame(
-                [tuple(funnel.values())],
-                ", ".join(f"{k} long" for k in funnel))
-             .write.mode("overwrite")
+            aggs = [F.count(F.lit(1)).alias("n_in")]
+            c = F.col("_ok_valid")
+            if validator is not None:
+                aggs.append(F.sum(c.cast("long")).alias("n_valid"))
+            c = c & ~F.col("_contam")
+            if grams_bc is not None:
+                aggs.append(F.sum(c.cast("long")).alias("n_clean"))
+            c = c & F.col("_ok_q")
+            if quality_bounds:
+                aggs.append(F.sum(c.cast("long")).alias("n_quality"))
+            if dedup_threshold is not None:
+                c = c & ~F.col("_dup_within")
+                aggs.append(F.sum(c.cast("long")).alias("n_unique"))
+            aggs.append(F.sum((F.col("_stage") == "kept").cast("long"))
+                        .alias("n_kept"))
+            (staged.agg(*aggs).coalesce(1).write.mode("overwrite")
              .parquet(f"{out_dir}/ingest_stats/epoch={epoch_id}"))
         for p in pinned:
             p.unpersist()

@@ -1,0 +1,228 @@
+"""Persisted MinHash band store + embedding bucket store
+(functions/dedup.py: write_band_store / cross_dup_pairs_stored /
+dedup_against_store, write_embedding_store /
+embedding_dups_against_store) — the incremental-ingest state that stops
+the streaming corpus ingest re-shingling the entire kept corpus every
+micro-batch (r5 VERDICT item 1).
+
+The ref side of a stored probe takes NO text input at all — by
+construction it cannot be re-shingled; these tests pin that the stored
+probe's output is PAIR-IDENTICAL to the recompute path over the same
+reference rows."""
+
+import math
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.functions import dedup as D
+
+_BASE = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon")
+
+_REF = [
+    (1, _BASE),
+    (2, "completely different reference content about other things "
+        "entirely with plenty of words to shingle"),
+    (3, "a third reference document living in its own epoch with "
+        "enough words to produce a healthy shingle set"),
+]
+
+_NEW = [
+    (10, _BASE + " tiny extra tail"),              # near-copy of ref 1
+    (11, "fresh new crawl content sharing nothing with the reference "
+         "corpus at all in any window"),           # unique
+    (12, "a third reference document living in its own epoch with "
+         "enough words to produce a healthy shingle set plus"),  # ≈ ref 3
+    (14, "   "),                                   # tokenless: never paired
+    (1, "identifier collision across corpora must not imply identity "
+        "of the underlying documents in any way"),  # id collides with ref 1
+]
+
+
+def _write_ref_store(spark, tmp_path, rows_by_epoch, **kw):
+    store = str(tmp_path / "band_store")
+    for epoch, rows in enumerate(rows_by_epoch):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        D.write_band_store(df, store, epoch, "doc_id", "text", **kw)
+    return store
+
+
+def test_band_store_pairs_equal_recompute(spark, tmp_path):
+    """Stored probe ≡ cross_dup_pairs over the same reference rows —
+    same pairs, same jaccard values — with the ref split over TWO
+    store epochs (the ingest shape)."""
+    store = _write_ref_store(spark, tmp_path, [_REF[:2], _REF[2:]])
+    new = spark.createDataFrame(_NEW, "doc_id long, text string")
+    ref = spark.createDataFrame(_REF, "doc_id long, text string")
+
+    want = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+            for r in D.cross_dup_pairs(new, ref, "doc_id", "text",
+                                       threshold=0.6).collect()}
+    got = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+           for r in D.cross_dup_pairs_stored(new, store, "doc_id", "text",
+                                             threshold=0.6).collect()}
+    assert got == want and {(a, b) for a, b, _ in got} == {(10, 1), (12, 3)}
+
+    kept = {r.doc_id for r in D.dedup_against_store(
+        new, store, "doc_id", "text", threshold=0.6).collect()}
+    assert kept == {11, 14, 1}
+
+
+def test_band_store_max_epoch_prunes(spark, tmp_path):
+    """max_epoch=N probes only epochs < N — the retry-idempotence
+    contract (an epoch never probes its own half-committed write)."""
+    store = _write_ref_store(spark, tmp_path, [_REF[:2], _REF[2:]])
+    new = spark.createDataFrame(_NEW, "doc_id long, text string")
+    got = {(r.id_new, r.id_ref)
+           for r in D.cross_dup_pairs_stored(
+               new, store, "doc_id", "text", threshold=0.6,
+               max_epoch=1).collect()}
+    assert got == {(10, 1)}  # ref 3 lives in epoch 1: invisible
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_band_store_fuzz_equals_recompute(spark, tmp_path, seed):
+    rng = random.Random(9100 + seed)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def doc():
+        return " ".join(rng.choices(vocab, k=rng.randrange(0, 25)))
+
+    ref_rows = [(i, doc()) for i in range(15)]
+    new_rows = [(i, doc()) for i in range(20)]
+    for t in range(3):
+        base = ref_rows[rng.randrange(len(ref_rows))][1]
+        if len(base.split()) > 8:
+            new_rows[t] = (100 + t, base + " " + vocab[t])
+
+    store = _write_ref_store(spark, tmp_path / f"s{seed}",
+                             [ref_rows[:7], ref_rows[7:]],
+                             num_perm=16, bands=8)
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    want = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+            for r in D.cross_dup_pairs(new, ref, "doc_id", "text",
+                                       threshold=0.7, num_perm=16,
+                                       bands=8).collect()}
+    got = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+           for r in D.cross_dup_pairs_stored(
+               new, store, "doc_id", "text", threshold=0.7,
+               num_perm=16, bands=8).collect()}
+    assert got == want, f"seed={seed}"
+
+
+def test_band_store_meta_guard(spark, tmp_path):
+    store = _write_ref_store(spark, tmp_path, [_REF])
+    new = spark.createDataFrame(_NEW, "doc_id long, text string")
+    with pytest.raises(ValueError, match="not .*comparable|band store"):
+        D.cross_dup_pairs_stored(new, store, "doc_id", "text",
+                                 num_perm=16).collect()
+    df = spark.createDataFrame(_REF, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        D.write_band_store(df, store, 1, "doc_id", "text", bands=4)
+    with pytest.raises(ValueError, match="no band store"):
+        D.cross_dup_pairs_stored(new, str(tmp_path / "nowhere"),
+                                 "doc_id", "text")
+
+
+def test_band_store_overflow_new_members_still_checked(spark, tmp_path):
+    """bucket_cap parity with cross_dup_pairs: overflow NEW members
+    still pair with the stored bucket's head — a capped bucket never
+    exempts a new doc."""
+    text = " ".join(f"tok{i}" for i in range(30))
+    store = _write_ref_store(spark, tmp_path, [[(0, text)]])
+    new = spark.createDataFrame([(i, text) for i in range(300)],
+                                "doc_id long, text string")
+    kept = D.dedup_against_store(new, store, "doc_id", "text",
+                                 threshold=0.9, bucket_cap=5)
+    assert kept.count() == 0
+
+
+def test_ingest_cross_dedup_never_reads_corpus_text(spark, tmp_path):
+    """The streaming ingest's cross-batch dedup must run entirely off
+    the band store: after epoch 0 commits, DELETE the kept corpus —
+    epoch 1's near-dup is still dropped (the old design read and
+    re-shingled {out}/corpus and would die here)."""
+    import shutil
+
+    from cerberus_spark.streaming.validate_stream import (
+        corpus_ingest_foreach_batch,
+    )
+
+    out = str(tmp_path / "out")
+    cb = corpus_ingest_foreach_batch(
+        out, id_col="doc_id", text_col="text", dedup_threshold=0.6,
+        record_stats=False)
+    ddl = "doc_id string, text string"
+    cb(spark.createDataFrame([("a", _BASE)], ddl), 0)
+    shutil.rmtree(f"{out}/corpus")  # the text is GONE
+    cb(spark.createDataFrame([("z", _BASE + " tail"),
+                              ("f", "a genuinely fresh document with "
+                                    "plenty of new content words")], ddl), 1)
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept == {"f"}  # z deduped against the store; a's text deleted
+
+
+# ---------------------------------------------------------------------------
+# embedding bucket store
+# ---------------------------------------------------------------------------
+
+
+def _vecs(rng, n, dim):
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+
+
+def test_embedding_store_pairs_equal_recompute(spark, tmp_path):
+    rng = random.Random(41)
+    dim = 12
+    ref_rows = [(i, v) for i, v in enumerate(_vecs(rng, 12, dim))]
+    new_rows = [(i, v) for i, v in enumerate(_vecs(rng, 12, dim))]
+    for t in range(3):  # plant cross near-dups
+        v = ref_rows[t][1]
+        new_rows[t] = (200 + t, [x + rng.gauss(0, 0.01) for x in v])
+
+    store = str(tmp_path / "emb_store")
+    ref = spark.createDataFrame(ref_rows, "vec_id long, emb array<double>")
+    new = spark.createDataFrame(new_rows, "vec_id long, emb array<double>")
+    half = len(ref_rows) // 2
+    for epoch, rows in enumerate([ref_rows[:half], ref_rows[half:]]):
+        D.write_embedding_store(
+            spark.createDataFrame(rows, "vec_id long, emb array<double>"),
+            store, epoch, "vec_id", "emb", n_bits=8, n_tables=8)
+
+    want = {(r.id_new, r.id_ref, round(r.cosine, 9))
+            for r in D.embedding_dups_against(
+                new, ref, "vec_id", "emb", threshold=0.98, dim=dim,
+                n_bits=8, n_tables=8).collect()}
+    got = {(r.id_new, r.id_ref, round(r.cosine, 9))
+           for r in D.embedding_dups_against_store(
+               new, ref, store, "vec_id", "emb",
+               threshold=0.98).collect()}
+    assert got == want and len(got) >= 3
+
+    # max_epoch pruning: only epoch-0 refs (ids 0..half-1) visible
+    got0 = {(r.id_new, r.id_ref)
+            for r in D.embedding_dups_against_store(
+                new, ref, store, "vec_id", "emb", threshold=0.98,
+                max_epoch=1).collect()}
+    want0 = {(a, b) for a, b, _ in want if b < half}
+    assert got0 == want0 and want0  # planted pairs all sit in epoch 0
+
+
+def test_embedding_store_meta_pins_params(spark, tmp_path):
+    rng = random.Random(5)
+    store = str(tmp_path / "emb_store")
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_vecs(rng, 4, 8))],
+        "vec_id long, emb array<double>")
+    D.write_embedding_store(df, store, 0, "vec_id", "emb",
+                            n_bits=6, n_tables=4, seed=7)
+    with pytest.raises(ValueError, match="pinned"):
+        D.write_embedding_store(df, store, 1, "vec_id", "emb",
+                                n_bits=6, n_tables=4, seed=8)
+    with pytest.raises(ValueError, match="no embedding store"):
+        D.embedding_dups_against_store(df, df, str(tmp_path / "nope"),
+                                       "vec_id", "emb")

@@ -110,3 +110,112 @@ def test_document_error_tree_queries(spark):
     assert dt.fetch_node_from(("nope",)) is None
     st = SchemaErrorTree(rows)
     assert [hex(e["code"]) for e in st.fetch_errors_from(("n", "min"))] == ["0x42"]
+
+
+# ---------------------------------------------------------------------------
+# pluggable error handler (reference validator.py:96-102,177-207;
+# errors.py:358-446,461-560)
+# ---------------------------------------------------------------------------
+
+
+def _vrow(doc_path, schema_path, code, rule, constraint, value, info=None):
+    return {"document_path": list(doc_path), "schema_path": list(schema_path),
+            "code": code, "rule": rule, "constraint": constraint,
+            "value": value, "info": info}
+
+
+def test_basic_error_handler_ported():
+    """Port of the reference's test_basic_error_handler
+    (tests/test_errors.py:298-330) over violation rows: the same
+    incremental error sequence renders the same trees."""
+    handler = E.BasicErrorHandler()
+    rows, ref = [], {}
+
+    rows.append(_vrow(["foo"], ["foo"], 0x63, "readonly", "true", None))
+    ref.update({"foo": [handler.messages[0x63]]})
+    assert handler(rows) == ref
+
+    rows.append(_vrow(["bar"], ["foo"], 0x42, "min", "1", "2"))
+    ref.update({"bar": [handler.messages[0x42].format(constraint="1")]})
+    assert handler(rows) == ref
+
+    rows.append(_vrow(["zap", "foo"], ["zap", "schema", "foo"],
+                      0x24, "type", "string", "true"))
+    ref.update({"zap": [{"foo": [handler.messages[0x24]
+                                 .format(constraint="string")]}]})
+    assert handler(rows) == ref
+
+    rows.append(_vrow(["zap", "foo"], ["zap", "schema", "foo"],
+                      0x41, "regex", "^p[äe]ng$", "boom"))
+    ref["zap"][0]["foo"].append(
+        handler.messages[0x41].format(constraint="^p[äe]ng$"))
+    assert handler(rows) == ref
+
+
+def test_init_error_handler_accepted_shapes():
+    assert isinstance(E.init_error_handler(E.BasicErrorHandler),
+                      E.BasicErrorHandler)
+    inst = E.BasicErrorHandler()
+    assert E.init_error_handler(inst) is inst
+    got = E.init_error_handler((E.BasicErrorHandler, {"tree": {"x": []}}))
+    assert got.tree == {"x": []}
+    with pytest.raises(RuntimeError, match="Invalid error_handler"):
+        E.init_error_handler(object())
+    with pytest.raises(RuntimeError, match="Invalid error_handler"):
+        E.init_error_handler(dict)
+
+
+def test_toy_error_handler_never_renders():
+    with pytest.raises(RuntimeError, match="not supposed to happen"):
+        E.ToyErrorHandler()([])
+
+
+def test_custom_handler_drives_result_errors(spark):
+    """SparkValidator(error_handler=...) injects the formatter that
+    ValidationResult.errors() renders through — and the default
+    BasicErrorHandler renders the SAME tree the reference's does on a
+    shared fixture."""
+    from cerberus_spark import SparkValidator
+
+    schema = {
+        "role": {"type": "string", "allowed": ["a", "b"]},
+        "n": {"type": "integer", "min": 0},
+    }
+    row = {"role": "z", "n": -1}
+    df = spark.createDataFrame([tuple(row.values())], "role string, n int")
+
+    # default handler == reference BasicErrorHandler tree
+    got = SparkValidator(schema).validate(df).errors()
+    sys.path.insert(0, "/root/reference")
+    import cerberus
+
+    ref = cerberus.Validator(schema, allow_unknown=True)
+    ref.validate(dict(row))
+    assert got == ref.errors
+
+    # a custom handler (class shape + config tuple shape)
+    class FlatHandler(E.BaseErrorHandler):
+        def __init__(self, sep=": "):
+            self.sep = sep
+            self.rows = []
+
+        def add(self, row):
+            self.rows.append(row)
+
+        def __call__(self, rows):
+            self.rows = []
+            self.extend(rows)
+            return [
+                ".".join(r["document_path"]) + self.sep
+                + E.format_message(r["code"], constraint=r["constraint"],
+                                   value=r["value"],
+                                   field=r["document_path"][-1])
+                for r in self.rows
+            ]
+
+    flat = SparkValidator(schema, error_handler=FlatHandler).validate(df)
+    assert flat.errors() == ["n: min value is 0", "role: unallowed value z"]
+    cfg = SparkValidator(schema,
+                         error_handler=(FlatHandler, {"sep": " -> "}))
+    assert cfg.validate(df).errors() == [
+        "n -> min value is 0", "role -> unallowed value z"]

@@ -127,6 +127,34 @@ def test_corpus_ingest_funnel_stats(spark, tmp_path):
     assert stats[1]["n_unique"] == 2 and stats[1]["n_kept"] == 1
 
 
+def test_corpus_ingest_stats_cost_is_one_aggregation(spark, tmp_path):
+    """record_stats must not multiply per-epoch actions (r5 VERDICT
+    item 6): the funnel is ONE aggregation over the staged frame, so
+    an epoch with stats on runs at most 2 more Spark jobs than the
+    same epoch with stats off (the old design ran persist+count per
+    gate — 6 extra jobs)."""
+    from cerberus_spark import SparkValidator
+
+    bench = spark.createDataFrame([(_EVAL,)], "text string")
+    ddl = "doc_id string, lang string, text string"
+    batch = spark.createDataFrame(_FILE1, ddl)
+    tracker = spark.sparkContext.statusTracker()
+
+    def run(stats, out):
+        v = SparkValidator(_SCHEMA, key_cols=("doc_id",))
+        cb = corpus_ingest_foreach_batch(
+            out, bench=bench, id_col="doc_id", text_col="text",
+            validator=v, quality_bounds={"tokens": (3, None)},
+            contamination_n=5, dedup_threshold=0.6, record_stats=stats)
+        before = len(tracker.getJobIdsForGroup(None))
+        cb(batch, 0)
+        return len(tracker.getJobIdsForGroup(None)) - before
+
+    base = run(False, str(tmp_path / "off"))
+    with_stats = run(True, str(tmp_path / "on"))
+    assert with_stats - base <= 2, (base, with_stats)
+
+
 def test_corpus_ingest_forwards_dedup_kw_to_cross_pass(spark, tmp_path):
     """dedup_kw must be accepted by BOTH the within-batch and the
     cross-corpus dedup (epoch >= 1 regression: persist_shingles used

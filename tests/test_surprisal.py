@@ -111,3 +111,134 @@ def test_self_scoring_single_corpus_tokenization(spark):
     plan = (S.surprisal_report(df)._jdf.queryExecution()
             .executedPlan().toString())
     assert plan.count("InMemoryTableScan") >= 3
+
+
+# ---------------------------------------------------------------------------
+# n-gram stupid-backoff surprisal (ngram_surprisal_report)
+# ---------------------------------------------------------------------------
+
+
+def _ref_ngram(rows, order=3, alpha=1.0, lam=0.4, train=None):
+    """Pure-Python replay of the quantized stupid-backoff spec."""
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def toks(t):
+        return [w for w in ws_re.split((t or "").lower().strip()) if w]
+
+    train = train if train is not None else rows
+    from collections import Counter
+
+    c1, c2, c3 = Counter(), Counter(), Counter()
+    for _, txt in train:
+        ts = toks(txt)
+        for i, w in enumerate(ts):
+            c1[w] += 1
+            if i >= 1:
+                c2[(ts[i - 1], w)] += 1
+            if i >= 2:
+                c3[(ts[i - 2], ts[i - 1], w)] += 1
+    total, v = sum(c1.values()), len(c1)
+    denom = total + alpha * v
+
+    def lp(ts, i):
+        w = ts[i]
+        uni = math.log((c1.get(w, 0) + alpha) / denom)
+        if i == 0 or order < 2:
+            return uni
+        p1 = ts[i - 1]
+        big = (math.log(c2[(p1, w)] / c1[p1]) if (p1, w) in c2
+               else math.log(lam) + uni)
+        if i == 1 or order < 3:
+            return big
+        p2 = ts[i - 2]
+        return (math.log(c3[(p2, p1, w)] / c2[(p2, p1)])
+                if (p2, p1, w) in c3 else math.log(lam) + big)
+
+    out = {}
+    for i, txt in rows:
+        ts = toks(txt)
+        if not ts:
+            out[i] = (0, 0.0)
+        else:
+            sq = sum(math.floor(lp(ts, j) * 1e6) for j in range(len(ts)))
+            out[i] = (len(ts), (-sq) / len(ts) / 1e6)
+    return out
+
+
+def test_ngram_surprisal_planted_self_scoring(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id string, text string")
+    got = {r.doc_id: (r.n_tok, r.surprisal)
+           for r in S.ngram_surprisal_report(df, order=3).collect()}
+    want = _ref_ngram(_DOCS, order=3)
+    assert got == want
+    assert got["empty"] == (0, 0.0) and got["null"] == (0, 0.0)
+    # self-scoring: "the the the" makes trigram/bigram continuations
+    # near-deterministic -> mean surprisal drops vs the unigram tier
+    uni = {r.doc_id: r.surprisal for r in S.surprisal_report(df).collect()}
+    assert got["common"][1] < uni["common"]
+
+
+def test_ngram_surprisal_backoff_against_foreign_model(spark):
+    """A foreign model exercises every backoff branch: seen trigram,
+    unseen trigram/seen bigram (one lambda), unseen bigram (two
+    lambdas), and OOV unigram."""
+    train_rows = [("t", "a b c a b d a b c x y")]
+    rows = [
+        ("tri", "a b c"),     # trigram (a,b,c) seen
+        ("big", "x a b"),     # (x,a) unseen bigram, (a,b) seen
+        ("oov", "zz qq"),     # everything OOV
+        ("mix", "c x y a"),   # (c,x) seen? c x appears -> yes; (x,y,a)?
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id string, text string")
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for order in (2, 3):
+        got = {r.doc_id: (r.n_tok, round(r.surprisal, 9))
+               for r in S.ngram_surprisal_report(
+                   df, train=train, order=order).collect()}
+        want = {k: (n, round(s, 9))
+                for k, (n, s) in _ref_ngram(rows, order=order,
+                                            train=train_rows).items()}
+        assert got == want, f"order={order}"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_ngram_surprisal_fuzz_vs_python(spark, seed):
+    rng = random.Random(8800 + seed)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> dense n-grams
+
+    def doc():
+        return " ".join(rng.choices(vocab, k=rng.randrange(0, 15)))
+
+    rows = [(i, doc()) for i in range(25)]
+    train_rows = [(i, doc()) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    # self-scoring AND foreign-model, both orders
+    for order in (2, 3):
+        got = {r.doc_id: (r.n_tok, round(r.surprisal, 9))
+               for r in S.ngram_surprisal_report(df, order=order).collect()}
+        want = {k: (n, round(s, 9))
+                for k, (n, s) in _ref_ngram(rows, order=order).items()}
+        assert got == want, f"self order={order} seed={seed}"
+        got = {r.doc_id: (r.n_tok, round(r.surprisal, 9))
+               for r in S.ngram_surprisal_report(
+                   df, train=train, order=order).collect()}
+        want = {k: (n, round(s, 9))
+                for k, (n, s) in _ref_ngram(rows, order=order,
+                                            train=train_rows).items()}
+        assert got == want, f"foreign order={order} seed={seed}"
+
+
+def test_ngram_surprisal_partitioning_invariant(spark):
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(1, 12))))
+            for i in range(40)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    df8 = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(8)
+    a = {r.doc_id: (r.n_tok, r.surprisal)
+         for r in S.ngram_surprisal_report(df1).collect()}
+    b = {r.doc_id: (r.n_tok, r.surprisal)
+         for r in S.ngram_surprisal_report(df8).collect()}
+    assert a == b  # micro-nat BIGINT sums: bit-identical across plans
