@@ -10,6 +10,7 @@ oracle tests (tests/test_differential_oracle.py) against the reference.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -808,6 +809,45 @@ def q_surprisal_documents(spark, sf_dir):
     return SP.surprisal_report(docs, "doc_id", "text")
 
 
+def q_ngram_surprisal_documents(spark, sf_dir):
+    """Self-scored TRIGRAM surprisal with stupid backoff (Brants et
+    al. 2007 — the web-scale LM-quality tier above the unigram one):
+    position i scores at the highest order its left context allows,
+    falling back ln(0.4) per order when the gram is unseen.  Same
+    micro-nat integer quantization, so per-doc sums stay exact BIGINT
+    arithmetic in both engines (functions/surprisal.py spec)."""
+    from cerberus_spark.functions import surprisal as SP
+
+    docs = _read(spark, sf_dir, "documents")
+    return SP.ngram_surprisal_report(docs, "doc_id", "text", order=3)
+
+
+def q_cross_dedup_stored_documents(spark, sf_dir):
+    """The BAND-STORE form of cross_dedup_documents: the reference
+    partition is committed once to a persisted (band, bhash, id) +
+    shingle-hash store (the streaming ingest appends one such epoch
+    per micro-batch), and the new batch probes the STORE — the
+    reference text is never re-shingled (functions/dedup.py:
+    write_band_store / cross_dup_pairs_stored — the fix for the r5
+    quadratic-ingest flag).  Shares cross_dedup_documents' exact
+    all-bipartite-pairs DuckDB twin: a hash match certifies the
+    stored path end-to-end under the driver gate."""
+    import tempfile
+
+    from cerberus_spark.functions import dedup as DD
+
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 < 3)
+    new = docs.filter(F.col("doc_id") % 10 >= 3)
+    store = tempfile.mkdtemp(prefix="band_store_oracle_")
+    DD.write_band_store(ref, store, epoch=0, id_col="doc_id",
+                        text_col="text")
+    pairs = DD.cross_dup_pairs_stored(new, store, "doc_id", "text",
+                                      threshold=0.6)
+    return pairs.select("id_new", "id_ref",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_corpus_transcripts(spark, sf_dir):
     """END-TO-END corpus assembly (cerberus_spark/corpus.py) over the
     transcripts fixture: per-turn rule validation (flagship schema) →
@@ -944,7 +984,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample_documents": q_mixture_resample_documents,
         "corpus_transcripts": q_corpus_transcripts,
         "surprisal_documents": q_surprisal_documents,
+        "ngram_surprisal_documents": q_ngram_surprisal_documents,
         "cross_dedup_documents": q_cross_dedup_documents,
+        "cross_dedup_stored_documents": q_cross_dedup_stored_documents,
         "cross_embedding_dups": q_cross_embedding_dups,
         "excise_documents": q_excise_documents,
     }
@@ -1399,6 +1441,60 @@ model AS (SELECT tok,
 dt AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY doc_id, tok),
 sc AS (SELECT doc_id, sum(lp * n) AS sq, sum(n) AS n_tok
        FROM dt JOIN model USING (tok) GROUP BY doc_id)
+SELECT w.doc_id, coalesce(sc.n_tok, 0)::BIGINT AS n_tok,
+       coalesce((-sc.sq) / sc.n_tok / 1000000.0, 0.0)::DOUBLE AS surprisal
+FROM w LEFT JOIN sc USING (doc_id)
+"""
+
+#: trigram stupid-backoff twin (functions/surprisal.py
+#: ngram_surprisal_report spec, shared verbatim): position tuples
+#: (w, p1, p2) via 1-indexed list subscripts; count tables c1/c2/c3
+#: from the same positions (self-scoring); backoff chain
+#: tri = seen ? ln(c3/c2ctx) : ln(0.4)+big, big = seen ? ln(c2/c1p1)
+#: : ln(0.4)+uni, uni = add-1 smoothing; head positions score at the
+#: highest order their left context allows.  ln(0.4) is pinned to the
+#: Python double repr(math.log(0.4)) so both engines add the
+#: bit-identical constant; quantization floor(lp·1e6) makes per-doc
+#: sums exact BIGINT arithmetic, partitioning/engine invariant.
+_NGRAM_SURPRISAL_SQL = f"""
+WITH w AS (SELECT doc_id, {{words}} AS ws FROM documents),
+pos AS (SELECT doc_id,
+               ws[i] AS w,
+               CASE WHEN i >= 2 THEN ws[i - 1] END AS p1,
+               CASE WHEN i >= 3 THEN ws[i - 2] END AS p2
+        FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+dpos AS (SELECT doc_id, w, p1, p2, count(*) AS n
+         FROM pos GROUP BY doc_id, w, p1, p2),
+c1 AS (SELECT w, count(*) AS c FROM pos GROUP BY w),
+c2 AS (SELECT p1, w, count(*) AS c FROM pos
+       WHERE p1 IS NOT NULL GROUP BY p1, w),
+c3 AS (SELECT p2, p1, w, count(*) AS c FROM pos
+       WHERE p2 IS NOT NULL GROUP BY p2, p1, w),
+st AS (SELECT sum(c) AS total, count(*) AS v FROM c1),
+j AS (SELECT d.doc_id, d.n, d.p1, d.p2, u.c AS c1w, up.c AS c1p1,
+             b.c AS c2wp, ctx.c AS c2ctx, t3.c AS c3w
+      FROM dpos d
+      LEFT JOIN c1 u ON u.w = d.w
+      LEFT JOIN c1 up ON up.w = d.p1
+      LEFT JOIN c2 b ON b.p1 = d.p1 AND b.w = d.w
+      LEFT JOIN c2 ctx ON ctx.p1 = d.p2 AND ctx.w = d.p1
+      LEFT JOIN c3 t3 ON t3.p2 = d.p2 AND t3.p1 = d.p1 AND t3.w = d.w),
+lp AS (SELECT doc_id, n,
+              CASE WHEN p1 IS NULL THEN uni
+                   WHEN p2 IS NULL THEN big
+                   ELSE CASE WHEN c3w IS NOT NULL THEN ln(c3w / c2ctx)
+                             ELSE {{lnlam}} + big END
+              END AS lp
+       FROM (SELECT *,
+                    CASE WHEN c2wp IS NOT NULL THEN ln(c2wp / c1p1)
+                         ELSE {{lnlam}} + uni END AS big
+             FROM (SELECT j.*,
+                          ln((coalesce(c1w, 0) + 1.0)
+                             / (st.total + 1.0 * st.v)) AS uni
+                   FROM j, st))),
+sc AS (SELECT doc_id, sum(floor(lp * 1000000.0)::BIGINT * n) AS sq,
+              sum(n) AS n_tok
+       FROM lp GROUP BY doc_id)
 SELECT w.doc_id, coalesce(sc.n_tok, 0)::BIGINT AS n_tok,
        coalesce((-sc.sq) / sc.n_tok / 1000000.0, 0.0)::DOUBLE AS surprisal
 FROM w LEFT JOIN sc USING (doc_id)
@@ -1960,7 +2056,11 @@ def oracle_sql() -> dict[str, str]:
         "mixture_resample_documents": _MIXTURE_SQL,
         "corpus_transcripts": _corpus_oracle_sql(),
         "surprisal_documents": _SURPRISAL_SQL.format(words=_DUCK_WORDS),
+        "ngram_surprisal_documents": _NGRAM_SURPRISAL_SQL.format(
+            words=_DUCK_WORDS, lnlam=repr(math.log(0.4))),
         "cross_dedup_documents": _CROSS_DEDUP_SQL.format(
+            words=_DUCK_WORDS, shingles=_DUCK_SHINGLES),
+        "cross_dedup_stored_documents": _CROSS_DEDUP_SQL.format(
             words=_DUCK_WORDS, shingles=_DUCK_SHINGLES),
         "cross_embedding_dups": _CROSS_EMBEDDING_SQL,
         "excise_documents": _EXCISE_SQL,
