@@ -629,6 +629,32 @@ def _check_store_meta(spark, store_dir: str, k: int, num_perm: int,
         raise ValueError(f"no band store at {store_dir} (missing meta)")
 
 
+def _read_epochs(spark, table_dir: str, max_epoch: int | None):
+    """Read an epoch-partitioned store table by EXPLICIT epoch-dir
+    paths (listed at plan time) instead of a bare parent-dir scan.
+
+    Two reasons, both cache-staleness classes this repo hit live:
+    (1) Spark's CacheManager substitutes cached relations by
+    canonicalized plan — a persisted frame from a probe BEFORE an
+    epoch append / compaction would silently replace an identical
+    parent-path scan and serve pre-mutation data (or FILE_NOT_EXIST
+    after compaction); path-set reads make every store mutation change
+    the plan, so stale entries can never sameResult-match.
+    (2) ``max_epoch`` becomes PATH pruning — retried half-written
+    epochs are never even listed, let alone filtered.  Returns None
+    when no matching epoch exists."""
+    from ..plans.checkpoint import fs_list
+
+    names = [n for n in fs_list(spark, table_dir) if n.startswith("epoch=")]
+    if max_epoch is not None:
+        names = [n for n in names
+                 if int(n.split("=", 1)[1]) < max_epoch]
+    if not names:
+        return None
+    return (spark.read.option("basePath", table_dir)
+            .parquet(*[f"{table_dir}/{n}" for n in sorted(names)]))
+
+
 def write_band_store(df: DataFrame, store_dir: str, epoch: int,
                      id_col: str, text_col: str, k: int = 3,
                      num_perm: int = 32, bands: int = 8) -> None:
@@ -655,6 +681,11 @@ def write_band_store(df: DataFrame, store_dir: str, epoch: int,
                 f"{store_dir}/bands/epoch={epoch}"))
     finally:
         sh64.unpersist()
+    # Spark's write only refreshes the epoch=N child path; a cached
+    # plan scanning the PARENT ({store}/bands) — e.g. a persisted
+    # verify frame from an earlier probe — would be silently
+    # substituted for the next probe's scan and miss this epoch
+    df.sparkSession.catalog.refreshByPath(store_dir)
 
 
 def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
@@ -678,11 +709,12 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
 
     spark = new.sparkSession
     _check_store_meta(spark, store_dir, k, num_perm, bands, create=False)
-    ref_bands = spark.read.parquet(f"{store_dir}/bands")
-    ref_hashes = spark.read.parquet(f"{store_dir}/hashes")
-    if max_epoch is not None:
-        ref_bands = ref_bands.filter(F.col("epoch") < max_epoch)
-        ref_hashes = ref_hashes.filter(F.col("epoch") < max_epoch)
+    ref_bands = _read_epochs(spark, f"{store_dir}/bands", max_epoch)
+    ref_hashes = _read_epochs(spark, f"{store_dir}/hashes", max_epoch)
+    if ref_bands is None or ref_hashes is None:
+        id_type = dict(new.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"id_new {id_type}, id_ref {id_type}, jaccard double")
 
     nf = new.filter(F.size(words(F.col(text_col))) > 0)
     sh64_new = _sh64_df(nf, id_col, text_col, k)
@@ -757,6 +789,120 @@ def dedup_against_store(new: DataFrame, store_dir: str, id_col: str,
                                       threshold=threshold, **kw)
                .select(F.col("id_new").alias(id_col)).distinct())
     return new.join(matched, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# epoch-store compaction — lifecycle for the band/bucket stores
+# ---------------------------------------------------------------------------
+#
+# A long-running ingest appends one ``epoch=N`` partition per
+# micro-batch; after 10^5 epochs the store is 10^5 small parquet
+# directories and every probe's scan is file-listing-bound.  Compaction
+# rewrites all partitions below a watermark into ONE right-sized
+# partition labeled ``epoch = upto - 1``: any probe with
+# ``max_epoch >= upto`` (the ingest always probes with max_epoch = the
+# CURRENT epoch, which is > every compacted one) reads exactly the same
+# rows before and after.  Contract: never compact an epoch that may
+# still retry (pass ``upto <= `` the lowest epoch still in flight).
+#
+# Crash safety on a plain filesystem (no transactional catalog): the
+# compacted data is fully written under ``_compact_tmp`` first, then a
+# commit MARKER (a one-row parquet whose ``_SUCCESS`` is the commit
+# point) is written, and only then are the old partitions deleted and
+# the tmp renamed in.  Every phase is idempotently re-runnable:
+# ``recover_epoch_store`` (called automatically at the start of every
+# compaction) rolls an un-committed crash back and rolls a committed
+# one forward.  Single-writer: run compaction from the same maintenance
+# loop that owns epoch commits, never concurrently with a probe — on a
+# real deployment this whole protocol is one Iceberg REPLACE commit.
+
+
+def recover_epoch_store(spark, store_dir: str,
+                        tables: tuple[str, ...]) -> None:
+    """Finish or roll back a crashed :func:`compact_epoch_store` run.
+    Safe to call when nothing is in flight (no-op)."""
+    from ..plans.checkpoint import fs_delete, fs_exists
+
+    marker = f"{store_dir}/_compact"
+    tmp = f"{store_dir}/_compact_tmp"
+    if not fs_exists(spark, f"{marker}/_SUCCESS"):
+        # crash BEFORE the commit point: the store proper was never
+        # touched — scrap the half-written tmp
+        fs_delete(spark, tmp)
+        fs_delete(spark, marker)
+        return
+    upto = spark.read.parquet(marker).first()["upto"]
+    _compact_finalize(spark, store_dir, tables, int(upto))
+
+
+def _compact_finalize(spark, store_dir: str, tables: tuple[str, ...],
+                      upto: int) -> None:
+    """Post-commit phase, idempotent per table: a table whose tmp dir
+    is gone was already swapped by a previous (possibly crashed) run."""
+    from ..plans.checkpoint import fs_delete, fs_exists, fs_list, fs_rename
+
+    tmp = f"{store_dir}/_compact_tmp"
+    for table in tables:
+        tsrc = f"{tmp}/{table}"
+        if not fs_exists(spark, tsrc):
+            continue
+        for name in fs_list(spark, f"{store_dir}/{table}"):
+            if name.startswith("epoch=") and int(name.split("=", 1)[1]) < upto:
+                fs_delete(spark, f"{store_dir}/{table}/{name}")
+        fs_rename(spark, tsrc, f"{store_dir}/{table}/epoch={upto - 1}")
+    fs_delete(spark, f"{store_dir}/_compact")
+    fs_delete(spark, tmp)
+    # the swap happened behind Spark's back (raw FS rename): drop any
+    # cached plan that scanned the old partition files
+    spark.catalog.refreshByPath(store_dir)
+
+
+def compact_epoch_store(spark, store_dir: str, tables: tuple[str, ...],
+                        upto: int,
+                        target_partitions: int | None = None) -> bool:
+    """Compact every ``epoch < upto`` partition of each table into one
+    partition labeled ``epoch = upto - 1``.  Returns False when there
+    is nothing to do (≤1 live partition below the watermark)."""
+    from ..plans.checkpoint import fs_exists, fs_list
+
+    if not fs_exists(spark, f"{store_dir}/meta"):
+        raise ValueError(f"no epoch store at {store_dir} (missing meta)")
+    recover_epoch_store(spark, store_dir, tables)
+    live = [n for n in fs_list(spark, f"{store_dir}/{tables[0]}")
+            if n.startswith("epoch=") and int(n.split("=", 1)[1]) < upto]
+    if len(live) <= 1:
+        return False
+    if target_partitions is None:
+        target_partitions = max(1, spark.sparkContext.defaultParallelism)
+    tmp = f"{store_dir}/_compact_tmp"
+    for table in tables:
+        src = _read_epochs(spark, f"{store_dir}/{table}", upto)
+        if src is None:
+            continue
+        (src.drop("epoch").repartition(target_partitions)
+         .write.mode("overwrite").parquet(f"{tmp}/{table}"))
+    # the _SUCCESS of this one-row write IS the commit point: before
+    # it, recovery rolls back; after it, recovery rolls forward
+    spark.createDataFrame([(int(upto),)], "upto int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{store_dir}/_compact")
+    _compact_finalize(spark, store_dir, tables, upto)
+    return True
+
+
+def compact_band_store(spark, store_dir: str, upto: int,
+                       target_partitions: int | None = None) -> bool:
+    """:func:`compact_epoch_store` over the MinHash band store's two
+    tables (bands, hashes)."""
+    return compact_epoch_store(spark, store_dir, ("bands", "hashes"),
+                               upto, target_partitions)
+
+
+def compact_embedding_store(spark, store_dir: str, upto: int,
+                            target_partitions: int | None = None) -> bool:
+    """:func:`compact_epoch_store` over the embedding bucket store."""
+    return compact_epoch_store(spark, store_dir, ("buckets",),
+                               upto, target_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -1001,6 +1147,8 @@ def write_embedding_store(df: DataFrame, store_dir: str, epoch: int,
     planes = [hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
     (_emb_bucket_rows(df, id_col, emb_col, planes, dim, n_bits, n_tables)
      .write.mode("overwrite").parquet(f"{store_dir}/buckets/epoch={epoch}"))
+    # see write_band_store: invalidate cached parent-path scans
+    spark.catalog.refreshByPath(store_dir)
 
 
 def embedding_dups_against_store(new: DataFrame, ref: DataFrame,
@@ -1034,9 +1182,11 @@ def embedding_dups_against_store(new: DataFrame, ref: DataFrame,
                              n_tables)
             .select(F.col("_id").alias("id_new"), "tbl", "bkt")
             .persist(StorageLevel.MEMORY_AND_DISK))
-    store = spark.read.parquet(f"{store_dir}/buckets")
-    if max_epoch is not None:
-        store = store.filter(F.col("epoch") < max_epoch)
+    store = _read_epochs(spark, f"{store_dir}/buckets", max_epoch)
+    if store is None:
+        id_type = dict(new.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"id_new {id_type}, id_ref {id_type}, cosine double")
     touched = newb.select("tbl", "bkt").distinct()
     refb_all = (store.join(F.broadcast(touched), ["tbl", "bkt"], "left_semi")
                 .select("tbl", "bkt", F.col("_id").alias("id_ref")))

@@ -54,6 +54,28 @@ def fs_delete(spark: SparkSession, path: str) -> None:
         fs.delete(hpath, True)
 
 
+def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Directory rename via the Hadoop FileSystem (atomic on HDFS and
+    posix local filesystems; object stores emulate it — callers needing
+    true atomicity there should sit behind a table catalog).  Raises if
+    the rename is refused (e.g. destination exists)."""
+    jvm = spark.sparkContext._jvm
+    hsrc = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hsrc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename {src} -> {dst} refused by the filesystem")
+
+
+def fs_list(spark: SparkSession, path: str) -> list[str]:
+    """Child names (not full paths) of a directory; [] if absent."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
 def part_id_col(conv_col: str = "conv_id", n_parts: int = 64):
     """Stable partition id: pmod(xxhash64(conv_id), n_parts).
 

@@ -1,0 +1,262 @@
+"""Production-dim probe for the embedding family (VERDICT r5 item 5).
+
+The 100-TB claim for the semantic family previously rested on 64-dim
+fixture evidence; this probe measures at dim=768 / 1M vectors:
+
+1. the Arrow-matmul vs Column-HOF exact-cosine crossover
+   (similarity.COSINE_DIM_BUDGET=64 was set from fixture-scale
+   measurements) — full-scan scoring wall at a ladder of dims on a
+   fixed 200k-row slice, both paths;
+2. N→4N parallelism for embedding_near_dups / ivf_topk /
+   brute_force_topk at dim=768, with the same executor-CPU
+   decomposition as the other probes (CPU-seconds are
+   co-tenant-invariant; the wall/CPU gap on one box is the shared
+   memory-bus stall a real 4N-executor cluster does not have).
+
+Vectors are synthesized DETERMINISTICALLY Spark-side (splitmix64 of
+id*dim+j mapped to [-1,1), float32) with ~1% planted near-copies
+(id % 97 == 1 → vec(id-1) + 0.05·vec(id)) so the LSH verify join has
+real work.  No external data, no driver-side generation.
+
+Invocation: ``python scripts/embedding_scale_probe.py`` runs the
+crossover at the highest level then both levels in EPROBE_LEVELS
+(default "4,16"); with EPROBE_CPUS set it runs one level and prints
+one JSON line (the multi-level parent spawns these so each level gets
+a fresh JVM pinned to N threads).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_ROWS = int(os.environ.get("EPROBE_ROWS", 1_000_000))
+DIM = int(os.environ.get("EPROBE_DIM", 768))
+X_ROWS = int(os.environ.get("EPROBE_XROWS", 200_000))
+X_DIMS = [int(d) for d in
+          os.environ.get("EPROBE_XDIMS", "16,64,128,256,768").split(",")]
+REPS = int(os.environ.get("EPROBE_REPS", 2))
+
+
+def _gen_matrix(ids, dim):
+    """(len(ids), dim) float32 in [-1, 1): splitmix64(id*dim + j) —
+    deterministic, partition/order invariant, vectorized."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.uint64)
+    j = np.arange(dim, dtype=np.uint64)[None, :]
+    x = ids[:, None] * np.uint64(dim) + j
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return ((z >> np.uint64(11)).astype(np.float64)
+            / float(1 << 53) * 2.0 - 1.0).astype(np.float32)
+
+
+def synth(spark, n, dim):
+    """(vec_id, embedding array<float>) with planted near-copies at
+    id % 97 == 1."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _vec(s: pd.Series) -> pd.Series:
+        ids = s.to_numpy(dtype=np.int64)
+        base = _gen_matrix(ids, dim)
+        near = ids % 97 == 1
+        if near.any():
+            base[near] = (_gen_matrix(ids[near] - 1, dim)
+                          + 0.05 * base[near])
+        return pd.Series(list(base))
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), _vec(F.col("id")).alias("embedding"))
+
+
+def _metrics(spark) -> dict:
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        stages = json.loads(r.read())
+    return {
+        "cpu_ns": sum(s.get("executorCpuTime", 0) for s in stages),
+        "run_ms": sum(s.get("executorRunTime", 0) for s in stages),
+    }
+
+
+def _session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"embedding_probe_{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
+        .config("spark.ui.showConsoleProgress", "false")
+        # wide-embedding finding (this probe, micro-profiled): 10k-row
+        # Arrow batches at dim=768 are 2.6x slower end-to-end than 2k
+        # batches (30 MB batches blow the cache hierarchy; transfer
+        # stops pipelining) — size batches to ~6 MB for wide arrays
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", "48g")
+        .config("spark.driver.extraJavaOptions",
+                f"-XX:ActiveProcessorCount={cpus}")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _timed(spark, job, reps=REPS):
+    job()  # warm-up (codegen/JIT/Arrow worker spin-up)
+    best, best_m, walls, cpus_s = None, None, [], []
+    for _ in range(reps):
+        m0 = _metrics(spark)
+        t0 = time.time()
+        job()
+        e = time.time() - t0
+        m1 = _metrics(spark)
+        cpu_s = (m1["cpu_ns"] - m0["cpu_ns"]) / 1e9
+        run_s = (m1["run_ms"] - m0["run_ms"]) / 1e3
+        walls.append(round(e, 2))
+        cpus_s.append(round(cpu_s, 1))
+        if best is None or e < best:
+            best, best_m = e, {"cpu_s": round(cpu_s, 1),
+                               "run_s": round(run_s, 1)}
+    return {"best_sec": round(best, 2), "reps": walls,
+            "cpu_s_reps": cpus_s, "best_cpu_s": best_m["cpu_s"],
+            "best_run_s": best_m["run_s"],
+            "threads_fed": round(best_m["run_s"] / best, 1)
+            if best > 0 else None}
+
+
+def run_crossover(cpus: int) -> dict:
+    """Column-HOF vs Arrow-matmul full-scan cosine at a dim ladder."""
+    from pyspark.sql import functions as F
+
+    from cerberus_spark.functions import similarity as S
+
+    spark = _session(cpus)
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out = {}
+    for dim in X_DIMS:
+        docs = synth(spark, X_ROWS, dim).persist()
+        docs.count()
+        q = _gen_matrix([999_999_999], dim)[0]
+        col_form = docs.select(
+            S.cosine(F.col("embedding"), S._lit_vec(q)).alias("s"))
+        arrow_form = docs.select(
+            S.cosine_scores_udf(q)(F.col("embedding")).alias("s"))
+        out[str(dim)] = {
+            "column": _timed(spark, lambda: noop(col_form)),
+            "arrow": _timed(spark, lambda: noop(arrow_form)),
+        }
+        docs.unpersist()
+    spark.stop()
+    return {"cpus": cpus, "n_rows": X_ROWS, "dims": out}
+
+
+def run_level(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from cerberus_spark.functions import dedup as DD
+    from cerberus_spark.functions import similarity as S
+
+    spark = _session(cpus)
+    docs = synth(spark, N_ROWS, DIM).persist()
+    docs.count()
+    q = _gen_matrix([999_999_999], DIM)[0]
+    cent = S.train_centroids(docs, "embedding", n_cells=64, seed=7)
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    jobs = {
+        # Arrow matmul full scan + driver top-k merge — the exact path
+        "brute_topk": lambda: noop(S.brute_force_topk(
+            docs, "embedding", q, k=10, id_col="vec_id")),
+        # Arrow cell assign + partition-local rerank of ~nprobe/64 of
+        # the corpus
+        "ivf_topk": lambda: noop(S.ivf_topk(
+            docs, "embedding", q, cent, k=10, id_col="vec_id",
+            nprobe=4)),
+        # 4×12-bit hyperplane tables (Arrow path at 768 dims) +
+        # in-bucket exact verify of the planted ~1% near-copies
+        "near_dups": lambda: noop(DD.embedding_near_dups(
+            docs, "vec_id", "embedding", threshold=0.95, dim=DIM)),
+    }
+    timings = {}
+    for name, job in jobs.items():
+        timings[name] = _timed(spark, job)
+        timings[name]["rows_per_sec"] = round(
+            N_ROWS / timings[name]["best_sec"])
+    n_pairs = DD.embedding_near_dups(
+        docs, "vec_id", "embedding", threshold=0.95, dim=DIM).count()
+    spark.stop()
+    return {"cpus": cpus, "n_rows": N_ROWS, "dim": DIM,
+            "near_dup_pairs": n_pairs, "timings": timings}
+
+
+def main():
+    if os.environ.get("EPROBE_CPUS"):
+        print(json.dumps(run_level(int(os.environ["EPROBE_CPUS"]))))
+        return
+    if os.environ.get("EPROBE_CROSSOVER_CPUS"):
+        print(json.dumps(run_crossover(
+            int(os.environ["EPROBE_CROSSOVER_CPUS"]))))
+        return
+    levels = [int(c) for c in
+              os.environ.get("EPROBE_LEVELS", "4,16").split(",")]
+    out_path = os.path.join(REPO, "BENCH", "embedding_scale_probe.json")
+    result = {"n_rows": N_ROWS, "dim": DIM, "levels": {}}
+
+    def _write():
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+
+    env = dict(os.environ)
+    env["EPROBE_CROSSOVER_CPUS"] = str(max(levels))
+    out = subprocess.run([sys.executable, __file__], env=env,
+                         capture_output=True, text=True, check=True)
+    result["crossover"] = json.loads(out.stdout.strip().splitlines()[-1])
+    _write()
+    env.pop("EPROBE_CROSSOVER_CPUS")
+    for cpus in levels:
+        env["EPROBE_CPUS"] = str(cpus)
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True)
+        result["levels"][str(cpus)] = json.loads(
+            out.stdout.strip().splitlines()[-1])
+        _write()  # write-through per level (a python-worker death at
+        # this scale once cost a whole probe run)
+    lo, hi = str(min(levels)), str(max(levels))
+    if lo in result["levels"] and hi in result["levels"]:
+        eff = {}
+        for name in result["levels"][lo]["timings"]:
+            a = result["levels"][lo]["timings"][name]["best_sec"]
+            b = result["levels"][hi]["timings"][name]["best_sec"]
+            ratio = int(hi) // int(lo)
+            eff[name] = round(a / (b * ratio), 3)
+        result["n_to_4n_efficiency"] = eff
+        _write()
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

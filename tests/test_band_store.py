@@ -226,3 +226,163 @@ def test_embedding_store_meta_pins_params(spark, tmp_path):
     with pytest.raises(ValueError, match="no embedding store"):
         D.embedding_dups_against_store(df, df, str(tmp_path / "nope"),
                                        "vec_id", "emb")
+
+
+# ---------------------------------------------------------------------------
+# epoch-store compaction (compact_band_store / compact_embedding_store)
+# ---------------------------------------------------------------------------
+
+
+def _band_epochs(tmp_path, table="bands"):
+    import os
+
+    d = tmp_path / "band_store" / table
+    return sorted(n for n in os.listdir(d) if n.startswith("epoch="))
+
+
+def _stored_pairs(spark, store, new, **kw):
+    return {(r.id_new, r.id_ref, round(r.jaccard, 12))
+            for r in D.cross_dup_pairs_stored(
+                new, store, "doc_id", "text", threshold=0.6,
+                **kw).collect()}
+
+
+def test_compact_band_store_identical_pairs(spark, tmp_path):
+    """Compacting epochs [0, upto) into one partition changes NOTHING a
+    probe can see: same pairs, same jaccards, same max_epoch pruning
+    for watermarks at/above the compaction point; later epochs append
+    as before."""
+    store = _write_ref_store(spark, tmp_path,
+                             [_REF[:1], _REF[1:2], _REF[2:]])
+    new = spark.createDataFrame(_NEW, "doc_id long, text string")
+    before = _stored_pairs(spark, store, new)
+    before_w3 = _stored_pairs(spark, store, new, max_epoch=3)
+
+    assert D.compact_band_store(spark, store, upto=3) is True
+    assert _band_epochs(tmp_path) == ["epoch=2"]
+    assert _band_epochs(tmp_path, "hashes") == ["epoch=2"]
+    assert _stored_pairs(spark, store, new) == before
+    assert _stored_pairs(spark, store, new, max_epoch=3) == before_w3
+    # second run: nothing left to do
+    assert D.compact_band_store(spark, store, upto=3) is False
+
+    # the store still appends normally after compaction
+    df = spark.createDataFrame(
+        [(99, "fresh new crawl content sharing nothing with the "
+              "reference corpus at all in any window")],
+        "doc_id long, text string")
+    D.write_band_store(df, store, 3, "doc_id", "text")
+    after = _stored_pairs(spark, store, new)
+    assert {(a, b) for a, b, _ in after} == {(10, 1), (12, 3), (11, 99)}
+
+
+def test_compact_band_store_partial_watermark(spark, tmp_path):
+    """upto below the top epoch: epochs >= upto are untouched and a
+    probe at the old watermark still sees the identical reference
+    set."""
+    store = _write_ref_store(spark, tmp_path,
+                             [_REF[:1], _REF[1:2], _REF[2:]])
+    new = spark.createDataFrame(_NEW, "doc_id long, text string")
+    before = _stored_pairs(spark, store, new)
+    before_w2 = _stored_pairs(spark, store, new, max_epoch=2)
+    assert D.compact_band_store(spark, store, upto=2) is True
+    assert _band_epochs(tmp_path) == ["epoch=1", "epoch=2"]
+    assert _stored_pairs(spark, store, new) == before
+    assert _stored_pairs(spark, store, new, max_epoch=2) == before_w2
+
+
+def test_compact_recovery_rolls_back_uncommitted(spark, tmp_path):
+    """A crash BEFORE the commit marker leaves the store bit-identical:
+    recovery scraps the tmp and the next compaction redoes the work."""
+    store = _write_ref_store(spark, tmp_path, [_REF[:2], _REF[2:]])
+    new = spark.createDataFrame(_NEW, "doc_id long, text string")
+    before = _stored_pairs(spark, store, new)
+    # half-written tmp, NO marker (crash mid-phase-1)
+    spark.createDataFrame([(1, 2)], "band int, bhash long") \
+        .write.parquet(f"{store}/_compact_tmp/bands")
+    D.recover_epoch_store(spark, store, ("bands", "hashes"))
+    assert _band_epochs(tmp_path) == ["epoch=0", "epoch=1"]
+    assert _stored_pairs(spark, store, new) == before
+    assert D.compact_band_store(spark, store, upto=2) is True
+    assert _stored_pairs(spark, store, new) == before
+
+
+def test_compact_recovery_rolls_forward_committed(spark, tmp_path):
+    """A crash AFTER the commit marker (including between the two
+    tables' swaps) completes on recovery — same pairs, one partition."""
+    from cerberus_spark.plans.checkpoint import fs_delete, fs_rename
+
+    store = _write_ref_store(spark, tmp_path, [_REF[:2], _REF[2:]])
+    new = spark.createDataFrame(_NEW, "doc_id long, text string")
+    before = _stored_pairs(spark, store, new)
+
+    # phase 1 by hand: full tmp + committed marker, no finalize
+    upto = 2
+    for table in ("bands", "hashes"):
+        (spark.read.parquet(f"{store}/{table}")
+         .filter(F.col("epoch") < upto).drop("epoch")
+         .write.parquet(f"{store}/_compact_tmp/{table}"))
+    spark.createDataFrame([(upto,)], "upto int") \
+        .coalesce(1).write.parquet(f"{store}/_compact")
+    # simulate a crash midway through phase 2: bands already swapped
+    for e in range(upto):
+        fs_delete(spark, f"{store}/bands/epoch={e}")
+    fs_rename(spark, f"{store}/_compact_tmp/bands",
+              f"{store}/bands/epoch={upto - 1}")
+
+    D.recover_epoch_store(spark, store, ("bands", "hashes"))
+    assert _band_epochs(tmp_path) == ["epoch=1"]
+    assert _band_epochs(tmp_path, "hashes") == ["epoch=1"]
+    assert _stored_pairs(spark, store, new) == before
+    # recovery is a no-op once finished
+    D.recover_epoch_store(spark, store, ("bands", "hashes"))
+    assert _stored_pairs(spark, store, new) == before
+
+
+def test_compact_embedding_store_identical(spark, tmp_path):
+    rng = random.Random(41)
+    dim = 12
+    ref_rows = [(i, v) for i, v in enumerate(_vecs(rng, 12, dim))]
+    new_rows = [(200 + t, [x + rng.gauss(0, 0.01) for x in ref_rows[t][1]])
+                for t in range(3)]
+    store = str(tmp_path / "emb_store")
+    ref = spark.createDataFrame(ref_rows, "vec_id long, emb array<double>")
+    new = spark.createDataFrame(new_rows, "vec_id long, emb array<double>")
+    for epoch in range(3):
+        D.write_embedding_store(
+            spark.createDataFrame(ref_rows[epoch * 4:(epoch + 1) * 4],
+                                  "vec_id long, emb array<double>"),
+            store, epoch, "vec_id", "emb", n_bits=8, n_tables=8)
+
+    def probe():
+        return {(r.id_new, r.id_ref, round(r.cosine, 9))
+                for r in D.embedding_dups_against_store(
+                    new, ref, store, "vec_id", "emb",
+                    threshold=0.98).collect()}
+
+    before = probe()
+    assert len(before) >= 3
+    assert D.compact_embedding_store(spark, store, upto=3) is True
+    import os
+
+    assert sorted(os.listdir(f"{store}/buckets")) == ["epoch=2"]
+    assert probe() == before
+
+
+def test_store_probe_sees_epochs_appended_after_prior_probe(spark, tmp_path):
+    """Regression: a probe persists its verify frame; Spark's cache
+    manager substitutes cached relations by canonicalized plan (keyed
+    on the scan's root path), so a LATER probe with the identical plan
+    shape silently reused the pre-append listing and missed new
+    epochs.  write_band_store now refreshByPath's the store root."""
+    store = _write_ref_store(spark, tmp_path, [_REF[:1]])
+    new = spark.createDataFrame(_NEW, "doc_id long, text string")
+    assert {(a, b) for a, b, _ in _stored_pairs(spark, store, new)} \
+        == {(10, 1)}
+    df = spark.createDataFrame(
+        [(99, "fresh new crawl content sharing nothing with the "
+              "reference corpus at all in any window")],
+        "doc_id long, text string")
+    D.write_band_store(df, store, 1, "doc_id", "text")
+    assert {(a, b) for a, b, _ in _stored_pairs(spark, store, new)} \
+        == {(10, 1), (11, 99)}
