@@ -822,6 +822,23 @@ def q_ngram_surprisal_documents(spark, sf_dir):
     return SP.ngram_surprisal_report(docs, "doc_id", "text", order=3)
 
 
+def q_substring_dup_documents(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022 tier): document pairs
+    sharing a VERBATIM run of ≥12 tokens, found via winnowed
+    fingerprints (Schleimer et al. MOSS — recall-guaranteed candidate
+    generation at ~2/(w+1) the naive L-gram shuffle density) and
+    verified by L-gram-hash intersection.  The DuckDB twin is the
+    EXACT all-pairs L-gram self-join, so a hash match certifies
+    candidate recall 1 on the fixture (functions/winnow.py)."""
+    from cerberus_spark.functions import winnow as WN
+
+    docs = _read(spark, sf_dir, "documents")
+    return (WN.substring_dup_pairs(docs, "doc_id", "text",
+                                   min_len=12, k=4)
+            .select("id_a", "id_b",
+                    F.col("n_shared").cast("long").alias("n_shared")))
+
+
 def q_cross_dedup_stored_documents(spark, sf_dir):
     """The BAND-STORE form of cross_dedup_documents: the reference
     partition is committed once to a persisted (band, bhash, id) +
@@ -985,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_transcripts": q_corpus_transcripts,
         "surprisal_documents": q_surprisal_documents,
         "ngram_surprisal_documents": q_ngram_surprisal_documents,
+        "substring_dup_documents": q_substring_dup_documents,
         "cross_dedup_documents": q_cross_dedup_documents,
         "cross_dedup_stored_documents": q_cross_dedup_stored_documents,
         "cross_embedding_dups": q_cross_embedding_dups,
@@ -1498,6 +1516,21 @@ sc AS (SELECT doc_id, sum(floor(lp * 1000000.0)::BIGINT * n) AS sq,
 SELECT w.doc_id, coalesce(sc.n_tok, 0)::BIGINT AS n_tok,
        coalesce((-sc.sq) / sc.n_tok / 1000000.0, 0.0)::DOUBLE AS surprisal
 FROM w LEFT JOIN sc USING (doc_id)
+"""
+
+#: exact-substring twin (functions/winnow.py spec): sharing a verbatim
+#: token run of length ≥ L is equivalent to sharing an L-token-gram,
+#: so ground truth is the plain DISTINCT L-gram self-join; n_shared =
+#: |distinct shared L-grams| (lg is DISTINCT per doc, so count(*)
+#: after the equi-join IS the intersection size)
+_SUBSTRING_DUP_SQL = f"""
+WITH w AS (SELECT doc_id, {{words}} AS ws FROM documents),
+lg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i + 11], ' ') AS g
+       FROM w, unnest(range(1, len(ws) - 12 + 2)) AS t(i))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*)::BIGINT AS n_shared
+FROM lg a JOIN lg b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """
 
 #: excision twin: positions of matched lowercase 3-grams expand to
@@ -2058,6 +2091,8 @@ def oracle_sql() -> dict[str, str]:
         "surprisal_documents": _SURPRISAL_SQL.format(words=_DUCK_WORDS),
         "ngram_surprisal_documents": _NGRAM_SURPRISAL_SQL.format(
             words=_DUCK_WORDS, lnlam=repr(math.log(0.4))),
+        "substring_dup_documents": _SUBSTRING_DUP_SQL.format(
+            words=_DUCK_WORDS),
         "cross_dedup_documents": _CROSS_DEDUP_SQL.format(
             words=_DUCK_WORDS, shingles=_DUCK_SHINGLES),
         "cross_dedup_stored_documents": _CROSS_DEDUP_SQL.format(

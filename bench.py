@@ -173,6 +173,9 @@ def main() -> None:
         "repetition_documents",
         "surprisal_documents",
         "mixture_resample_documents",
+        # round-6 additions
+        "ngram_surprisal_documents",
+        "cross_dedup_stored_documents",
     ]
     qs = entrymod.queries()
     # best-of-N per head query: a single co-tenant burst on this shared

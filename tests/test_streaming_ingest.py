@@ -169,3 +169,43 @@ def test_corpus_ingest_forwards_dedup_kw_to_cross_pass(spark, tmp_path):
     cb(spark.createDataFrame([("z", _BASE + " tail")], ddl), 1)
     assert {r.doc_id for r in
             spark.read.parquet(f"{out}/corpus").collect()} == {"a"}
+
+
+def test_corpus_ingest_compact_every(spark, tmp_path):
+    """compact_every=2: a 5-epoch ingest with in-line compaction keeps
+    the identical corpus to the uncompacted run, epoch partitions
+    below each watermark are merged, and a dup of an early-epoch doc
+    is still caught AFTER its epoch got compacted away."""
+    import os
+
+    ddl = "doc_id string, text string"
+    docs = {
+        0: [("a", _BASE)],
+        1: [("b", "a genuinely fresh document with plenty of new "
+                  "content words to shingle properly")],
+        2: [("c", "another entirely distinct body of text with its own "
+                  "vocabulary and no overlap anywhere")],
+        3: [("z", _BASE + " tail")],  # near-dup of epoch-0's doc a
+        4: [("d", "final clean unique document closing out the stream "
+                  "with fresh words")],
+    }
+
+    def run(out, **kw):
+        cb = corpus_ingest_foreach_batch(
+            out, id_col="doc_id", text_col="text", dedup_threshold=0.6,
+            record_stats=False, **kw)
+        for e, rows in docs.items():
+            cb(spark.createDataFrame(rows, ddl), e)
+        return {(r.doc_id, r.epoch) for r in
+                spark.read.parquet(f"{out}/corpus").collect()}
+
+    plain = run(str(tmp_path / "plain"))
+    compacted = run(str(tmp_path / "comp"), compact_every=2)
+    assert compacted == plain
+    assert {r[0] for r in plain} == {"a", "b", "c", "d"}  # z deduped
+    # epoch 4 ran the last compaction at watermark 4: bands 0-3 merged
+    # into epoch=3, epoch 4's own commit appended after
+    bands = sorted(os.listdir(f"{tmp_path}/comp/band_store/bands"))
+    assert bands == ["epoch=3", "epoch=4"]
+    assert sorted(os.listdir(f"{tmp_path}/plain/band_store/bands")) == [
+        f"epoch={e}" for e in range(5)]
