@@ -923,7 +923,13 @@ def embedding_near_dups(df: DataFrame, id_col: str, emb_col: str,
     with probability ≈ 1-(1-0.88^12)^4 ≈ 0.93.  Only in-bucket pairs
     are exactly verified — never a cross join.  Hot buckets are capped
     with head-pairing (same bounded shape as the MinHash/SimHash
-    paths)."""
+    paths).
+
+    SIZE n_bits TO THE CORPUS: the 12-bit default is fixture-scale.
+    2^n_bits must far exceed the row count or random NON-duplicates
+    fill every bucket to the cap and the exact verify dominates
+    (similarity.auto_bits has the measured sizing rule: ceil(log2(n))
+    + 4, compensating recall with n_tables when needed)."""
     from .similarity import (
         LSH_PLAN_LITERAL_BUDGET, cosine, hyperplanes, lsh_bucket,
         lsh_buckets_udf,

@@ -113,6 +113,25 @@ def hyperplanes(dim: int, n_bits: int = 16, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
+def auto_bits(n_rows: int, margin_bits: int = 4) -> int:
+    """Right-size ``n_bits`` for a corpus of ``n_rows`` vectors.
+
+    The bucket space must exceed the corpus (2^n_bits >> n) or RANDOM
+    non-duplicate vectors pile ~n/2^n_bits deep into every bucket and
+    the in-bucket exact verify — not the hashing — dominates: measured
+    live, 1M random 768-dim vectors under the fixture-scale default
+    n_bits=12 (4096 buckets) average ~244 members/bucket, i.e. ~3×10^8
+    capped candidate pairs per pass.  ``margin_bits=4`` targets ~0.06
+    expected members/bucket; true near-duplicate recall per table is
+    (1-θ/π)^n_bits, so compensate larger n_bits with more tables when
+    the threshold is loose.  Callers that know the corpus size should
+    pass ``n_bits=auto_bits(n)`` to embedding_near_dups /
+    write_embedding_store (the stores pin n_bits at creation)."""
+    import math as _m
+
+    return max(1, int(_m.ceil(_m.log2(max(2, n_rows)))) + margin_bits)
+
+
 def lsh_bucket(emb: Column, planes: np.ndarray) -> Column:
     """Pack sign(emb·plane_i) bits into an integer bucket id.
     The plane matrix is embedded as literals (small: n_bits × dim)."""

@@ -196,10 +196,15 @@ def run_level(cpus: int) -> dict:
         "ivf_topk": lambda: noop(S.ivf_topk(
             docs, "embedding", q, cent, k=10, id_col="vec_id",
             nprobe=4)),
-        # 4×12-bit hyperplane tables (Arrow path at 768 dims) +
-        # in-bucket exact verify of the planted ~1% near-copies
+        # corpus-sized bucket space (auto_bits: ceil(log2(1M))+4 = 24
+        # bits — the 12-bit fixture default piles ~244 random vectors
+        # into every bucket at n=1M and the exact verify explodes to
+        # ~3e8 capped pairs; measured live, this run's first version);
+        # planted 0.05-noise copies (cos≈0.9988, θ≈2.8°) still collide
+        # per table with p≈0.984^24≈0.68 → 4-table recall ≈ 0.99
         "near_dups": lambda: noop(DD.embedding_near_dups(
-            docs, "vec_id", "embedding", threshold=0.95, dim=DIM)),
+            docs, "vec_id", "embedding", threshold=0.95, dim=DIM,
+            n_bits=S.auto_bits(N_ROWS))),
     }
     timings = {}
     for name, job in jobs.items():

@@ -195,3 +195,16 @@ def test_exact_cosine_auto_path(spark):
         "doc_id", S.cosine(F.col("emb"), S._lit_vec(rows_w[0][1])).alias("s")
     ).orderBy(F.col("s").desc(), "doc_id").limit(3)
     assert [r.doc_id for r in top.collect()] == [r.doc_id for r in exact.collect()]
+
+
+def test_auto_bits_sizing():
+    """auto_bits: bucket space exceeds the corpus by the margin factor
+    (the live-measured 1M/12-bit occupancy blow-up must be impossible
+    with the helper's output)."""
+    from cerberus_spark.functions.similarity import auto_bits
+
+    assert auto_bits(1_000_000) == 24          # ceil(log2 1e6)=20, +4
+    assert auto_bits(10_000) == 18
+    assert auto_bits(1) == 5                   # floor: log2(2)=1, +4
+    for n in (100, 10_000, 1_000_000, 10**9):
+        assert 2 ** auto_bits(n) >= 8 * n      # occupancy < 1/8 always
