@@ -593,3 +593,105 @@ def corpus_ingest_foreach_batch(
             p.unpersist()
 
     return _run
+
+
+def vector_ingest_foreach_batch(
+    out_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    bucket_cap: int = 200,
+    record_stats: bool = True,
+    compact_every: int | None = None,
+):
+    """Streaming VECTOR ingest — the semantic mirror of
+    :func:`corpus_ingest_foreach_batch`: every micro-batch of
+    embeddings is near-deduped within itself and against everything
+    already kept (cosine ≥ ``threshold``), and the survivors are
+    appended to the vector corpus, which is its own cross-batch
+    reference.
+
+    * Cross-batch state is the persisted EMBEDDING BUCKET STORE
+      (functions.dedup.write_embedding_store): hyperplane signatures
+      are seed-stable, so each epoch's bucket ids are written once and
+      probed forever — the kept corpus is never re-hashed.  The store
+      pins (n_bits, n_tables, seed, dim) at creation; size ``n_bits``
+      to the EVENTUAL corpus (similarity.auto_bits), not the batch.
+    * The exact-cosine verify needs candidate embeddings: they come
+      from the kept corpus ({out_dir}/vectors, epoch-partitioned,
+      read via the same explicit-epoch-path listing as the store so a
+      retried epoch never sees its own half-commit and cached plans
+      can never go stale).  The semi-join is candidate-proportional
+      in shuffle terms; the SCAN of the kept corpus is columnar and
+      at real scale should sit behind a bucketed/Iceberg table whose
+      id bloom filters prune row groups — on plain parquet it reads
+      the (id, embedding) columns.
+    * NULL embeddings carry no similarity evidence: they are KEPT
+      (no evidence ⇒ no drop — the text ingest's tokenless policy)
+      but never stored or paired.
+    * Idempotent per epoch; ``compact_every`` as in the corpus ingest.
+    """
+    from ..functions.dedup import (_read_epochs, compact_epoch_store,
+                                   connected_components,
+                                   embedding_dups_against_store,
+                                   embedding_near_dups,
+                                   recover_epoch_store,
+                                   write_embedding_store)
+    from ..plans.checkpoint import fs_exists
+
+    vec_path = f"{out_dir}/vectors"
+    store_dir = f"{out_dir}/emb_store"
+    lsh_kw = dict(n_bits=n_bits, n_tables=n_tables, seed=seed)
+
+    def _run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch_id = int(epoch_id)
+        batch = batch_df.persist()
+        try:
+            pairs = embedding_near_dups(batch, id_col, emb_col,
+                                        threshold=threshold, dim=dim,
+                                        bucket_cap=bucket_cap, **lsh_kw)
+            comps = connected_components(pairs)
+            within = (comps.filter(F.col("node") != F.col("comp"))
+                      .select(F.col("node").alias(id_col)))
+            surv = batch.join(within, id_col, "left_anti")
+
+            if fs_exists(spark, store_dir):
+                recover_epoch_store(spark, store_dir, ("buckets",))
+            ref = _read_epochs(spark, vec_path, max_epoch=epoch_id)
+            if ref is not None and fs_exists(spark, f"{store_dir}/meta"):
+                matched = (embedding_dups_against_store(
+                    surv, ref.select(id_col, emb_col), store_dir,
+                    id_col, emb_col, threshold=threshold,
+                    max_epoch=epoch_id, bucket_cap=bucket_cap)
+                    .select(F.col("id_new").alias(id_col)).distinct())
+                kept = surv.join(matched, id_col, "left_anti")
+            else:
+                kept = surv
+            kept = kept.persist()
+            kept.write.mode("overwrite").parquet(
+                f"{vec_path}/epoch={epoch_id}")
+            write_embedding_store(kept, store_dir, epoch_id, id_col,
+                                  emb_col, dim=dim, **lsh_kw)
+            if (compact_every and epoch_id > 0
+                    and epoch_id % compact_every == 0):
+                compact_epoch_store(spark, store_dir, ("buckets",),
+                                    upto=epoch_id)
+            if record_stats:
+                row = (batch.select(F.count(F.lit(1)).alias("n_in"))
+                       .crossJoin(surv.select(
+                           F.count(F.lit(1)).alias("n_unique")))
+                       .crossJoin(kept.select(
+                           F.count(F.lit(1)).alias("n_kept"))))
+                (row.withColumn("epoch", F.lit(epoch_id)).coalesce(1)
+                 .write.mode("overwrite")
+                 .parquet(f"{out_dir}/ingest_stats/epoch={epoch_id}"))
+            kept.unpersist()
+        finally:
+            batch.unpersist()
+
+    return _run

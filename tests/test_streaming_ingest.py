@@ -209,3 +209,67 @@ def test_corpus_ingest_compact_every(spark, tmp_path):
     assert bands == ["epoch=3", "epoch=4"]
     assert sorted(os.listdir(f"{tmp_path}/plain/band_store/bands")) == [
         f"epoch={e}" for e in range(5)]
+
+
+# ---------------------------------------------------------------------------
+# vector ingest (the semantic mirror)
+# ---------------------------------------------------------------------------
+
+
+def _unit(seed, dim=16):
+    import random as _r
+
+    rng = _r.Random(seed)
+    return [rng.gauss(0, 1) for _ in range(dim)]
+
+
+def test_vector_ingest_multi_epoch(spark, tmp_path):
+    """Vector twin of the corpus ingest: within-batch near-dups drop
+    (min id kept), cross-batch dups drop against the bucket store +
+    kept-vector corpus, NULL embeddings pass through but never pair,
+    retries are idempotent, compaction preserves behavior."""
+    import os
+
+    from cerberus_spark.streaming.validate_stream import (
+        vector_ingest_foreach_batch,
+    )
+
+    dim = 16
+    base = {i: _unit(100 + i, dim) for i in range(4)}
+
+    def near(v, eps, s):
+        import random as _r
+
+        rng = _r.Random(s)
+        return [x + rng.gauss(0, eps) for x in v]
+
+    ddl = "vec_id long, embedding array<double>"
+    epochs = {
+        0: [(1, base[0]), (2, near(base[0], 1e-3, 7)),   # within-batch dup
+            (3, base[1]), (4, None)],                    # NULL kept
+        1: [(10, near(base[0], 1e-3, 8)),                # dup of kept 1
+            (11, base[2])],
+        2: [(20, near(base[2], 1e-3, 9)),                # dup of kept 11
+            (21, base[3]), (22, None)],                  # NULL kept
+    }
+
+    out = str(tmp_path / "out")
+    cb = vector_ingest_foreach_batch(
+        out, id_col="vec_id", emb_col="embedding", threshold=0.99,
+        n_bits=8, n_tables=8, dim=dim, compact_every=2)
+    for e, rows in epochs.items():
+        cb(spark.createDataFrame(rows, ddl), e)
+    # retry the last epoch: idempotent (no self-dedup, same rows)
+    cb(spark.createDataFrame(epochs[2], ddl), 2)
+
+    kept = {r.vec_id for r in
+            spark.read.parquet(f"{out}/vectors").collect()}
+    assert kept == {1, 3, 4, 11, 21, 22}
+    # compaction ran at epoch 2 with watermark 2: epochs 0-1 merged
+    assert sorted(os.listdir(f"{out}/emb_store/buckets")) \
+        == ["epoch=1", "epoch=2"]
+    stats = {r.epoch: (r.n_in, r.n_unique, r.n_kept) for r in
+             spark.read.parquet(f"{out}/ingest_stats").collect()}
+    assert stats[0] == (4, 3, 3)
+    assert stats[1] == (2, 2, 1)
+    assert stats[2] == (3, 3, 2)
