@@ -941,6 +941,53 @@ def q_repetition_documents(spark, sf_dir):
         "top2gram_char_frac", "dup5gram_char_frac")
 
 
+def q_bm25_documents(spark, sf_dir):
+    """BM25 keyword retrieval over the documents table (terms vector /
+    hash / spark, Lucene idf, k1=1.2 b=0.75): one map-combined 1-row
+    stats aggregate broadcast onto a single codegen scoring projection,
+    top-10 via TakeOrderedAndProject — the corpus never
+    hash-partitions.  The DuckDB twin evaluates the identical
+    expression tree (same association order), so the doubles agree
+    bit-for-bit before the round."""
+    from cerberus_spark.functions import ranking as RK
+
+    docs = _read(spark, sf_dir, "documents")
+    top = RK.bm25_topk(docs, "doc_id", "text",
+                       ["vector", "hash", "spark"], k=10)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the planted-cluster corpus of
+    q_lsh_topk_embeddings: embeddings of vec_id<8 serve as fixed anchor
+    centroids (deterministic, twin-computable), every vector assigns to
+    its nearest anchor (Arrow argmin matmul), and within a cell any row
+    with a lower-id cosine≥0.95 neighbor is dropped (min-id-keeps
+    rule — one anti-join, no iteration).  The random base vectors are
+    mutually distant (pairwise cos ≤ ~0.51), so exactly the planted
+    near-copies of vec 0 dedup against it and each other."""
+    import numpy as np
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") == 0).crossJoin(
+        spark.range(1, 21).select(F.col("id").cast("int").alias("i"))
+    ).select(
+        (F.lit(2_000_000) + F.col("i")).alias("vec_id"),
+        F.zip_with("embedding", F.reverse("embedding"),
+                   lambda x, r: x + 0.01 * F.col("i") * r).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    anchors = np.array([r["embedding"] for r in
+                        emb.filter(F.col("vec_id") < 8)
+                        .orderBy("vec_id").collect()])
+    out = dedup.semantic_dedup(corpus, "vec_id", "embedding", anchors,
+                               threshold=0.95)
+    return out.select("vec_id", F.col("cell").cast("int").alias("cell"),
+                      "kept")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: compiled rule validation."""
     return q_validate_events_violations(spark, "/root/testdata/sf0.001")
@@ -1007,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup_stored_documents": q_cross_dedup_stored_documents,
         "cross_embedding_dups": q_cross_embedding_dups,
         "excise_documents": q_excise_documents,
+        "bm25_documents": q_bm25_documents,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     }
 
 
@@ -1747,6 +1796,69 @@ LIMIT 10
 """
 
 
+#: BM25 twin (functions/ranking.py spec): the SAME expression tree as
+#: the Spark operator — Lucene idf ln(1+(N-df+0.5)/(df+0.5)), k1=1.2
+#: b=0.75, terms summed left-to-right in caller order — so the doubles
+#: agree bit-for-bit before the round(4).
+_BM25_SQL = """
+WITH t AS (SELECT doc_id, {words} AS ws FROM documents),
+s AS (SELECT count(*)::DOUBLE AS n, avg(len(ws)) AS avgdl,
+             sum((len(list_filter(ws, x -> x = 'vector')) > 0)::BIGINT)::DOUBLE AS df0,
+             sum((len(list_filter(ws, x -> x = 'hash')) > 0)::BIGINT)::DOUBLE AS df1,
+             sum((len(list_filter(ws, x -> x = 'spark')) > 0)::BIGINT)::DOUBLE AS df2
+      FROM t),
+tf AS (SELECT doc_id, len(ws) AS dl,
+              len(list_filter(ws, x -> x = 'vector'))::DOUBLE AS tf0,
+              len(list_filter(ws, x -> x = 'hash'))::DOUBLE AS tf1,
+              len(list_filter(ws, x -> x = 'spark'))::DOUBLE AS tf2
+       FROM t),
+sc AS (SELECT doc_id, tf0 + tf1 + tf2 AS hits,
+              0.0 + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                    * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                    * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                    * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+              AS score
+       FROM tf, s)
+SELECT doc_id, round(score, 4) AS score FROM sc WHERE hits > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+#: semantic-dedup twin (functions/dedup.py semantic_dedup spec): same
+#: planted corpus as the LSH/IVF oracles, anchors = vec_id<8, nearest
+#: anchor by L2 (ties -> lowest cell, matching np.argmin), drop rule =
+#: EXISTS lower-id same-cell neighbor with cosine >= 0.95.
+_SEMANTIC_DEDUP_SQL = """
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), planted AS (
+    SELECT 2000000 + i AS vec_id,
+           list_transform(range(len(e)), j -> e[j + 1] + 0.01 * i * e[len(e) - j]) AS e
+    FROM base, range(1, 21) t(i) WHERE vec_id = 0
+), allv AS (
+    SELECT * FROM base UNION ALL SELECT * FROM planted
+), anchors AS (
+    SELECT vec_id::INT AS cell, e FROM base WHERE vec_id < 8
+), assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT v.vec_id, a.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_distance(v.e, a.e), a.cell) AS rn
+        FROM allv v CROSS JOIN anchors a) WHERE rn = 1
+), drops AS (
+    SELECT DISTINCT b.vec_id
+    FROM allv a JOIN assign sa ON a.vec_id = sa.vec_id
+         JOIN allv b ON a.vec_id < b.vec_id
+         JOIN assign sb ON b.vec_id = sb.vec_id AND sa.cell = sb.cell
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+)
+SELECT v.vec_id, s.cell, (d.vec_id IS NULL) AS kept
+FROM allv v JOIN assign s ON v.vec_id = s.vec_id
+LEFT JOIN drops d ON v.vec_id = d.vec_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_events_violations": _EVENTS_VIOLATIONS_SQL,
@@ -2099,4 +2211,6 @@ def oracle_sql() -> dict[str, str]:
             words=_DUCK_WORDS, shingles=_DUCK_SHINGLES),
         "cross_embedding_dups": _CROSS_EMBEDDING_SQL,
         "excise_documents": _EXCISE_SQL,
+        "bm25_documents": _BM25_SQL.format(words=_DUCK_WORDS),
+        "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
     }

@@ -1,0 +1,177 @@
+"""BM25 ranking + semantic (SemDeDup-style) dedup: brute-force
+references, edge policies, and plan shape."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.functions import ranking as R
+from cerberus_spark.functions.dedup import semantic_dedup, semantic_pairs
+from cerberus_spark.plans.explain import physical_plan, plan_report
+
+VOCAB = ("spark shuffle join scan filter vector hash table row batch "
+         "window agg sort merge stream the a data").split()
+
+
+def _corpus(seed, n):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rng.randint(0, 40)
+        rows.append((i, " ".join(rng.choice(VOCAB) for _ in range(k))))
+    rows.append((n, None))      # NULL text
+    rows.append((n + 1, "   ")) # whitespace-only
+    return rows
+
+
+def _bm25_ref(rows, terms, k1=1.2, b=0.75):
+    toks = {i: (t or "").lower().split() for i, t in rows}
+    n = float(len(rows))
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dfs = [sum(1 for w in toks.values() if t in w) for t in terms]
+    out = {}
+    for i, w in toks.items():
+        score, hit = 0.0, 0
+        for t, df_t in zip(terms, dfs):
+            tf = float(w.count(t))
+            hit += w.count(t)
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            score += idf * (tf * (k1 + 1.0)
+                            / (tf + k1 * ((1.0 - b) + b * len(w) / avgdl)))
+        if hit:
+            out[i] = score
+    return out
+
+
+def test_bm25_matches_brute_force(spark):
+    rows = _corpus(7, 60)
+    terms = ["vector", "hash", "spark"]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score
+           for r in R.bm25_scores(df, "doc_id", "text", terms).collect()}
+    want = _bm25_ref(rows, terms)
+    assert set(got) == set(want)          # no-hit docs (incl. NULL) excluded
+    for i in got:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+
+def test_bm25_topk_order_and_ties(spark):
+    rows = [(1, "spark spark"), (2, "spark spark"), (3, "spark"),
+            (4, "join"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = R.bm25_topk(df, "doc_id", "text", ["spark"], k=2).collect()
+    # docs 1 and 2 tie exactly — ascending id breaks it
+    assert [r.doc_id for r in top] == [1, 2]
+    with pytest.raises(ValueError):
+        R.bm25_scores(df, "doc_id", "text", [])
+
+
+def test_bm25_plan_shape(spark):
+    df = spark.createDataFrame(_corpus(11, 40), "doc_id long, text string")
+    top = R.bm25_topk(df, "doc_id", "text", ["vector", "hash"], k=5)
+    top.collect()
+    plan = physical_plan(top)
+    rep = plan_report(top)
+    assert "TakeOrderedAndProject" in plan        # bounded heap, no full sort
+    assert rep["sort_merge_joins"] == 0           # stats side broadcasts
+    # the corpus never hash-partitions: the only exchanges are the
+    # 1-row stats aggregate (SinglePartition) and its broadcast
+    assert "Exchange hashpartitioning" not in plan
+    assert not rep["python_workers"]              # pure Column algebra
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _vecs(seed, n, dim=8):
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n, dim))
+
+
+def _ref_cells(X, C):
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    return d.argmin(1)
+
+
+def _cos(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def _ref_verdicts(ids, X, C, thr):
+    cells = _ref_cells(X, C)
+    kept = {}
+    for j, i in enumerate(ids):
+        kept[i] = not any(
+            cells[m] == cells[j] and _cos(X[m], X[j]) >= thr
+            for m in range(len(ids)) if ids[m] < i)
+    return dict(zip(ids, cells)), kept
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    dim, thr = 8, 0.9
+    base = _vecs(3, 30, dim)
+    # plant near-copies: rows 30.. are tiny perturbations of rows 0..4
+    planted = base[:5] + 0.01 * _vecs(4, 5, dim)
+    X = np.vstack([base, planted])
+    ids = list(range(len(X)))
+    C = _vecs(9, 4, dim)  # 4 anchor centroids
+    rows = [(i, [float(x) for x in X[i]]) for i in ids]
+    rows.append((99, None))  # NULL embedding
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cells_ref, kept_ref = _ref_verdicts(ids, X, C, thr)
+    out = {r.vec_id: (r.cell, r.kept)
+           for r in semantic_dedup(df, "vec_id", "embedding", C,
+                                   threshold=thr).collect()}
+    assert out[99] == (None, True)       # no evidence -> kept, no cell
+    for i in ids:
+        assert out[i] == (cells_ref[i], kept_ref[i]), i
+
+    # pairs agree with the in-cell brute force (id_a < id_b)
+    want_pairs = {(a, b) for a in ids for b in ids if a < b
+                  and cells_ref[a] == cells_ref[b]
+                  and _cos(X[a], X[b]) >= thr}
+    got_pairs = {(r.id_a, r.id_b)
+                 for r in semantic_pairs(df, "vec_id", "embedding", C,
+                                         threshold=thr).collect()}
+    assert got_pairs == want_pairs
+    assert want_pairs  # the planted copies make this non-vacuous
+
+
+def test_semantic_dedup_min_id_rule_on_chain(spark):
+    """a~b and b~c but a!~c: the min-id rule drops BOTH b and c (each
+    has a smaller-id in-cell neighbor) — unlike CC dedup_near, which
+    would also keep only a, and unlike greedy-vs-kept, which would
+    keep c.  Pin the documented rule exactly."""
+    a = np.array([1.0, 0.0])
+    b = np.array([math.cos(0.3), math.sin(0.3)])
+    c = np.array([math.cos(0.6), math.sin(0.6)])
+    thr = math.cos(0.45)  # a~b, b~c yes; a~c (0.6 rad) no
+    C = np.array([[1.0, 0.3]])  # one cell
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in a]), (2, [float(x) for x in b]),
+         (3, [float(x) for x in c])],
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.kept
+           for r in semantic_dedup(df, "vec_id", "embedding", C,
+                                   threshold=thr).collect()}
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_semantic_pairs_cell_cap_overflow(spark):
+    """Beyond cell_cap members pair with the cell head only (the LSH
+    head-pairing skew guard)."""
+    v = [1.0, 0.0]
+    rows = [(i, [1.0 + 1e-9 * i, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = np.array([v])
+    got = {(r.id_a, r.id_b)
+           for r in semantic_pairs(df, "vec_id", "embedding", C,
+                                   threshold=0.99, cell_cap=3).collect()}
+    # full pairs among head 3; overflow ids pair with head 0 only
+    assert got == {(0, 1), (0, 2), (1, 2), (0, 3), (0, 4), (0, 5)}
