@@ -988,6 +988,22 @@ def q_semantic_dedup_embeddings(spark, sf_dir):
                       "kept")
 
 
+def q_dsir_documents(spark, sf_dir):
+    """DSIR importance resampling (functions/dsir.py): hashed
+    unigram+bigram features (md5 % 10k buckets), add-1 smoothed
+    bag-of-buckets models for target (lang='de' — a minority domain)
+    vs raw (the whole table), per-doc log-likelihood-ratio weights in
+    exact integer micro-nats, and a content-addressed Gumbel top-25
+    draw ∝ weight.  The DuckDB twin replays the identical spec; the
+    returned weights are BIGINTs, so a hash match is exact."""
+    from cerberus_spark.functions import dsir as DS
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "de")
+    out = DS.dsir_resample(docs, target, k=25)
+    return out.select("doc_id", "logw")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: compiled rule validation."""
     return q_validate_events_violations(spark, "/root/testdata/sf0.001")
@@ -1056,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excise_documents": q_excise_documents,
         "bm25_documents": q_bm25_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "dsir_documents": q_dsir_documents,
     }
 
 
@@ -1859,6 +1876,49 @@ LEFT JOIN drops d ON v.vec_id = d.vec_id
 """
 
 
+#: DSIR twin (functions/dsir.py spec, target = lang='de', raw = the
+#: whole table): md5 feature buckets, add-1 quantized micro-nat
+#: log-probs (floor(ln·1e6) BIGINTs — exact dot products both
+#: engines), hash-derandomized Gumbel top-25.  range(len-1) is empty
+#: for 0/1-token docs, so bigrams need no CASE; docs with no tokens
+#: stay in the pool at weight 0 via the LEFT JOIN.
+_DSIR_SQL = """
+WITH w AS (SELECT doc_id, lang, {words} AS ws FROM documents),
+f AS (SELECT doc_id, lang,
+             unnest(list_concat(ws,
+                 list_transform(range(len(ws) - 1),
+                                i -> ws[i + 1] || ' ' || ws[i + 2])))
+               AS feat
+      FROM w),
+fb AS (SELECT doc_id, lang,
+              ('0x' || substr(md5(feat || chr(31) || 'dsir'), 1, 8))
+                ::BIGINT % 10000 AS b
+       FROM f),
+dc AS (SELECT doc_id, b, count(*) AS n FROM fb GROUP BY doc_id, b),
+rc AS (SELECT b, sum(n) AS c FROM dc GROUP BY b),
+rt AS (SELECT sum(c) AS tot FROM rc),
+tc AS (SELECT b, count(*) AS c FROM fb WHERE lang = 'de' GROUP BY b),
+tt AS (SELECT sum(c) AS tot FROM tc),
+ratio AS (SELECT rc.b,
+            floor(ln((coalesce(tc.c, 0) + 1.0) / (tt.tot + 1.0 * 10000))
+                  * 1000000.0)::BIGINT
+          - floor(ln((rc.c + 1.0) / (rt.tot + 1.0 * 10000))
+                  * 1000000.0)::BIGINT AS lr
+          FROM rc LEFT JOIN tc USING (b), tt, rt),
+lw AS (SELECT dc.doc_id, sum(dc.n * ratio.lr) AS logw_q6
+       FROM dc JOIN ratio USING (b) GROUP BY dc.doc_id),
+keyed AS (SELECT d.doc_id, coalesce(lw.logw_q6, 0) AS logw_q6,
+                 coalesce(lw.logw_q6, 0) / 1000000.0
+                 + -ln(-ln(((('0x' || substr(md5(d.doc_id::VARCHAR
+                                             || chr(31) || 'g'), 1, 8))
+                             ::BIGINT % 1000000) + 0.5) / 1000000.0))
+                   AS key
+          FROM documents d LEFT JOIN lw USING (doc_id))
+SELECT doc_id, logw_q6 / 1000000.0 AS logw
+FROM keyed ORDER BY key DESC, doc_id LIMIT 25
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_events_violations": _EVENTS_VIOLATIONS_SQL,
@@ -2213,4 +2273,5 @@ def oracle_sql() -> dict[str, str]:
         "excise_documents": _EXCISE_SQL,
         "bm25_documents": _BM25_SQL.format(words=_DUCK_WORDS),
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
+        "dsir_documents": _DSIR_SQL.format(words=_DUCK_WORDS),
     }

@@ -1,0 +1,230 @@
+"""DSIR-style importance resampling: select raw-corpus documents whose
+hashed n-gram profile looks like a TARGET domain.
+
+The recipe (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling"): featurize every document as a bag of hashed
+n-grams (unigrams + bigrams folded into ``n_buckets`` buckets), fit
+two smoothed bag-of-buckets unigram models — one on the target sample,
+one on the raw corpus — and weight each raw document by its
+log-likelihood ratio ``log w(x) = Σ_b c_b(x)·(ln p_b − ln q_b)``.
+Sampling k documents without replacement ∝ ``w`` is then the Gumbel
+top-k trick: keep the k largest ``log w(x) + Gumbel(x)``.
+
+The reference engine (pyeve/cerberus) has no data-selection affordance
+(SURVEY §2 — its surface is per-document validation); this module is
+additive scope for the training-data pipeline, built Spark-first.
+
+Cross-engine spec (shared verbatim with the DuckDB twin):
+
+* Tokens: engine-wide ``functions/text.words`` (lowercase, edge-strip,
+  ``\\s+`` split).  Features: all unigrams plus adjacent-pair bigrams
+  (``tok_i + ' ' + tok_{i+1}``).
+* Bucket: ``int(md5(feat ‖ 0x1f ‖ seed)[:8 hex], 16) % n_buckets`` —
+  the same content-addressing as ``operators/pipeline.hash_bucket``,
+  reproducible in any engine with md5.
+* QUANTIZED log-probs (the ``surprisal`` trick): each smoothed bucket
+  log-prob becomes ``floor(ln(p)·1e6)`` integer micro-nats, so the
+  per-document weight is a BIGINT dot product — exactly associative,
+  invariant to partitioning, row order, and engine float-summation
+  order.
+* Gumbel noise is DERANDOMIZED content-addressing, not an RNG:
+  ``u = (hash_bucket(id, 1e6, seed) + 0.5) / 1e6`` and
+  ``g = −ln(−ln u)`` — the Gumbel-max trick needs only that the noise
+  be i.i.d.-uniform-ish and independent of the weights, and a
+  cryptographic hash of the id gives that while staying deterministic
+  across reruns, cluster sizes, and engines.
+
+Scale shape (the 100-TB plan):
+
+* Featurization is ONE Arrow pass emitting per-document
+  ``(bucket, count)`` pairs already collapsed inside the UDF — the
+  exploded frame is ≤ distinct-buckets-per-doc rows of three ints, and
+  the corpus TEXT never shuffles.
+* Both models reduce to ≤ ``n_buckets`` rows (map-side combined); the
+  log-ratio table is ≤ ``n_buckets`` rows and BROADCASTS onto the
+  exploded frame — scoring is one broadcast join plus one exchange on
+  the id (ints only).
+* Self-raw scoring (``raw=None``) persists the exploded frame: it
+  feeds the raw model AND the scoring join, and an unpersisted subtree
+  would re-run the Arrow featurizer once per consumer (the measured
+  surprisal failure mode, surprisal.py:99-106).
+* Top-k is ``orderBy().limit(k)`` → TakeOrderedAndProject —
+  per-partition heaps and a k-row driver merge, never a full sort.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from ..operators.pipeline import hash_bucket
+from .text import words as _words_col
+
+__all__ = ["dsir_feature_counts", "dsir_logratio", "dsir_report",
+           "dsir_resample"]
+
+DSIR_BUCKETS = 10_000
+_Q = 1_000_000.0
+_SEP = "\x1f"
+
+
+def _bucket_of(feat: str, n_buckets: int, seed: str) -> int:
+    h = hashlib.md5((feat + _SEP + seed).encode("utf-8")).hexdigest()
+    return int(h[:8], 16) % n_buckets
+
+
+def _feature_counts_udf(n_buckets: int, seed: str):
+    """array<struct<b int, n int>> — per-document hashed-feature
+    counts, collapsed INSIDE the UDF (map-side pre-aggregation: the
+    exploded output is one row per distinct bucket, not per token)."""
+
+    @F.pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("b", T.IntegerType()),
+        T.StructField("n", T.IntegerType())])))
+    def _fc(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append([])
+                continue
+            ws = t.lower().strip().split()
+            if not ws:
+                out.append([])
+                continue
+            feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            c = Counter(_bucket_of(f, n_buckets, seed) for f in feats)
+            out.append([(b, n) for b, n in sorted(c.items())])
+        return pd.Series(out)
+
+    return _fc
+
+
+def dsir_feature_counts(df: DataFrame, id_col: str, text_col: str,
+                        n_buckets: int = DSIR_BUCKETS,
+                        seed: str = "dsir") -> DataFrame:
+    """Exploded per-document feature counts ``(id_col, b, n)``.
+
+    Documents with no tokens emit no rows (callers re-attach them with
+    a left join — :func:`dsir_report` does)."""
+    udf = _feature_counts_udf(n_buckets, seed)
+    return (df.select(F.col(id_col),
+                      F.explode(udf(F.col(text_col))).alias("_f"))
+            .select(id_col, F.col("_f.b").alias("b"),
+                    F.col("_f.n").alias("n")))
+
+
+def _bucket_totals(feats: DataFrame) -> DataFrame:
+    """(b, _c) bucket totals — ≤ n_buckets rows, map-side combined."""
+    return feats.groupBy("b").agg(F.sum("n").alias("_c"))
+
+
+def _lp_q6(count: Column, total: Column, alpha: float,
+           n_buckets: int) -> Column:
+    """floor(ln((c+α)/(T+αB))·1e6) — integer micro-nats."""
+    return F.floor(
+        F.log((count + F.lit(alpha))
+              / (total + F.lit(alpha) * F.lit(float(n_buckets)))) * _Q
+    ).cast("long")
+
+
+def dsir_logratio(target_feats: DataFrame, raw_feats: DataFrame,
+                  alpha: float = 1.0,
+                  n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Per-bucket quantized log-likelihood ratio table
+    ``(b, lr_q6 bigint)`` — one row per bucket observed in EITHER
+    corpus (≤ n_buckets rows; broadcast it onto the scoring join).
+
+    Buckets observed in neither corpus score
+    ``lp(0|target) − lp(0|raw)``; with ``raw`` ⊇ the scored corpus that
+    default is unreachable, but :func:`dsir_report` still coalesces to
+    it so a foreign corpus scores correctly."""
+    tc = _bucket_totals(target_feats).withColumnRenamed("_c", "_tc")
+    rc = _bucket_totals(raw_feats).withColumnRenamed("_c", "_rc")
+    both = tc.join(rc, "b", "full_outer")
+    tt = target_feats.agg(F.sum("n").alias("_tt"))
+    rt = raw_feats.agg(F.sum("n").alias("_rt"))
+    return (both.crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(rt))
+            .select(
+                "b",
+                (_lp_q6(F.coalesce("_tc", F.lit(0)), F.col("_tt"),
+                        alpha, n_buckets)
+                 - _lp_q6(F.coalesce("_rc", F.lit(0)), F.col("_rt"),
+                          alpha, n_buckets)).alias("lr_q6")))
+
+
+def dsir_report(df: DataFrame, target: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text",
+                raw: DataFrame | None = None, alpha: float = 1.0,
+                n_buckets: int = DSIR_BUCKETS,
+                seed: str = "dsir") -> DataFrame:
+    """Per-document importance weights: ``(id_col, n_feat, logw_q6,
+    logw)`` for EVERY input row (no-token documents score 0 with
+    n_feat 0).
+
+    ``raw`` defaults to ``df`` itself — the standard DSIR setup where
+    the scored corpus is the raw distribution.  ``logw_q6`` is the
+    exact BIGINT micro-nat weight (the cross-engine invariant);
+    ``logw`` is its double form for human consumption."""
+    feats = dsir_feature_counts(df, id_col, text_col, n_buckets, seed)
+    if raw is None:
+        # self-raw: the raw model is a further aggregation of the SAME
+        # exploded frame — persist or Catalyst re-runs the Arrow
+        # featurizer once per consumer (see module docstring)
+        feats = feats.persist()
+        raw_feats = feats
+    else:
+        raw_feats = dsir_feature_counts(raw, id_col, text_col,
+                                        n_buckets, seed)
+    tfeats = dsir_feature_counts(target, id_col, text_col,
+                                 n_buckets, seed)
+    ratio = dsir_logratio(tfeats, raw_feats, alpha, n_buckets)
+    # default ratio for buckets outside the table (one-row frame)
+    tt = tfeats.agg(F.sum("n").alias("_tt"))
+    rt = raw_feats.agg(F.sum("n").alias("_rt"))
+    lr0 = (tt.crossJoin(rt).select(
+        (_lp_q6(F.lit(0), F.col("_tt"), alpha, n_buckets)
+         - _lp_q6(F.lit(0), F.col("_rt"), alpha, n_buckets))
+        .alias("_lr0")))
+    scored = (feats.join(F.broadcast(ratio), "b", "left")
+              .crossJoin(F.broadcast(lr0))
+              .groupBy(id_col)
+              .agg(F.sum(F.coalesce("lr_q6", F.col("_lr0"))
+                         * F.col("n")).alias("logw_q6"),
+                   F.sum("n").alias("n_feat")))
+    return (df.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_feat", F.lit(0)).alias("n_feat"),
+                    F.coalesce("logw_q6", F.lit(0)).alias("logw_q6"),
+                    (F.coalesce("logw_q6", F.lit(0)) / F.lit(_Q))
+                    .alias("logw")))
+
+
+def gumbel_key(id_col: Column, logw_q6: Column,
+               seed: str = "") -> Column:
+    """``logw + Gumbel(id)`` — the Gumbel-max sampling key, with the
+    noise content-addressed from the id (module docstring)."""
+    u = ((hash_bucket(id_col, 1_000_000, seed).cast("double")
+          + F.lit(0.5)) / F.lit(1_000_000.0))
+    g = -F.log(-F.log(u))
+    return logw_q6 / F.lit(_Q) + g
+
+
+def dsir_resample(df: DataFrame, target: DataFrame, k: int,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  raw: DataFrame | None = None, alpha: float = 1.0,
+                  n_buckets: int = DSIR_BUCKETS, seed: str = "dsir",
+                  gumbel_seed: str = "g") -> DataFrame:
+    """Sample ``k`` documents without replacement ∝ importance weight:
+    the Gumbel top-k over :func:`dsir_report` weights.  Returns the
+    input rows (all columns) plus ``logw``, deterministically — the
+    same k rows on any partitioning, cluster size, or rerun."""
+    rep = dsir_report(df, target, id_col, text_col, raw=raw,
+                      alpha=alpha, n_buckets=n_buckets, seed=seed)
+    key = gumbel_key(F.col(id_col), F.col("logw_q6"), gumbel_seed)
+    top = (rep.select(id_col, "logw", key.alias("_key"))
+           .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+           .limit(k))
+    return df.join(top, id_col).drop("_key")

@@ -1,0 +1,153 @@
+"""DSIR importance resampling — Python-reference fuzz + determinism.
+
+The Python replay below re-implements the full cross-engine spec
+(functions/dsir.py module docstring) independently: md5 feature
+buckets, add-alpha quantized micro-nat log-probs, BIGINT dot-product
+weights, hash-derandomized Gumbel top-k.  Exact equality everywhere —
+the weights are integers by construction.
+"""
+
+import hashlib
+import math
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.functions import dsir
+
+B = 128  # small bucket space so collisions actually happen in tests
+SEED = "t"
+
+
+def _bucket(feat, n_buckets=B, seed=SEED):
+    h = hashlib.md5((feat + "\x1f" + seed).encode()).hexdigest()
+    return int(h[:8], 16) % n_buckets
+
+
+def _feats(text):
+    ws = (text or "").lower().strip().split()
+    return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+
+def _counts(rows):
+    c = Counter()
+    for _, t in rows:
+        c.update(_bucket(f) for f in _feats(t))
+    return c
+
+
+def _lp_q6(c, total, alpha=1.0, n_buckets=B):
+    return math.floor(math.log((c + alpha) / (total + alpha * n_buckets))
+                      * 1e6)
+
+
+def _py_logw(rows, target_rows, alpha=1.0):
+    tc, rc = _counts(target_rows), _counts(rows)
+    tt, rt = sum(tc.values()), sum(rc.values())
+    out = {}
+    for i, t in rows:
+        w = 0
+        for b, n in Counter(_bucket(f) for f in _feats(t)).items():
+            w += n * (_lp_q6(tc.get(b, 0), tt, alpha)
+                      - _lp_q6(rc.get(b, 0), rt, alpha))
+        out[i] = w
+    return out
+
+
+def _gumbel_key(i, logw_q6, seed="g"):
+    h = hashlib.md5((str(i) + "\x1f" + seed).encode()).hexdigest()
+    u = (int(h[:8], 16) % 1_000_000 + 0.5) / 1_000_000.0
+    return logw_q6 / 1e6 + -math.log(-math.log(u))
+
+
+WORDS = ["spark", "data", "vector", "hash", "join", "query", "model",
+         "the", "a", "of", "scale", "index"]
+
+
+def _gen(rng, n, bias=None):
+    rows = []
+    for i in range(n):
+        k = rng.randint(0, 12)
+        ws = [rng.choice(bias or WORDS) for _ in range(k)]
+        rows.append((i, " ".join(ws) if ws else rng.choice(["", None])))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    rng = random.Random(7)
+    raw = _gen(rng, 120)
+    # target skews toward a sub-vocabulary -> nonzero weights
+    target = [(1000 + i, t) for i, t in
+              _gen(rng, 25, bias=["spark", "vector", "index", "scale"])]
+    df = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt = spark.createDataFrame(target, "doc_id long, text string")
+    return raw, target, df, tgt
+
+
+def test_logweights_match_python_reference(corpora):
+    raw, target, df, tgt = corpora
+    rep = dsir.dsir_report(df, tgt, n_buckets=B, seed=SEED)
+    got = {r["doc_id"]: r["logw_q6"] for r in rep.collect()}
+    exp = _py_logw(raw, target)
+    assert got == exp
+    # every input row present; no-token docs score exactly 0
+    empties = [i for i, t in raw if not (t or "").strip()]
+    assert empties and all(got[i] == 0 for i in empties)
+
+
+def test_foreign_raw_corpus_and_alpha(corpora, spark):
+    raw, target, df, tgt = corpora
+    rng = random.Random(11)
+    raw2 = _gen(rng, 60)
+    df2 = spark.createDataFrame(raw2, "doc_id long, text string")
+    rep = dsir.dsir_report(df, tgt, raw=df2, alpha=0.5,
+                           n_buckets=B, seed=SEED)
+    got = {r["doc_id"]: r["logw_q6"] for r in rep.collect()}
+    # replay with the foreign raw model
+    tc, rc = _counts(target), _counts(raw2)
+    tt, rt = sum(tc.values()), sum(rc.values())
+    for i, t in raw:
+        w = sum(n * (_lp_q6(tc.get(b, 0), tt, 0.5)
+                     - _lp_q6(rc.get(b, 0), rt, 0.5))
+                for b, n in
+                Counter(_bucket(f) for f in _feats(t)).items())
+        assert got[i] == w
+
+
+def test_resample_is_gumbel_topk_and_deterministic(corpora):
+    raw, target, df, tgt = corpora
+    out = dsir.dsir_resample(df, tgt, k=30, n_buckets=B, seed=SEED)
+    got = sorted(r["doc_id"] for r in out.collect())
+    exp_w = _py_logw(raw, target)
+    exp = sorted(sorted(exp_w, key=lambda i: (-_gumbel_key(i, exp_w[i]),
+                                              i))[:30])
+    assert got == exp
+    # rerun on different partitioning -> identical selection
+    out2 = dsir.dsir_resample(df.repartition(7), tgt, k=30,
+                              n_buckets=B, seed=SEED)
+    assert sorted(r["doc_id"] for r in out2.collect()) == exp
+    # selection enriches the target vocabulary at the TOKEN level (a
+    # contains-any-target-word metric saturates: the target vocab is a
+    # subset of the corpus vocab, so ~every non-empty doc has a hit)
+    tgt_words = {"spark", "vector", "index", "scale"}
+
+    def tok_frac(ids):
+        toks = [w for i, t in raw if i in ids
+                for w in (t or "").split()]
+        return sum(1 for w in toks if w in tgt_words) / max(len(toks), 1)
+
+    assert tok_frac(set(got)) > tok_frac(set(i for i, _ in raw))
+
+
+def test_ratio_table_broadcasts_and_text_never_shuffles(corpora):
+    _, _, df, tgt = corpora
+    rep = dsir.dsir_report(df, tgt, n_buckets=B, seed=SEED)
+    plan = rep._sc._jvm.PythonSQLUtils.explainString(
+        rep._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan
+    # the only wide exchanges carry int columns (b / id), never text:
+    # no hashpartitioning on the text column anywhere
+    assert "hashpartitioning(text" not in plan
