@@ -211,8 +211,11 @@ def run_level(cpus: int) -> dict:
         timings[name] = _timed(spark, job)
         timings[name]["rows_per_sec"] = round(
             N_ROWS / timings[name]["best_sec"])
+    # same corpus-sized bucket space as the timed job — the 12-bit
+    # default at n=1M floods every bucket and the verify explodes
     n_pairs = DD.embedding_near_dups(
-        docs, "vec_id", "embedding", threshold=0.95, dim=DIM).count()
+        docs, "vec_id", "embedding", threshold=0.95, dim=DIM,
+        n_bits=S.auto_bits(N_ROWS)).count()
     spark.stop()
     return {"cpus": cpus, "n_rows": N_ROWS, "dim": DIM,
             "near_dup_pairs": n_pairs, "timings": timings}
