@@ -988,6 +988,26 @@ def q_semantic_dedup_embeddings(spark, sf_dir):
                       "kept")
 
 
+def q_bm25_indexed_documents(spark, sf_dir):
+    """BM25 through the INVERTED INDEX (functions/ranking.py
+    write_text_index / bm25_topk_indexed): postings partitioned by
+    term-hash bucket so the query reads only its terms' partitions
+    (plan-pinned partition pruning in tests), doc length denormalized
+    onto the posting row (no corpus-sized join), per-term pivot sums
+    in caller order.  Bit-identical doubles to the flat path, so the
+    SAME DuckDB twin certifies both."""
+    import tempfile
+
+    from cerberus_spark.functions import ranking as RK
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_idx_")
+    RK.write_text_index(docs, idx, "doc_id", "text")
+    top = RK.bm25_topk_indexed(spark, idx, ["vector", "hash", "spark"],
+                               k=10)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_dsir_documents(spark, sf_dir):
     """DSIR importance resampling (functions/dsir.py): hashed
     unigram+bigram features (md5 % 10k buckets), add-1 smoothed
@@ -1073,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_documents": q_bm25_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "dsir_documents": q_dsir_documents,
+        "bm25_indexed_documents": q_bm25_indexed_documents,
     }
 
 
@@ -2274,4 +2295,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_documents": _BM25_SQL.format(words=_DUCK_WORDS),
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "dsir_documents": _DSIR_SQL.format(words=_DUCK_WORDS),
+        "bm25_indexed_documents": _BM25_SQL.format(words=_DUCK_WORDS),
     }

@@ -93,3 +93,163 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     """
     s = bm25_scores(df, id_col, text_col, terms, k1=k1, b=b)
     return s.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# inverted index — the MANY-queries scale path
+# ---------------------------------------------------------------------------
+#
+# The flat operators above re-tokenize the corpus per query call; a
+# caller issuing many queries should pay tokenization ONCE.  The index
+# is three parquet relations:
+#
+#   postings/   (tb, term, doc_id, tf, dl)  partitioned by tb =
+#               pmod(xxhash64(term), term_buckets) — a query reads
+#               ONLY its terms' partitions (partition pruning at the
+#               file listing, before any I/O), and dl is denormalized
+#               onto the posting row (one int) so scoring needs NO
+#               join against a corpus-sized doc-length table.
+#   stats/      one row (n, avgdl) — the corpus constants.
+#
+# Query cost is therefore ∝ the query terms' posting lists, not the
+# corpus: a pruned scan, two tiny broadcast joins (per-term df ≤
+# |terms| rows, stats 1 row), ONE exchange on doc_id over candidate
+# rows only, and a TakeOrderedAndProject.  Scores are BIT-IDENTICAL
+# to the flat path: the same expression tree per term, summed in
+# caller order via per-term pivot columns (each term's contribution
+# is a single value per doc, so the pivot sum is exact).
+
+
+def write_text_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     term_buckets: int = 256) -> None:
+    """Build the inverted index (two corpus scans — postings and the
+    stats row — and one shuffle; build-time cost, amortized across
+    every query served from the index).
+
+    ``term_buckets`` bounds the partition count (a raw
+    ``partitionBy(term)`` would mint one directory per vocabulary
+    type — 10^8-10^9 dirs at corpus scale, a filesystem DoS); 256-4096
+    buckets keep listings cheap while still pruning ~all I/O for
+    few-term queries."""
+    toks = words(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     toks.alias("_toks"), F.size(toks).alias("dl"))
+    postings = (base.select("doc_id", "dl",
+                            F.explode("_toks").alias("term"))
+                .groupBy("doc_id", "dl", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("tb", F.pmod(F.xxhash64("term"),
+                                         F.lit(term_buckets))))
+    (postings.write.mode("overwrite").partitionBy("tb")
+     .parquet(f"{path}/postings"))
+    (base.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def bm25_topk_indexed(spark, path: str, terms: Sequence[str],
+                      k: int = 10, k1: float = 1.2, b: float = 0.75,
+                      term_buckets: int = 256) -> DataFrame:
+    """Top-k BM25 from a :func:`write_text_index` index — identical
+    output (bit-for-bit doubles) to :func:`bm25_topk` on the indexed
+    corpus, at per-query cost ∝ the terms' posting lists."""
+    if not terms:
+        raise ValueError("bm25 needs at least one query term")
+    buckets = sorted({_spark_term_bucket(t, term_buckets) for t in terms})
+    p = (spark.read.parquet(f"{path}/postings")
+         .filter(F.col("tb").isin(buckets) & F.col("term").isin(list(terms))))
+    dfreq = p.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df"))
+    stats = (spark.read.parquet(f"{path}/stats")
+             .select(F.col("n").cast("double").alias("_n"),
+                     F.col("avgdl").alias("_avgdl")))
+    scored = (p.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats)))
+    # one pivot column per term: each is a single posting row per doc,
+    # so summing the when() picks that exact double (or NULL → 0.0)
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5)))
+    tf = F.col("tf").cast("double")
+    contrib = idf * (tf * F.lit(k1 + 1.0)
+                     / (tf + F.lit(k1) * (F.lit(1.0 - b)
+                                          + F.lit(b) * F.col("dl")
+                                          / F.col("_avgdl"))))
+    per_doc = scored.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.col("term") == t, contrib)).alias(f"_c{i}")
+          for i, t in enumerate(terms)])
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    return (per_doc.select("doc_id", score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k))
+
+
+def _spark_term_bucket(term: str, term_buckets: int) -> int:
+    """Driver-side twin of ``pmod(xxhash64(term), term_buckets)`` so
+    the query can enumerate its partitions without a Spark job."""
+    try:
+        import xxhash  # pragma: no cover - not in this image
+        h = xxhash.xxh64(term.encode(), seed=42).intdigest()
+        return (h - (1 << 64) if h >= (1 << 63) else h) % term_buckets
+    except ImportError:
+        return _xxhash64_py(term.encode()) % term_buckets
+
+
+def _xxhash64_py(data: bytes, seed: int = 42) -> int:
+    """Pure-python xxhash64 (Collet's public spec) matching Spark's
+    ``xxhash64()`` (seed 42), reduced mod 2^64 with signed pmod
+    semantics applied by the caller.  Only runs driver-side on the
+    query TERMS (a handful of short strings)."""
+    P1, P2, P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    P4, P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed
+        v4 = (seed - P1) & M
+        while i <= n - 32:
+            v1 = (rotl((v1 + int.from_bytes(data[i:i + 8], "little")
+                        * P2) & M, 31) * P1) & M
+            v2 = (rotl((v2 + int.from_bytes(data[i + 8:i + 16], "little")
+                        * P2) & M, 31) * P1) & M
+            v3 = (rotl((v3 + int.from_bytes(data[i + 16:i + 24], "little")
+                        * P2) & M, 31) * P1) & M
+            v4 = (rotl((v4 + int.from_bytes(data[i + 24:i + 32], "little")
+                        * P2) & M, 31) * P1) & M
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * P2) & M, 31) * P1) & M
+            h = (h * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i <= n - 8:
+        h ^= (rotl((int.from_bytes(data[i:i + 8], "little") * P2) & M,
+                   31) * P1) & M
+        h = (rotl(h, 27) * P1 + P4) & M
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * P1) & M
+        h = (rotl(h, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    # Spark's xxhash64 returns a SIGNED long; the caller's Python %
+    # already has pmod semantics on negatives
+    return (h - (1 << 64) if h >= (1 << 63) else h)

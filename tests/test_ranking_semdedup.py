@@ -163,6 +163,43 @@ def test_semantic_dedup_min_id_rule_on_chain(spark):
     assert out == {1: True, 2: False, 3: False}
 
 
+def test_bm25_indexed_bitexact_and_pruned(spark, tmp_path):
+    """The indexed path returns bit-identical doubles to the flat path
+    and reads only the query terms' tb partitions."""
+    rows = _corpus(13, 80)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["vector", "hash", "spark"]
+    idx = str(tmp_path / "idx")
+    R.write_text_index(df, idx, "doc_id", "text", term_buckets=16)
+    flat = R.bm25_topk(df, "doc_id", "text", terms, k=15).collect()
+    got = R.bm25_topk_indexed(spark, idx, terms, k=15,
+                              term_buckets=16).collect()
+    assert [(r.doc_id, r.score) for r in got] \
+        == [(r.doc_id, r.score) for r in flat]  # EXACT double equality
+    # partition pruning: the scan's partition filter carries tb IN (…)
+    q = R.bm25_topk_indexed(spark, idx, terms, k=15, term_buckets=16)
+    plan = physical_plan(q)
+    assert "PartitionFilters" in plan and "tb" in plan
+    buckets = sorted({R._spark_term_bucket(t, 16) for t in terms})
+    import os
+    on_disk = sorted(int(d.split("=")[1])
+                     for d in os.listdir(f"{idx}/postings")
+                     if d.startswith("tb="))
+    assert set(buckets) < set(on_disk)  # genuinely prunes something
+
+
+def test_python_xxhash64_twin_matches_spark(spark):
+    """_spark_term_bucket must agree with pmod(xxhash64(term), m) or
+    pruning silently drops posting lists."""
+    samples = ["", "a", "spark", "vector", "x" * 7, "y" * 8, "z" * 31,
+               "w" * 32, "long token " * 13, "naïve-ünïcode", "数据"]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = {r["t"]: r["b"] for r in df.select(
+        "t", F.pmod(F.xxhash64("t"), F.lit(257)).alias("b")).collect()}
+    for s in samples:
+        assert R._spark_term_bucket(s, 257) == got[s], s
+
+
 def test_semantic_pairs_cell_cap_overflow(spark):
     """Beyond cell_cap members pair with the cell head only (the LSH
     head-pairing skew guard)."""
