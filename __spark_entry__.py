@@ -988,6 +988,17 @@ def q_semantic_dedup_embeddings(spark, sf_dir):
                       "kept")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (operators/pipeline.chunk_documents):
+    32-token chunks, 8-token overlap — one shuffle-free JVM projection
+    (tokenize → sequence → explode → slice/array_join), chunk i covers
+    tokens [i·24, i·24+32) and exists iff it starts inside the doc."""
+    from cerberus_spark.operators import pipeline as P
+
+    docs = _read(spark, sf_dir, "documents")
+    return P.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 def q_bm25_indexed_documents(spark, sf_dir):
     """BM25 through the INVERTED INDEX (functions/ranking.py
     write_text_index / bm25_topk_indexed): postings partitioned by
@@ -1094,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "dsir_documents": q_dsir_documents,
         "bm25_indexed_documents": q_bm25_indexed_documents,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1940,6 +1952,26 @@ FROM keyed ORDER BY key DESC, doc_id LIMIT 25
 """
 
 
+#: chunk twin (operators/pipeline.chunk_documents spec): stride 24,
+#: chunk 32; DuckDB list_slice is 1-based inclusive-stop like Spark's
+#: slice(start, length) over the same bounds; range() is empty for
+#: token-less docs, so they emit no chunks in both engines.
+_CHUNK_SQL = """
+WITH w AS (SELECT doc_id, {words} AS ws FROM documents),
+c AS (SELECT doc_id, ws,
+             unnest(range(CAST(ceil(len(ws) / 24.0) AS INT)))::INT
+               AS chunk_idx
+      FROM w WHERE len(ws) > 0)
+SELECT doc_id, chunk_idx,
+       len(list_slice(ws, chunk_idx * 24 + 1, chunk_idx * 24 + 32))::INT
+         AS n_tok,
+       array_to_string(list_slice(ws, chunk_idx * 24 + 1,
+                                  chunk_idx * 24 + 32), ' ')
+         AS chunk_text
+FROM c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_events_violations": _EVENTS_VIOLATIONS_SQL,
@@ -2296,4 +2328,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "dsir_documents": _DSIR_SQL.format(words=_DUCK_WORDS),
         "bm25_indexed_documents": _BM25_SQL.format(words=_DUCK_WORDS),
+        "chunk_documents": _CHUNK_SQL.format(words=_DUCK_WORDS),
     }

@@ -176,6 +176,9 @@ def main() -> None:
         # round-6 additions
         "ngram_surprisal_documents",
         "cross_dedup_stored_documents",
+        "bm25_documents",
+        "dsir_documents",
+        "semantic_dedup_embeddings",
     ]
     qs = entrymod.queries()
     # best-of-N per head query: a single co-tenant burst on this shared

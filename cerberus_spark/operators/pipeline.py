@@ -43,6 +43,7 @@ from ..functions import text as T
 __all__ = [
     "hash_bucket", "split_assign", "stratified_sample",
     "mixture_resample", "tail_turns", "pack_sequences",
+    "chunk_documents",
 ]
 
 #: separator between key and seed inside the hashed string — a control
@@ -196,6 +197,56 @@ def _order_cols(idx_col: str, order_tie: Sequence) -> list[Column]:
 
 def _order(idx_col: str, order_tie: Sequence) -> list[Column]:
     return [c.asc_nulls_first() for c in _order_cols(idx_col, order_tie)]
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard retrieval/embedding-pipeline primitive (chunk → embed →
+    ANN index; the chunk, not the document, is the similarity unit).
+
+    Returns ``(id_col, chunk_idx, n_tok, chunk_text)``: chunk ``i``
+    covers tokens ``[i·stride, i·stride + chunk_tokens)`` of the
+    engine-wide ``words()`` token stream, ``stride = chunk_tokens −
+    overlap``.  The last chunk may be short; a chunk is emitted only if
+    it STARTS inside the document, so every token is covered and no
+    empty trailing chunk appears.  Token-less documents (NULL/empty
+    text) emit no chunks — no evidence, no unit to embed.  Chunk text
+    is the tokens rejoined with single spaces: chunking is defined over
+    the token stream, so original inter-token whitespace is not
+    preserved (the same normalization every tokenizer-based chunker
+    applies).
+
+    Scale shape: one projection — tokenize, ``sequence()`` over the
+    chunk count, ``explode``, ``slice`` + ``array_join`` — all JVM
+    expressions with no lambda HOF, no Python, and NO shuffle; it
+    pipelines into the parquet scan and fans out ~n_tok/stride rows per
+    document.  Deterministic and partitioning-invariant by
+    construction (pure per-row math)."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be > 0")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = T.words(F.col(text_col))
+    n_tok = F.size("_toks")
+    # chunks whose start i*stride < n_tok  →  ceil(n_tok / stride)
+    n_chunks = F.ceil(n_tok / F.lit(float(stride))).cast("int")
+    base = (df.select(F.col(id_col), toks.alias("_toks"))
+            .filter(F.size("_toks") > 0)
+            .select(id_col, "_toks",
+                    F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                    .alias("chunk_idx")))
+    piece = F.slice(F.col("_toks"),
+                    F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return base.select(
+        id_col, "chunk_idx", F.size(piece).alias("n_tok"),
+        F.array_join(piece, " ").alias("chunk_text"))
 
 
 def tail_turns(

@@ -350,3 +350,43 @@ def test_mixture_resample_resolution_guard(spark):
     out = P.mixture_resample(df, "s", "k", temperature=2.0, n_buckets=10)
     with _pytest.raises(Exception, match="raise n_buckets"):
         out.collect()
+
+
+def test_chunk_documents_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, " ".join(f"t{rng.randint(0, 30)}"
+                         for _ in range(rng.randint(0, 50))) or None)
+            for i in range(40)]
+    rows += [(100, None), (101, ""), (102, "  \t "), (103, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunk, overlap = 8, 3
+    stride = chunk - overlap
+    got = {(r.doc_id, r.chunk_idx): (r.n_tok, r.chunk_text)
+           for r in P.chunk_documents(df, chunk_tokens=chunk,
+                                      overlap=overlap).collect()}
+    exp = {}
+    for i, t in rows:
+        ws = (t or "").lower().strip().split()
+        for c in range((len(ws) + stride - 1) // stride):
+            piece = ws[c * stride:c * stride + chunk]
+            exp[(i, c)] = (len(piece), " ".join(piece))
+    assert got == exp
+    # every token covered: concatenating stride-prefixes rebuilds docs
+    assert (100, 0) not in got and (103, 0) in got
+
+
+def test_chunk_documents_edges_and_plan(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "x")],
+                               "doc_id long, text string")
+    # no overlap: exact partition of the token stream
+    out = {(r.doc_id, r.chunk_idx): r.chunk_text
+           for r in P.chunk_documents(df, chunk_tokens=2).collect()}
+    assert out == {(1, 0): "a b", (1, 1): "c d", (2, 0): "x"}
+    with pytest.raises(ValueError):
+        P.chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        P.chunk_documents(df, chunk_tokens=4, overlap=4)
+    rep = plan_report(P.chunk_documents(df, chunk_tokens=2))
+    assert rep["n_exchanges"] == 0 and not rep["python_workers"]
