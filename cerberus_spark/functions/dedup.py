@@ -1454,13 +1454,37 @@ def semantic_pairs(df: DataFrame, id_col: str, emb_col: str,
     * Centroids are caller-supplied (``similarity.train_centroids`` or
       any fixed anchor set) — passing data-derived anchors makes the
       whole operator deterministic and twin-testable.
+    * The slim ``(id, cell)`` assignment table is PERSISTED: it feeds
+      four plan consumers (bucket build, cell heads, overflow pairing
+      — and the dedup verdict join), and an unpersisted subtree would
+      re-run the Arrow assignment UDF over the corpus once per
+      consumer (the measured surprisal failure mode, surprisal.py:
+      99-106; here it made a 2k-row fixture head cost 9 s in Arrow
+      worker spin-ups).  The cache is two ints per row — the
+      embeddings themselves are never cached; the verify join reads
+      them from the source relation.
     """
-    from .similarity import cosine, ivf_cell_udf
+    e, assigned = _semantic_assign(df, id_col, emb_col, centroids)
+    return _semantic_pairs_from(e, assigned, threshold, cell_cap)
+
+
+def _semantic_assign(df: DataFrame, id_col: str, emb_col: str,
+                     centroids) -> tuple[DataFrame, DataFrame]:
+    """(embeddings relation, persisted slim (id, cell) assignment)."""
+    from .similarity import ivf_cell_udf
 
     e = df.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
     assigned = e.select(
-        "_id", "_emb", ivf_cell_udf(centroids)(F.col("_emb")).alias("cell"))
+        "_id", ivf_cell_udf(centroids)(F.col("_emb")).alias("cell")
+    ).persist()
+    return e, assigned
+
+
+def _semantic_pairs_from(e: DataFrame, assigned: DataFrame,
+                         threshold: float, cell_cap: int) -> DataFrame:
+    from .similarity import cosine
+
     ranked = assigned.withColumn(
         "_rn", F.row_number().over(W.partitionBy("cell").orderBy("_id")))
     buckets = (ranked.filter(F.col("_rn") <= cell_cap)
@@ -1480,10 +1504,8 @@ def semantic_pairs(df: DataFrame, id_col: str, emb_col: str,
                 .select("cell", F.col("_id").alias("id_b"))
                 .join(heads, "cell").select("cell", "id_a", "id_b"))
     cand = pairs.unionByName(overflow).distinct()
-    ea = assigned.select(F.col("_id").alias("id_a"),
-                         F.col("_emb").alias("emb_a"))
-    eb = assigned.select(F.col("_id").alias("id_b"),
-                         F.col("_emb").alias("emb_b"))
+    ea = e.select(F.col("_id").alias("id_a"), F.col("_emb").alias("emb_a"))
+    eb = e.select(F.col("_id").alias("id_b"), F.col("_emb").alias("emb_b"))
     return (cand.join(ea, "id_a").join(eb, "id_b")
             .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
             .filter(F.col("cos") >= threshold)
@@ -1505,16 +1527,17 @@ def semantic_dedup(df: DataFrame, id_col: str, emb_col: str,
     verdict is a single anti-join over :func:`semantic_pairs` — at
     100 TB that is one bounded exchange instead of O(log d) rounds.
     NULL embeddings carry no evidence and are always kept (cell NULL).
-    """
-    from .similarity import ivf_cell_udf
 
-    drops = (semantic_pairs(df, id_col, emb_col, centroids,
-                            threshold=threshold, cell_cap=cell_cap)
+    The ``cell`` column on the output joins the SAME persisted slim
+    assignment the pair graph used — the Arrow assignment UDF runs
+    over the corpus exactly once for the whole verdict.
+    """
+    e, assigned = _semantic_assign(df, id_col, emb_col, centroids)
+    drops = (_semantic_pairs_from(e, assigned, threshold, cell_cap)
              .select(F.col("id_b").alias("_drop_id")).distinct())
-    out = df.withColumn(
-        "cell",
-        F.when(F.col(emb_col).isNotNull(),
-               ivf_cell_udf(centroids)(F.col(emb_col))))
+    cells = assigned.select(F.col("_id").alias("_cell_id"), "cell")
+    out = (df.join(cells, df[id_col] == cells["_cell_id"], "left")
+           .drop("_cell_id"))
     return (out.join(drops, out[id_col] == drops["_drop_id"], "left")
             .withColumn("kept", F.col("_drop_id").isNull())
             .drop("_drop_id"))
