@@ -1483,7 +1483,7 @@ def _semantic_assign(df: DataFrame, id_col: str, emb_col: str,
 
 def _semantic_pairs_from(e: DataFrame, assigned: DataFrame,
                          threshold: float, cell_cap: int) -> DataFrame:
-    from .similarity import cosine
+    from .similarity import cosine_pair_udf
 
     ranked = assigned.withColumn(
         "_rn", F.row_number().over(W.partitionBy("cell").orderBy("_id")))
@@ -1506,8 +1506,14 @@ def _semantic_pairs_from(e: DataFrame, assigned: DataFrame,
     cand = pairs.unionByName(overflow).distinct()
     ea = e.select(F.col("_id").alias("id_a"), F.col("_emb").alias("emb_a"))
     eb = e.select(F.col("_id").alias("id_b"), F.col("_emb").alias("emb_b"))
+    # Arrow pair scorer even below COSINE_DIM_BUDGET: that budget was
+    # tuned for SCAN-vs-literal scoring; for post-join PAIR rows the
+    # Column HOF is CodegenFallback per candidate and measured 3×
+    # slower than the vectorized batch multiply-sum at dim=64 already
+    # (same doubles up to float summation order)
     return (cand.join(ea, "id_a").join(eb, "id_b")
-            .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+            .withColumn("cos", cosine_pair_udf()(F.col("emb_a"),
+                                                 F.col("emb_b")))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cell", F.col("cos").alias("cosine")))
 
