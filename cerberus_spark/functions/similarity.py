@@ -598,10 +598,15 @@ def pq_topk(df: DataFrame, emb_col: str, query, codebooks: np.ndarray,
     the rerank join).  Deterministic: ADC ties break on ascending id."""
     enc = pq_encode_udf(codebooks)
     adc = pq_adc_scores_udf(codebooks, query)
-    cand = (df.withColumn("_codes", enc(F.col(emb_col)))
-            .withColumn("_adc", adc(F.col("_codes")))
-            .filter(F.col("_adc").isNotNull())
-            .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
-            .limit(rerank)
-            .drop("_codes", "_adc"))
+    # the candidate heap ranks a SLIM (id, adc) projection — carrying
+    # the wide embedding column through TakeOrdered copies kB-sized
+    # rows per heap insertion (measured 132 s vs ~10 s at 1M × 768);
+    # the rerank join re-reads the raw vectors for `rerank` rows only
+    cand_ids = (df.select(F.col(id_col),
+                          adc(enc(F.col(emb_col))).alias("_adc"))
+                .filter(F.col("_adc").isNotNull())
+                .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
+                .limit(rerank)
+                .select(id_col))
+    cand = df.join(F.broadcast(cand_ids), id_col)
     return brute_force_topk(cand, emb_col, query, k, id_col)
