@@ -228,7 +228,7 @@ def train_centroids(df: DataFrame, emb_col: str, n_cells: int = 16,
     the first partitions scanned, so at 100 TB the codebook would train
     on one file's worth of possibly-sorted data and silently degrade
     every probe's recall."""
-    rows = (df.select(emb_col)
+    rows = (df.select(emb_col).filter(F.col(emb_col).isNotNull())
             .orderBy(F.rand(seed))
             .limit(sample).collect())
     X = np.asarray([r[0] for r in rows], dtype=float)
@@ -609,4 +609,86 @@ def pq_topk(df: DataFrame, emb_col: str, query, codebooks: np.ndarray,
                 .limit(rerank)
                 .select(id_col))
     cand = df.join(F.broadcast(cand_ids), id_col)
+    return brute_force_topk(cand, emb_col, query, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF-PQ index: cell-partitioned codes + codebook sidecars
+# ---------------------------------------------------------------------------
+
+
+def build_pq_index(df: DataFrame, emb_col: str, id_col: str, path: str,
+                   m: int = 8, k: int = 256, n_cells: int | None = None,
+                   sample: int = 4096, iters: int = 5,
+                   seed: int = 42) -> tuple[np.ndarray, np.ndarray | None]:
+    """Train PQ (and optionally IVF) codebooks and persist the CODED
+    corpus: ``(id_col, codes)`` — no raw embeddings in the index, the
+    100-380× memory cut that makes a 10^12-vector corpus scannable.
+    With ``n_cells`` the codes table is also partitioned by coarse
+    cell, so a query prunes to nprobe partitions AND scores only
+    codes: the full IVF-PQ layout.  Codebooks persist as sidecars;
+    returns ``(pq_codebooks, centroids-or-None)``."""
+    pq = train_pq_codebooks(df, emb_col, m, k, sample, iters, seed)
+    enc = pq_encode_udf(pq)
+    cent = None
+    coded = df.select(F.col(id_col), enc(F.col(emb_col)).alias("codes"),
+                      F.col(emb_col).alias("_e"))
+    if n_cells:
+        cent = train_centroids(df, emb_col, n_cells, sample, iters, seed)
+        coded = coded.withColumn("cell", ivf_cell_udf(cent)(F.col("_e")))
+        (coded.drop("_e").repartition("cell").write.mode("overwrite")
+         .partitionBy("cell").parquet(f"{path}/codes"))
+    else:
+        coded.drop("_e").write.mode("overwrite").parquet(f"{path}/codes")
+    spark = df.sparkSession
+    mm, kk, dsub = pq.shape
+    spark.createDataFrame(
+        [(j, i, [float(x) for x in pq[j, i]])
+         for j in range(mm) for i in range(kk)],
+        "j int, i int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+    if cent is not None:
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    return pq, cent
+
+
+def load_pq_codebooks(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/pq_codebooks").orderBy("j", "i").collect()
+    m = max(r["j"] for r in rows) + 1
+    k = max(r["i"] for r in rows) + 1
+    out = np.empty((m, k, len(rows[0]["vec"])), dtype=np.float64)
+    for r in rows:
+        out[r["j"], r["i"]] = r["vec"]
+    return out
+
+
+def pq_index_topk(spark, path: str, query, k: int = 10,
+                  rerank: int = 100, raw: DataFrame | None = None,
+                  id_col: str = "doc_id", emb_col: str = "embedding",
+                  nprobe: int | None = None) -> DataFrame:
+    """Query a :func:`build_pq_index` index: ADC-score the CODES table
+    (pruned to nprobe cell partitions when the index is celled), take
+    the top ``rerank``, and — when ``raw`` (the source table) is given
+    — exact-cosine-rerank those rows for exact-on-candidates results.
+    Without ``raw`` the ADC scores rank directly (``score`` is then
+    the approximate inner product; at 10^12 vectors the raw table may
+    live elsewhere, so the join-back is the caller's choice)."""
+    pq = load_pq_codebooks(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    if nprobe:
+        cent = load_ivf_codebook(spark, path)
+        q = np.asarray(query, dtype=np.float64)
+        cells = [int(i) for i in ((cent - q) ** 2).sum(1).argsort()[:nprobe]]
+        codes = codes.filter(F.col("cell").isin(cells))
+    adc = pq_adc_scores_udf(pq, query)
+    scored = (codes.select(F.col(id_col), adc(F.col("codes")).alias("score"))
+              .filter(F.col("score").isNotNull())
+              .orderBy(F.col("score").desc(), F.col(id_col).asc()))
+    if raw is None:
+        return scored.limit(k)
+    cand_ids = scored.limit(rerank).select(id_col)
+    cand = raw.join(F.broadcast(cand_ids), id_col)
     return brute_force_topk(cand, emb_col, query, k, id_col)

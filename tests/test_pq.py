@@ -78,3 +78,59 @@ def test_pq_topk_equals_exact_on_planted(planted, spark):
         == [(r.vec_id, r.score) for r in exact]
     # the winners are the planted near-copies — non-vacuous
     assert {r.vec_id for r in got} & set(range(400, 412))
+
+
+def test_pq_index_roundtrip_flat(planted, spark, tmp_path):
+    X, df = planted
+    path = str(tmp_path / "pqidx")
+    cb, cent = S.build_pq_index(df, "embedding", "vec_id", path,
+                                m=M, k=16, sample=512, seed=7)
+    assert cent is None
+    assert np.array_equal(S.load_pq_codebooks(spark, path), cb)
+    q = X[0]
+    # with raw: identical to the in-memory pq_topk path
+    want = S.pq_topk(df, "embedding", q, cb, k=10, rerank=60,
+                     id_col="vec_id").collect()
+    got = S.pq_index_topk(spark, path, q, k=10, rerank=60, raw=df,
+                          id_col="vec_id").collect()
+    assert [(r.vec_id, r.score) for r in got] \
+        == [(r.vec_id, r.score) for r in want]
+    # without raw: pure-ADC ranking replayed in numpy
+    dsub = DIM // M
+    lut = np.stack([cb[j] @ q[j * dsub:(j + 1) * dsub] for j in range(M)])
+    codes = np.stack([
+        [np.argmin(((cb[j] - X[i, j * dsub:(j + 1) * dsub]) ** 2).sum(1))
+         for j in range(M)] for i in range(len(X))])
+    adc = lut[np.arange(M)[None, :], codes].sum(1)
+    order = sorted(range(len(X)), key=lambda i: (-adc[i], i))[:5]
+    approx = S.pq_index_topk(spark, path, q, k=5, id_col="vec_id").collect()
+    assert [r.vec_id for r in approx] == order
+
+
+def test_pq_index_celled_prunes_and_matches_replay(planted, spark,
+                                                   tmp_path):
+    X, df = planted
+    path = str(tmp_path / "pqcell")
+    cb, cent = S.build_pq_index(df, "embedding", "vec_id", path,
+                                m=M, k=16, n_cells=4, sample=512, seed=7)
+    q = X[0]
+    out = S.pq_index_topk(spark, path, q, k=5, rerank=40, raw=df,
+                          id_col="vec_id", nprobe=2)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "cell" in plan
+    # numpy replay of the full celled pipeline — no Voronoi luck
+    dsub = DIM // M
+    cells_of = np.array([np.argmin(((cent - X[i]) ** 2).sum(1))
+                         for i in range(len(X))])
+    probed = set(np.argsort(((cent - q) ** 2).sum(1))[:2])
+    lut = np.stack([cb[j] @ q[j * dsub:(j + 1) * dsub] for j in range(M)])
+    codes = np.stack([
+        [np.argmin(((cb[j] - X[i, j * dsub:(j + 1) * dsub]) ** 2).sum(1))
+         for j in range(M)] for i in range(len(X))])
+    adc = lut[np.arange(M)[None, :], codes].sum(1)
+    in_cells = [i for i in range(len(X)) if cells_of[i] in probed]
+    cand = sorted(in_cells, key=lambda i: (-adc[i], i))[:40]
+    cos = X @ q / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    want = sorted(cand, key=lambda i: (-cos[i], i))[:5]
+    assert [r.vec_id for r in out.collect()] == want
