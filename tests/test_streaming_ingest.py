@@ -146,9 +146,13 @@ def test_corpus_ingest_stats_cost_is_one_aggregation(spark, tmp_path):
             out, bench=bench, id_col="doc_id", text_col="text",
             validator=v, quality_bounds={"tokens": (3, None)},
             contamination_n=5, dedup_threshold=0.6, record_stats=stats)
-        before = len(tracker.getJobIdsForGroup(None))
+        # high-water-mark delta, NOT len(): the status tracker retains
+        # only the last N jobs, so len() saturates (and the delta goes
+        # negative) once a long test session wraps the buffer — job
+        # ids themselves are monotonic
+        before = max(tracker.getJobIdsForGroup(None), default=0)
         cb(batch, 0)
-        return len(tracker.getJobIdsForGroup(None)) - before
+        return max(tracker.getJobIdsForGroup(None), default=0) - before
 
     base = run(False, str(tmp_path / "off"))
     with_stats = run(True, str(tmp_path / "on"))
