@@ -1079,18 +1079,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_metrics_events": q_drift_metrics_events,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "pq_topk_embeddings": q_pq_topk_embeddings,
-        "dedup_exact_props": q_dedup_exact_props,
-        "lang_id_documents": q_lang_id_documents,
         "token_stats_documents": q_token_stats_documents,
-        "quality_documents": q_quality_documents,
-        "text_signals_documents": q_text_signals_documents,
-        "quality_score_documents": q_quality_score_documents,
-        "dedup_exact_documents": q_dedup_exact_documents,
         "normalize_events": q_normalize_events,
         "stats_bounds_events": q_stats_bounds_events,
-        "media_meta_documents": q_media_meta_documents,
         "topk_embeddings_cosine": q_topk_embeddings_cosine,
-        "multi_topk_embeddings": q_multi_topk_embeddings,
         # dedup/ANN family — oracled by exact all-pairs SQL twins
         "minhash_near_dups_documents": q_minhash_near_dups_documents,
         "near_dedup_documents": q_near_dedup_documents,
@@ -1134,6 +1126,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_documents": q_dsir_documents,
         "bm25_indexed_documents": q_bm25_indexed_documents,
         "chunk_documents": q_chunk_documents,
+        # ---- rotation tail (driver adjudicates the first 50 entries;
+        # these veterans were driver-green for 3+ consecutive rounds and
+        # stay registered + check_entry-covered; see VERDICT r6 item 1)
+        "dedup_exact_props": q_dedup_exact_props,
+        "lang_id_documents": q_lang_id_documents,
+        "quality_documents": q_quality_documents,
+        "text_signals_documents": q_text_signals_documents,
+        "quality_score_documents": q_quality_score_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "media_meta_documents": q_media_meta_documents,
+        "multi_topk_embeddings": q_multi_topk_embeddings,
     }
 
 
