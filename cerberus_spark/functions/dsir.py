@@ -39,7 +39,12 @@ Scale shape (the 100-TB plan):
 * Featurization is ONE Arrow pass emitting per-document
   ``(bucket, count)`` pairs already collapsed inside the UDF — the
   exploded frame is ≤ distinct-buckets-per-doc rows of three ints, and
-  the corpus TEXT never shuffles.
+  the corpus TEXT never shuffles.  The md5-per-feature Python loop is
+  the operator's CPU ceiling at 100 TB; ``hash='xxhash64'`` swaps in a
+  pure-Column path (tokens → aligned-slice bigrams → xxhash64 → pmod,
+  collapsed by a map-side-combined groupBy) with no Python worker —
+  md5 stays the default because it is the DuckDB-reproducible oracle
+  contract, and the two modes' bucket spaces are disjoint.
 * Both models reduce to ≤ ``n_buckets`` rows (map-side combined); the
   log-ratio table is ≤ ``n_buckets`` rows and BROADCASTS onto the
   exploded frame — scoring is one broadcast join plus one exchange on
@@ -61,6 +66,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from ..operators.pipeline import hash_bucket
+from .decontam import _words
 from .text import words as _words_col
 
 __all__ = ["dsir_feature_counts", "dsir_logratio", "dsir_report",
@@ -90,7 +96,11 @@ def _feature_counts_udf(n_buckets: int, seed: str):
             if t is None:
                 out.append([])
                 continue
-            ws = t.lower().strip().split()
+            # engine tokenization (functions/text.words): ASCII \s+
+            # split — Python str.split() splits Unicode whitespace
+            # (U+00A0 etc.) and would diverge from the Column path,
+            # the sibling UDFs, and the DuckDB oracle
+            ws = _words(t.lower())
             if not ws:
                 out.append([])
                 continue
@@ -102,13 +112,52 @@ def _feature_counts_udf(n_buckets: int, seed: str):
     return _fc
 
 
+def _feature_counts_xxh(df: DataFrame, id_col: str, text_col: str,
+                        n_buckets: int, seed: str) -> DataFrame:
+    """Pure-Column featurization: tokens via functions/text.words,
+    bigrams via aligned array slices, bucket =
+    ``pmod(xxhash64(feat ‖ 0x1f ‖ seed), n_buckets)``.  The bucket is
+    computed in the SAME projection as the explode, so feature strings
+    never leave the map side; the (id, b) groupBy partial-combines
+    before its ints-only exchange — no Python worker anywhere."""
+    ws = _words_col(F.col(text_col))
+    big = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(F.slice(ws, 1, F.size(ws) - 1),
+                   F.slice(ws, 2, F.size(ws) - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col),
+                      F.explode(F.concat(ws, big)).alias("_f"))
+            .select(id_col,
+                    F.pmod(F.xxhash64(F.concat(F.col("_f"),
+                                               F.lit(_SEP + seed))),
+                           F.lit(n_buckets)).cast("int").alias("b"))
+            .groupBy(id_col, "b")
+            .agg(F.count(F.lit(1)).cast("int").alias("n")))
+
+
 def dsir_feature_counts(df: DataFrame, id_col: str, text_col: str,
                         n_buckets: int = DSIR_BUCKETS,
-                        seed: str = "dsir") -> DataFrame:
+                        seed: str = "dsir",
+                        hash: str = "md5") -> DataFrame:
     """Exploded per-document feature counts ``(id_col, b, n)``.
 
     Documents with no tokens emit no rows (callers re-attach them with
-    a left join — :func:`dsir_report` does)."""
+    a left join — :func:`dsir_report` does).
+
+    ``hash`` picks the bucket function: ``'md5'`` (default) is the
+    cross-engine oracle contract (reproducible in DuckDB), computed in
+    an Arrow UDF — the md5-per-feature Python loop is the operator's
+    CPU ceiling at scale.  ``'xxhash64'`` is the production path: the
+    same features bucketed with JVM Column algebra, no Python worker
+    in the hot loop.  The two modes assign DIFFERENT buckets, so every
+    frame in one DSIR computation (target model, raw model, scoring)
+    must use the same mode — :func:`dsir_report` threads it."""
+    if hash == "xxhash64":
+        return _feature_counts_xxh(df, id_col, text_col, n_buckets, seed)
+    if hash != "md5":
+        raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
     udf = _feature_counts_udf(n_buckets, seed)
     return (df.select(F.col(id_col),
                       F.explode(udf(F.col(text_col))).alias("_f"))
@@ -159,7 +208,8 @@ def dsir_report(df: DataFrame, target: DataFrame,
                 id_col: str = "doc_id", text_col: str = "text",
                 raw: DataFrame | None = None, alpha: float = 1.0,
                 n_buckets: int = DSIR_BUCKETS,
-                seed: str = "dsir") -> DataFrame:
+                seed: str = "dsir", hash: str = "md5",
+                persist_feats: bool = True) -> DataFrame:
     """Per-document importance weights: ``(id_col, n_feat, logw_q6,
     logw)`` for EVERY input row (no-token documents score 0 with
     n_feat 0).
@@ -167,19 +217,31 @@ def dsir_report(df: DataFrame, target: DataFrame,
     ``raw`` defaults to ``df`` itself — the standard DSIR setup where
     the scored corpus is the raw distribution.  ``logw_q6`` is the
     exact BIGINT micro-nat weight (the cross-engine invariant);
-    ``logw`` is its double form for human consumption."""
-    feats = dsir_feature_counts(df, id_col, text_col, n_buckets, seed)
+    ``logw`` is its double form for human consumption.  ``hash`` picks
+    the featurization path (see :func:`dsir_feature_counts`) and
+    applies to ALL THREE frames so the bucket space is shared.
+
+    CACHE LIFETIME: with ``persist_feats=True`` (default, self-raw
+    only) the exploded feature frame stays pinned until the
+    ContextCleaner GCs the report's plan — correct for one-shot
+    reports, but a BATCH LOOP (per-epoch scoring) accumulates one
+    cached relation per call.  Loop callers should pass
+    ``persist_feats=False`` (pays the featurizer twice per call —
+    raw model + scoring join — but nothing pins)."""
+    feats = dsir_feature_counts(df, id_col, text_col, n_buckets, seed,
+                                hash)
     if raw is None:
         # self-raw: the raw model is a further aggregation of the SAME
         # exploded frame — persist or Catalyst re-runs the Arrow
         # featurizer once per consumer (see module docstring)
-        feats = feats.persist()
+        if persist_feats:
+            feats = feats.persist()
         raw_feats = feats
     else:
         raw_feats = dsir_feature_counts(raw, id_col, text_col,
-                                        n_buckets, seed)
+                                        n_buckets, seed, hash)
     tfeats = dsir_feature_counts(target, id_col, text_col,
-                                 n_buckets, seed)
+                                 n_buckets, seed, hash)
     ratio = dsir_logratio(tfeats, raw_feats, alpha, n_buckets)
     # default ratio for buckets outside the table (one-row frame)
     tt = tfeats.agg(F.sum("n").alias("_tt"))
@@ -216,13 +278,15 @@ def dsir_resample(df: DataFrame, target: DataFrame, k: int,
                   id_col: str = "doc_id", text_col: str = "text",
                   raw: DataFrame | None = None, alpha: float = 1.0,
                   n_buckets: int = DSIR_BUCKETS, seed: str = "dsir",
-                  gumbel_seed: str = "g") -> DataFrame:
+                  gumbel_seed: str = "g", hash: str = "md5",
+                  persist_feats: bool = True) -> DataFrame:
     """Sample ``k`` documents without replacement ∝ importance weight:
     the Gumbel top-k over :func:`dsir_report` weights.  Returns the
     input rows (all columns) plus ``logw``, deterministically — the
     same k rows on any partitioning, cluster size, or rerun."""
     rep = dsir_report(df, target, id_col, text_col, raw=raw,
-                      alpha=alpha, n_buckets=n_buckets, seed=seed)
+                      alpha=alpha, n_buckets=n_buckets, seed=seed,
+                      hash=hash, persist_feats=persist_feats)
     key = gumbel_key(F.col(id_col), F.col("logw_q6"), gumbel_seed)
     top = (rep.select(id_col, "logw", key.alias("_key"))
            .orderBy(F.col("_key").desc(), F.col(id_col).asc())

@@ -148,11 +148,17 @@ def surprisal_report(df: DataFrame, id_col: str = "doc_id",
 #
 # Scale shape: ONE Arrow pass emits (w, prev, prev2) position tuples
 # (the Column HOF formulation is CodegenFallback — the shingle lesson);
-# counts are groupBys with map-side combine whose width is the type
-# count, not the corpus; scoring pre-aggregates per-doc DISTINCT tuple
-# multiplicities (collapsing hot-token skew exactly like the unigram
-# tier's (id, tok) pre-agg) and joins the count tables on hashed keys —
-# AQE skew-split; broadcast_model opt-in for known-small vocabularies.
+# the gram STRINGS die immediately after that pass: every tuple is
+# projected to five xxhash64 keys (k1=h(w), k1p=h(p1), k2=h(p1,w),
+# k2c=h(p2,p1), k3=h(p2,p1,w); keys for absent context are NULL, so
+# head-of-document rows never join) and all downstream shuffles — the
+# per-doc DISTINCT pre-agg (collapsing hot-token skew exactly like the
+# unigram tier's (id, tok) pre-agg), the three count-table groupBys,
+# and the five scoring joins — ride fixed-width BIGINT rows, never
+# text.  AQE skew-splits stopword keys; broadcast_model opt-in for
+# known-small vocabularies.  The DuckDB oracle keeps raw string keys
+# (hash-free) — identical quantized results pin that the hash rewrite
+# changed the plan, not the semantics.
 
 
 def ngram_tuples_udf() -> Column:
@@ -192,60 +198,96 @@ def _position_tuples(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .select("_id", "g.w", "g.p1", "g.p2"))
 
 
+def _hashed_keys(pos: DataFrame, order: int, keep: list[str]) -> DataFrame:
+    """Project (w, p1, p2) position tuples to fixed-width xxhash64 join
+    keys and DROP the strings — everything downstream (pre-agg, count
+    tables, scoring joins) shuffles 8-byte longs, never text.  Keys
+    whose context token is absent (document head) are NULL, preserving
+    the string path's join/branch semantics exactly: a NULL key never
+    equi-joins, and ``_k1p IS NULL`` ⟺ ``p1 IS NULL``."""
+    h1 = F.col("p1").isNotNull()
+    cols = keep + [
+        F.xxhash64("w").alias("_k1"),
+        F.when(h1, F.xxhash64("p1")).alias("_k1p"),
+        F.when(h1, F.xxhash64("p1", "w")).alias("_k2"),
+    ]
+    if order == 3:
+        h2 = F.col("p2").isNotNull()
+        cols += [
+            F.when(h2, F.xxhash64("p2", "p1")).alias("_k2c"),
+            F.when(h2, F.xxhash64("p2", "p1", "w")).alias("_k3"),
+        ]
+    return pos.select(*cols)
+
+
 def ngram_surprisal_report(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            train: DataFrame | None = None,
                            order: int = 3, alpha: float = 1.0,
                            lam: float = 0.4,
-                           broadcast_model: bool = False) -> DataFrame:
+                           broadcast_model: bool = False,
+                           persist_pos: bool = True) -> DataFrame:
     """Per-document mean n-gram surprisal with stupid backoff (spec in
     the section comment): ``(id_col, n_tok, surprisal)`` for every
     input row.  ``order`` ∈ {2, 3}; ``train`` defaults to ``df``
     (self-scoring — backoff then never fires for grams the document
-    itself contributes, matching the recipe's corpus-self-model tier)."""
+    itself contributes, matching the recipe's corpus-self-model tier).
+
+    CACHE LIFETIME: with ``persist_pos=True`` (default) the per-doc
+    keyed-gram frame stays pinned until the ContextCleaner GCs the
+    report's plan — correct for one-shot reports, but a BATCH LOOP
+    (per-epoch scoring calling this every micro-batch) accumulates one
+    cached relation per call.  Loop callers should pass
+    ``persist_pos=False`` (pays the Arrow explode once per consumer —
+    up to 4× when self-scoring — but nothing pins)."""
     if order not in (2, 3):
         raise ValueError("order must be 2 or 3 (1 = surprisal_report)")
-    pos = _position_tuples(df, id_col, text_col)
-    # per-doc DISTINCT tuple multiplicities: every downstream join and
-    # the final sum ride on (id, w, p1, p2, _n) — hot-token repeats
+    pos = _hashed_keys(_position_tuples(df, id_col, text_col),
+                       order, [F.col("_id")])
+    key_cols = ["_k1", "_k1p", "_k2"] + (["_k2c", "_k3"]
+                                         if order == 3 else [])
+    # per-doc DISTINCT gram multiplicities: every downstream join and
+    # the final sum ride on (_id, keys..., _n) — hot-token repeats
     # inside a doc collapse here, the same skew defuse as the unigram
-    # tier.  Persist: feeds the scoring joins AND (when self-scoring)
-    # all three count tables — unpinned, Catalyst re-runs the Arrow
-    # explode once per consumer.
-    dpos = (pos.groupBy("_id", "w", "p1", "p2")
-            .agg(F.count(F.lit(1)).alias("_n")).persist())
-    tbase = (_position_tuples(train, id_col, text_col) if train is not None
-             else None)
+    # tier, and the shuffled rows are all-BIGINT.  Persist: feeds the
+    # scoring joins AND (when self-scoring) all three count tables —
+    # unpinned, Catalyst re-runs the Arrow explode once per consumer.
+    dpos = pos.groupBy("_id", *key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    if persist_pos:
+        dpos = dpos.persist()
+    tbase = (_hashed_keys(_position_tuples(train, id_col, text_col),
+                          order, [])
+             if train is not None else None)
 
-    def _counts(cols, flt):
+    def _counts(key):
         src = tbase if tbase is not None else dpos
         weight = F.lit(1) if tbase is not None else F.col("_n")
-        return (src.filter(flt) if flt is not None else src) \
-            .groupBy(*cols).agg(F.sum(weight).alias("_c"))
+        return (src.filter(F.col(key).isNotNull()) if key != "_k1" else src) \
+            .groupBy(F.col(key).alias("_k")) \
+            .agg(F.sum(weight).alias("_c"))
 
-    c1 = _counts(["w"], None)
-    c2 = _counts(["p1", "w"], F.col("p1").isNotNull())
+    c1 = _counts("_k1")
+    c2 = _counts("_k2")
     stats = c1.agg(F.sum("_c").alias("total"),
                    F.count(F.lit(1)).alias("v"))
     if broadcast_model:
         c1, c2 = F.broadcast(c1), F.broadcast(c2)
 
     s = (dpos
-         .join(c1.select(F.col("w"), F.col("_c").alias("_c1w")), "w", "left")
-         .join(c1.select(F.col("w").alias("p1"), F.col("_c").alias("_c1p1")),
-               "p1", "left")
-         .join(c2.select("p1", "w", F.col("_c").alias("_c2")),
-               ["p1", "w"], "left"))
+         .join(c1.select(F.col("_k").alias("_k1"),
+                         F.col("_c").alias("_c1w")), "_k1", "left")
+         .join(c1.select(F.col("_k").alias("_k1p"),
+                         F.col("_c").alias("_c1p1")), "_k1p", "left")
+         .join(c2.select(F.col("_k").alias("_k2"),
+                         F.col("_c").alias("_c2")), "_k2", "left"))
     if order == 3:
-        c3 = _counts(["p2", "p1", "w"], F.col("p2").isNotNull())
+        c3 = _counts("_k3")
         if broadcast_model:
             c3 = F.broadcast(c3)
-        s = (s.join(c2.select(F.col("p1").alias("p2"),
-                              F.col("w").alias("p1"),
-                              F.col("_c").alias("_c2ctx")),
-                    ["p2", "p1"], "left")
-             .join(c3.select("p2", "p1", "w", F.col("_c").alias("_c3")),
-                   ["p2", "p1", "w"], "left"))
+        s = (s.join(c2.select(F.col("_k").alias("_k2c"),
+                              F.col("_c").alias("_c2ctx")), "_k2c", "left")
+             .join(c3.select(F.col("_k").alias("_k3"),
+                             F.col("_c").alias("_c3")), "_k3", "left"))
     s = s.crossJoin(F.broadcast(stats))
 
     denom = F.col("total") + F.lit(alpha) * F.col("v")
@@ -257,11 +299,11 @@ def ngram_surprisal_report(df: DataFrame, id_col: str = "doc_id",
         tri = F.when(F.col("_c3").isNotNull(),
                      F.log(F.col("_c3") / F.col("_c2ctx"))) \
             .otherwise(F.lit(math.log(lam)) + big)
-        lp = (F.when(F.col("p1").isNull(), uni)
-              .when(F.col("p2").isNull(), big)
+        lp = (F.when(F.col("_k1p").isNull(), uni)
+              .when(F.col("_k2c").isNull(), big)
               .otherwise(tri))
     else:
-        lp = F.when(F.col("p1").isNull(), uni).otherwise(big)
+        lp = F.when(F.col("_k1p").isNull(), uni).otherwise(big)
     lp_q6 = F.floor(lp * F.lit(_Q)).cast("long")
 
     scored = (s.groupBy("_id")

@@ -151,3 +151,80 @@ def test_ratio_table_broadcasts_and_text_never_shuffles(corpora):
     # the only wide exchanges carry int columns (b / id), never text:
     # no hashpartitioning on the text column anywhere
     assert "hashpartitioning(text" not in plan
+
+
+def test_xxhash64_mode_matches_md5_exactly_when_collision_free(spark):
+    # with a bucket space far wider than the distinct-feature count,
+    # neither mode collides, so every bucket's (count, total) pair —
+    # and hence every quantized log-prob and BIGINT weight — is
+    # identical between the two hash functions
+    rng = random.Random(13)
+    raw = _gen(rng, 80)
+    target = [(1000 + i, t) for i, t in
+              _gen(rng, 20, bias=["spark", "vector", "index"])]
+    df = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt = spark.createDataFrame(target, "doc_id long, text string")
+    BB = 1 << 24
+    a = {r["doc_id"]: (r["n_feat"], r["logw_q6"]) for r in
+         dsir.dsir_report(df, tgt, n_buckets=BB, seed=SEED).collect()}
+    b = {r["doc_id"]: (r["n_feat"], r["logw_q6"]) for r in
+         dsir.dsir_report(df, tgt, n_buckets=BB, seed=SEED,
+                          hash="xxhash64").collect()}
+    assert a == b
+    # identical weights -> identical Gumbel top-k with each mode's own
+    # ratio table (the verdict's acceptance shape)
+    ka = sorted(r["doc_id"] for r in
+                dsir.dsir_resample(df, tgt, k=25, n_buckets=BB,
+                                   seed=SEED).collect())
+    kb = sorted(r["doc_id"] for r in
+                dsir.dsir_resample(df, tgt, k=25, n_buckets=BB,
+                                   seed=SEED, hash="xxhash64").collect())
+    assert ka == kb
+
+
+def test_xxhash64_mode_has_no_python_worker(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    fc = dsir.dsir_feature_counts(df, "doc_id", "text", n_buckets=B,
+                                  seed=SEED, hash="xxhash64")
+    plan = fc._sc._jvm.PythonSQLUtils.explainString(
+        fc._jdf.queryExecution(), "formatted")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    with pytest.raises(ValueError):
+        dsir.dsir_feature_counts(df, "doc_id", "text", hash="sha1")
+
+
+def test_tokenization_is_ascii_split_in_both_modes(spark):
+    # U+00A0 (nbsp) and U+2028 (line sep) are Unicode whitespace but
+    # NOT ASCII \s: the engine spec (functions/text.words) keeps them
+    # inside tokens.  Python str.split() would split them — the exact
+    # divergence the r6 ADVICE flagged in the md5 UDF.
+    rows = [(1, "a b c"), (2, "x y"), (3, " lead")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for mode in ("md5", "xxhash64"):
+        fc = dsir.dsir_feature_counts(df, "doc_id", "text",
+                                      n_buckets=1 << 24, seed=SEED,
+                                      hash=mode)
+        nf = {i: 0 for i, _ in rows}
+        nf.update({r["doc_id"]: r["s"] for r in
+                   fc.groupBy("doc_id").agg(F.sum("n").alias("s"))
+                   .collect()})
+        # doc1: tokens [a\xa0b, c] + bigram -> 3; doc2: 1 token;
+        # doc3: [\xa0lead] single token (ASCII edge-strip keeps nbsp)
+        assert nf == {1: 3, 2: 1, 3: 1}, mode
+
+
+def test_report_loop_with_persist_disabled_pins_nothing(spark):
+    rng = random.Random(17)
+    raw = _gen(rng, 40)
+    target = [(1000 + i, t) for i, t in _gen(rng, 10)]
+    df = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt = spark.createDataFrame(target, "doc_id long, text string")
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_cached()
+    for _ in range(3):
+        dsir.dsir_report(df, tgt, n_buckets=B, seed=SEED,
+                         persist_feats=False).count()
+    assert n_cached() == base

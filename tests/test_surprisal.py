@@ -242,3 +242,38 @@ def test_ngram_surprisal_partitioning_invariant(spark):
     b = {r.doc_id: (r.n_tok, r.surprisal)
          for r in S.ngram_surprisal_report(df8).collect()}
     assert a == b  # micro-nat BIGINT sums: bit-identical across plans
+
+
+def test_ngram_report_loop_with_persist_disabled_pins_nothing(spark):
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(1, 10))))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_cached()
+    for _ in range(3):
+        S.ngram_surprisal_report(df, persist_pos=False).count()
+    assert n_cached() == base
+    # and persist_pos=False stays bit-identical to the pinned path
+    a = {r.doc_id: (r.n_tok, r.surprisal)
+         for r in S.ngram_surprisal_report(df).collect()}
+    b = {r.doc_id: (r.n_tok, r.surprisal)
+         for r in S.ngram_surprisal_report(df, persist_pos=False).collect()}
+    assert a == b
+
+
+def test_ngram_scoring_joins_ride_hashed_long_keys(spark):
+    df = spark.createDataFrame([(1, "a b c a b")],
+                               "doc_id long, text string")
+    rep = S.ngram_surprisal_report(df)
+    plan = rep._sc._jvm.PythonSQLUtils.explainString(
+        rep._jdf.queryExecution(), "formatted")
+    # every exchange keys on _id or an xxhash64-derived _k* long —
+    # never on a gram string column
+    for col in ("hashpartitioning(w", "hashpartitioning(p1",
+                "hashpartitioning(p2"):
+        assert col not in plan
