@@ -577,9 +577,9 @@ def dedup_against(new: DataFrame, ref: DataFrame, id_col: str,
 # deterministic (xxhash64 permutations are seed-free by construction),
 # so they can be written ONCE at epoch commit and probed forever:
 #
-#   {store}/bands/epoch=N   (band int, bhash long, _id)  ~bands rows/doc
-#   {store}/hashes/epoch=N  (_id, _sh64 long)            ~shingles rows/doc
-#   {store}/meta            one row (k, num_perm, bands) — probe guard
+#   {store}/bands/epoch=N/pb=M  (band int, bhash long, _id) ~bands/doc
+#   {store}/hashes/epoch=N      (_id, _sh64 long)        ~shingles/doc
+#   {store}/meta   one row (k, num_perm, bands, band_buckets) — guard
 #
 # A probe (a) bands the NEW batch, (b) left-semi-joins the band store
 # against the batch's (band, bhash) keys — the store side is scanned
@@ -587,10 +587,18 @@ def dedup_against(new: DataFrame, ref: DataFrame, id_col: str,
 # (the probe side broadcasts), (c) expands only the touched buckets
 # bipartitely under the same caps as cross_dup_pairs, and (d) verifies
 # exact Jaccard against the hash store restricted to CANDIDATE ref ids
-# (left-semi again).  Per-epoch compute is ∝ batch + candidates; the
-# only corpus-proportional term left is the columnar long scan of the
-# store — the cheapest possible touch (at 10^12 docs, bucket the store
-# tables by bhash/_id in a real catalog to prune even that).
+# (left-semi again).  Per-epoch compute is ∝ batch + candidates.
+#
+# Store-scan pruning: the bands table is sub-partitioned by
+# ``pb = pmod(bhash, band_buckets)`` (pinned in meta — a probe never
+# guesses the layout) and the probe statically prunes to the batch's
+# touched pb dirs, so store I/O per probe is
+# ``store_size × (1 − (1 − 1/B)^n)`` for n distinct batch band-keys —
+# a trickle ingest (n ≪ B) touches a handful of files; a bulk batch
+# (n ≳ B) degrades gracefully to the old full columnar scan.  Files
+# are additionally sorted by bhash within each pb so parquet row-group
+# min/max stats can prune inside a touched dir.  (At 10^12 docs, the
+# same layout as an Iceberg bucket transform gives this for free.)
 
 
 def _band_structs(num_perm: int, bands: int):
@@ -604,11 +612,16 @@ def _band_structs(num_perm: int, bands: int):
 
 
 def _check_store_meta(spark, store_dir: str, k: int, num_perm: int,
-                      bands: int, create: bool) -> None:
+                      bands: int, create: bool,
+                      band_buckets: int = 256) -> int:
     """Band rows are only comparable under identical (k, num_perm,
     bands) — a probe with different parameters would silently miss
     every pair.  The store pins its parameters at creation; mismatch
-    raises."""
+    raises.  Returns the store's ``band_buckets`` (the bands-table
+    sub-partition count, also pinned — the PROBE reads the layout from
+    meta rather than trusting a caller parameter, so a mismatched
+    caller can never silently prune the wrong dirs; 0 = legacy flat
+    layout)."""
     from ..plans.checkpoint import fs_exists
 
     meta_path = f"{store_dir}/meta"
@@ -621,10 +634,20 @@ def _check_store_meta(spark, store_dir: str, k: int, num_perm: int,
                 f"(k, num_perm, bands)={got}, probe/write requested "
                 f"{(k, num_perm, bands)} — band hashes are not "
                 f"comparable across parameter sets")
+        stored_bb = row.asDict().get("band_buckets", 0) or 0
+        if create and stored_bb != band_buckets:
+            raise ValueError(
+                f"band store at {store_dir} is laid out with "
+                f"band_buckets={stored_bb}, write requested "
+                f"{band_buckets} — appending a different sub-partition "
+                f"layout would break probe-side pruning")
+        return int(stored_bb)
     elif create:
-        spark.createDataFrame([(k, num_perm, bands)],
-                              "k int, num_perm int, bands int") \
+        spark.createDataFrame(
+            [(k, num_perm, bands, band_buckets)],
+            "k int, num_perm int, bands int, band_buckets int") \
             .coalesce(1).write.mode("overwrite").parquet(meta_path)
+        return band_buckets
     else:
         raise ValueError(f"no band store at {store_dir} (missing meta)")
 
@@ -657,28 +680,47 @@ def _read_epochs(spark, table_dir: str, max_epoch: int | None):
 
 def write_band_store(df: DataFrame, store_dir: str, epoch: int,
                      id_col: str, text_col: str, k: int = 3,
-                     num_perm: int = 32, bands: int = 8) -> None:
+                     num_perm: int = 32, bands: int = 8,
+                     band_buckets: int = 256) -> None:
     """Append one epoch's survivors to the band store (see the section
     comment above).  Idempotent per epoch — a retried epoch overwrites
     exactly its own partitions.  Ids must be unique across epochs (each
     doc is committed by exactly one epoch — the ingest contract).
     Tokenless rows carry no shingle evidence and are not stored, same
-    policy as the whole near-dup family."""
+    policy as the whole near-dup family.
+
+    ``band_buckets`` sub-partitions the bands table by
+    ``pmod(bhash, band_buckets)`` so probes prune their scan to touched
+    dirs; it is pinned in meta at creation (appends must match)."""
     from pyspark import StorageLevel
 
     spark = df.sparkSession
-    _check_store_meta(spark, store_dir, k, num_perm, bands, create=True)
+    _check_store_meta(spark, store_dir, k, num_perm, bands, create=True,
+                      band_buckets=band_buckets)
     sh64 = _sh64_df(df.filter(F.size(words(F.col(text_col))) > 0),
                     id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         sh64.write.mode("overwrite").parquet(
             f"{store_dir}/hashes/epoch={epoch}")
         sig = _sig_from_sh64(sh64, num_perm)
-        (sig.select("_id", F.explode(_band_structs(num_perm, bands))
-                    .alias("bb"))
-            .select("_id", "bb.band", "bb.bhash")
-            .write.mode("overwrite").parquet(
-                f"{store_dir}/bands/epoch={epoch}"))
+        band_rows = (sig.select("_id",
+                                F.explode(_band_structs(num_perm, bands))
+                                .alias("bb"))
+                     .select("_id", "bb.band", "bb.bhash"))
+        if band_buckets > 0:
+            # one file per touched pb (each pb hashes to exactly one
+            # shuffle task), rows bhash-sorted inside it so parquet
+            # row-group min/max stats prune within a touched dir too
+            (band_rows
+             .withColumn("pb", F.pmod(F.col("bhash"),
+                                      F.lit(band_buckets)).cast("int"))
+             .repartition(band_buckets, "pb")
+             .sortWithinPartitions("bhash")
+             .write.mode("overwrite").partitionBy("pb")
+             .parquet(f"{store_dir}/bands/epoch={epoch}"))
+        else:
+            band_rows.write.mode("overwrite").parquet(
+                f"{store_dir}/bands/epoch={epoch}")
     finally:
         sh64.unpersist()
     # Spark's write only refreshes the epoch=N child path; a cached
@@ -693,7 +735,8 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
                            *, max_epoch: int | None = None, k: int = 3,
                            num_perm: int = 32, bands: int = 8,
                            bucket_cap: int = 200,
-                           persist_shingles: bool = True) -> DataFrame:
+                           persist_shingles: bool = True,
+                           pinned: list | None = None) -> DataFrame:
     """(id_new, id_ref, jaccard ≥ threshold) of the NEW batch against
     the band store — pair-identical to
     ``cross_dup_pairs(new, ref, ...)`` over the same reference rows
@@ -704,11 +747,19 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
     (partition-pruned) so a retried epoch never probes its own
     half-committed write.  Caps mirror ``cross_dup_pairs``: each side
     of a touched bucket is ranked independently, overflow NEW members
-    still pair with the bucket's first stored ref member."""
+    still pair with the bucket's first stored ref member.
+
+    CACHE LIFETIME: with ``persist_shingles=True`` three batch-sized
+    frames are pinned for the duration of the plan.  A LOOP caller
+    (the per-epoch ingest) should pass a ``pinned`` list — the frames
+    are appended to it and the caller unpersists after the epoch's
+    writes materialize; without it they stay cached until ContextCleaner
+    GC (fine for one-shot calls)."""
     from pyspark import StorageLevel
 
     spark = new.sparkSession
-    _check_store_meta(spark, store_dir, k, num_perm, bands, create=False)
+    store_bb = _check_store_meta(spark, store_dir, k, num_perm, bands,
+                                 create=False)
     ref_bands = _read_epochs(spark, f"{store_dir}/bands", max_epoch)
     ref_hashes = _read_epochs(spark, f"{store_dir}/hashes", max_epoch)
     if ref_bands is None or ref_hashes is None:
@@ -728,6 +779,20 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
         # both are batch-sized
         sh64_new = sh64_new.persist(StorageLevel.MEMORY_AND_DISK)
         bands_new = bands_new.persist(StorageLevel.MEMORY_AND_DISK)
+        if pinned is not None:
+            pinned.extend([sh64_new, bands_new])
+
+    if store_bb > 0:
+        # static partition pruning: the batch's touched pb set (≤
+        # band_buckets ints, collected from the batch-sized — and by
+        # default persisted — bands frame) prunes the store READ to
+        # the touched ``pb=`` dirs before any join runs
+        touched_pb = [r[0] for r in
+                      bands_new.select(
+                          F.pmod(F.col("bhash"), F.lit(store_bb))
+                          .cast("int").alias("pb")).distinct().collect()]
+        ref_bands = ref_bands.filter(F.col("pb").isin(touched_pb)) \
+            .drop("pb")
 
     # the store is scanned (columnar longs — no text, no UDF, no
     # signature agg) and filtered by the batch's bucket keys; the small
@@ -764,6 +829,8 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
                       ref_hashes["_id"] == cand_ids["id_ref"], "left_semi")
                 .select(F.col("_id").alias("id_ref"), "_sh64")
                 .persist(StorageLevel.MEMORY_AND_DISK))
+    if pinned is not None:
+        pinned.append(ref_cand)
     a = sh64_new.select(F.col("_id").alias("id_new"), "_sh64")
     inter = (cands.join(a, "id_new").join(ref_cand, ["id_ref", "_sh64"])
              .groupBy("id_new", "id_ref")
@@ -879,8 +946,18 @@ def compact_epoch_store(spark, store_dir: str, tables: tuple[str, ...],
         src = _read_epochs(spark, f"{store_dir}/{table}", upto)
         if src is None:
             continue
-        (src.drop("epoch").repartition(target_partitions)
-         .write.mode("overwrite").parquet(f"{tmp}/{table}"))
+        if "pb" in src.columns:
+            # preserve the bhash-bucketed layout (and the in-file bhash
+            # sort) through compaction — probes prune the same way
+            # before and after
+            (src.drop("epoch")
+             .repartition(target_partitions, "pb")
+             .sortWithinPartitions("bhash")
+             .write.mode("overwrite").partitionBy("pb")
+             .parquet(f"{tmp}/{table}"))
+        else:
+            (src.drop("epoch").repartition(target_partitions)
+             .write.mode("overwrite").parquet(f"{tmp}/{table}"))
     # the _SUCCESS of this one-row write IS the commit point: before
     # it, recovery rolls back; after it, recovery rolls forward
     spark.createDataFrame([(int(upto),)], "upto int") \
@@ -1139,6 +1216,14 @@ def write_embedding_store(df: DataFrame, store_dir: str, epoch: int,
                 f"(n_bits, n_tables, seed)="
                 f"{(m['n_bits'], m['n_tables'], m['seed'])}, write "
                 f"requested {(n_bits, n_tables, seed)}")
+        if dim is not None and dim != m["dim"]:
+            # a batch with genuinely different-width embeddings must
+            # fail HERE with the store's clear parameter error, not
+            # later inside the Arrow LSH UDF as an opaque numpy shape
+            # mismatch
+            raise ValueError(
+                f"embedding store at {store_dir} pinned dim={m['dim']}, "
+                f"write requested dim={dim}")
         dim = m["dim"]
     else:
         if dim is None:
@@ -1431,7 +1516,8 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
 
 def semantic_pairs(df: DataFrame, id_col: str, emb_col: str,
                    centroids, threshold: float = 0.95,
-                   cell_cap: int = 5000) -> DataFrame:
+                   cell_cap: int = 5000,
+                   pinned: list | None = None) -> DataFrame:
     """Within-cell near-duplicate pairs ``(id_a, id_b, cell, cosine)``
     with ``id_a < id_b`` and exact cosine ≥ ``threshold``.
 
@@ -1464,13 +1550,19 @@ def semantic_pairs(df: DataFrame, id_col: str, emb_col: str,
       embeddings themselves are never cached; the verify join reads
       them from the source relation.
     """
-    e, assigned = _semantic_assign(df, id_col, emb_col, centroids)
+    e, assigned = _semantic_assign(df, id_col, emb_col, centroids,
+                                   pinned)
     return _semantic_pairs_from(e, assigned, threshold, cell_cap)
 
 
 def _semantic_assign(df: DataFrame, id_col: str, emb_col: str,
-                     centroids) -> tuple[DataFrame, DataFrame]:
-    """(embeddings relation, persisted slim (id, cell) assignment)."""
+                     centroids,
+                     pinned: list | None = None) -> tuple[DataFrame,
+                                                          DataFrame]:
+    """(embeddings relation, persisted slim (id, cell) assignment).
+    Loop callers pass ``pinned`` to own the cached frame's lifecycle
+    (the cross_dup_pairs_stored pattern); one-shot callers leave it to
+    ContextCleaner GC."""
     from .similarity import ivf_cell_udf
 
     e = df.filter(F.col(emb_col).isNotNull()).select(
@@ -1478,6 +1570,8 @@ def _semantic_assign(df: DataFrame, id_col: str, emb_col: str,
     assigned = e.select(
         "_id", ivf_cell_udf(centroids)(F.col("_emb")).alias("cell")
     ).persist()
+    if pinned is not None:
+        pinned.append(assigned)
     return e, assigned
 
 
@@ -1520,7 +1614,8 @@ def _semantic_pairs_from(e: DataFrame, assigned: DataFrame,
 
 def semantic_dedup(df: DataFrame, id_col: str, emb_col: str,
                    centroids, threshold: float = 0.95,
-                   cell_cap: int = 5000) -> DataFrame:
+                   cell_cap: int = 5000,
+                   pinned: list | None = None) -> DataFrame:
     """Per-row semantic-dedup verdicts: input plus ``cell`` and
     ``kept``.
 
@@ -1538,7 +1633,8 @@ def semantic_dedup(df: DataFrame, id_col: str, emb_col: str,
     assignment the pair graph used — the Arrow assignment UDF runs
     over the corpus exactly once for the whole verdict.
     """
-    e, assigned = _semantic_assign(df, id_col, emb_col, centroids)
+    e, assigned = _semantic_assign(df, id_col, emb_col, centroids,
+                                   pinned)
     drops = (_semantic_pairs_from(e, assigned, threshold, cell_cap)
              .select(F.col("id_b").alias("_drop_id")).distinct())
     cells = assigned.select(F.col("_id").alias("_cell_id"), "cell")

@@ -143,19 +143,34 @@ def write_text_index(df: DataFrame, path: str, id_col: str = "doc_id",
                                          F.lit(term_buckets))))
     (postings.write.mode("overwrite").partitionBy("tb")
      .parquet(f"{path}/postings"))
+    # term_buckets is PINNED in the stats row: a query must enumerate
+    # tb partitions with the exact bucket count the postings were laid
+    # out with, or it silently drops terms — the probe reads the
+    # layout from the index, never from a caller parameter (the same
+    # meta-pinning guard as the band/embedding stores)
     (base.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+     .withColumn("term_buckets", F.lit(term_buckets))
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
 
 
 def bm25_topk_indexed(spark, path: str, terms: Sequence[str],
-                      k: int = 10, k1: float = 1.2, b: float = 0.75,
-                      term_buckets: int = 256) -> DataFrame:
+                      k: int = 10, k1: float = 1.2,
+                      b: float = 0.75) -> DataFrame:
     """Top-k BM25 from a :func:`write_text_index` index — identical
     output (bit-for-bit doubles) to :func:`bm25_topk` on the indexed
-    corpus, at per-query cost ∝ the terms' posting lists."""
+    corpus, at per-query cost ∝ the terms' posting lists.  The
+    partition layout (``term_buckets``) comes from the index's own
+    stats row, so queries can never enumerate the wrong partitions."""
     if not terms:
         raise ValueError("bm25 needs at least one query term")
-    buckets = sorted({_spark_term_bucket(t, term_buckets) for t in terms})
+    srow = spark.read.parquet(f"{path}/stats").first()
+    tb = srow.asDict().get("term_buckets")
+    if tb is None:
+        raise ValueError(
+            f"text index at {path} has no term_buckets in its stats "
+            f"row (pre-layout-pin index) — rebuild with "
+            f"write_text_index")
+    buckets = sorted({_spark_term_bucket(t, int(tb)) for t in terms})
     p = (spark.read.parquet(f"{path}/postings")
          .filter(F.col("tb").isin(buckets) & F.col("term").isin(list(terms))))
     dfreq = p.groupBy("term").agg(

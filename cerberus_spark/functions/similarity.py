@@ -679,6 +679,15 @@ def pq_index_topk(spark, path: str, query, k: int = 10,
     pq = load_pq_codebooks(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     if nprobe:
+        from ..plans.checkpoint import fs_exists
+
+        if not fs_exists(spark, f"{path}/codebook") \
+                or "cell" not in codes.columns:
+            raise ValueError(
+                f"pq index at {path} is not celled (built without "
+                f"n_cells) — nprobe pruning needs an IVF-PQ index; "
+                f"rebuild with build_pq_index(..., n_cells=...) or "
+                f"query without nprobe")
         cent = load_ivf_codebook(spark, path)
         q = np.asarray(query, dtype=np.float64)
         cells = [int(i) for i in ((cent - q) ** 2).sum(1).argsort()[:nprobe]]

@@ -478,7 +478,8 @@ def corpus_ingest_foreach_batch(
     corpus_path = f"{out_dir}/corpus"
     store_dir = f"{out_dir}/band_store"
     kw = dict(dedup_kw or {})
-    store_kw = {p: kw[p] for p in ("k", "num_perm", "bands") if p in kw}
+    store_kw = {p: kw[p] for p in ("k", "num_perm", "bands",
+                                   "band_buckets") if p in kw}
     probe_kw = {p: kw[p]
                 for p in ("k", "num_perm", "bands", "bucket_cap",
                           "persist_shingles") if p in kw}
@@ -533,7 +534,7 @@ def corpus_ingest_foreach_batch(
                 matched = (cross_dup_pairs_stored(
                     surv2.select(id_col, text_col), store_dir,
                     id_col, text_col, threshold=dedup_threshold,
-                    max_epoch=epoch_id, **probe_kw)
+                    max_epoch=epoch_id, pinned=pinned, **probe_kw)
                     .select(F.col("id_new").alias(id_col)).distinct()
                     .withColumn("_dup_cross", F.lit(True)))
             else:

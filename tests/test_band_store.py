@@ -226,6 +226,11 @@ def test_embedding_store_meta_pins_params(spark, tmp_path):
     with pytest.raises(ValueError, match="no embedding store"):
         D.embedding_dups_against_store(df, df, str(tmp_path / "nope"),
                                        "vec_id", "emb")
+    # a caller-passed dim conflicting with the pinned one fails with
+    # the store's clear error, not an opaque numpy shape error later
+    with pytest.raises(ValueError, match="dim"):
+        D.write_embedding_store(df, store, 1, "vec_id", "emb",
+                                n_bits=6, n_tables=4, seed=7, dim=16)
 
 
 # ---------------------------------------------------------------------------
@@ -386,3 +391,101 @@ def test_store_probe_sees_epochs_appended_after_prior_probe(spark, tmp_path):
     D.write_band_store(df, store, 1, "doc_id", "text")
     assert {(a, b) for a, b, _ in _stored_pairs(spark, store, new)} \
         == {(10, 1), (11, 99)}
+
+
+# ---------------------------------------------------------------------------
+# bhash-bucketed bands layout (r7): probe-side partition pruning
+# ---------------------------------------------------------------------------
+
+
+def test_band_store_bucketed_layout_and_meta_pin(spark, tmp_path):
+    import os
+    store = _write_ref_store(spark, tmp_path, [_REF], band_buckets=8)
+    meta = spark.read.parquet(f"{store}/meta").first()
+    assert meta["band_buckets"] == 8
+    # on-disk layout: pb= subdirs under the epoch
+    subs = sorted(d for d in os.listdir(f"{store}/bands/epoch=0")
+                  if d.startswith("pb="))
+    assert subs and all(0 <= int(d.split("=")[1]) < 8 for d in subs)
+    # appending a conflicting layout is rejected (probe pruning would
+    # silently miss rows otherwise)
+    df = spark.createDataFrame(_REF, "doc_id long, text string")
+    with pytest.raises(ValueError, match="band_buckets"):
+        D.write_band_store(df, store, 1, "doc_id", "text", band_buckets=16)
+
+
+def test_band_store_probe_prunes_to_touched_pb_dirs(spark, tmp_path):
+    """The probe's store read lists a STRICT subset of the bands files
+    when the batch touches a strict subset of pb dirs — the r6 verdict
+    acceptance — and pairs are identical to the flat layout."""
+    import os
+    rng = random.Random(431)
+    vocab = [f"w{i}" for i in range(40)]
+    ref_rows = [(i, " ".join(rng.choices(vocab, k=15))) for i in range(60)]
+    new_rows = [(100, ref_rows[3][1] + " extra")]  # tiny batch: 1 doc
+
+    flat = _write_ref_store(spark, tmp_path / "flat", [ref_rows],
+                            band_buckets=0)
+    buck = _write_ref_store(spark, tmp_path / "buck", [ref_rows],
+                            band_buckets=64)
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    want = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+            for r in D.cross_dup_pairs_stored(
+                new, flat, "doc_id", "text", threshold=0.5).collect()}
+    pairs = D.cross_dup_pairs_stored(new, buck, "doc_id", "text",
+                                     threshold=0.5)
+    got = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+           for r in pairs.collect()}
+    assert got == want and got  # identical, non-empty
+
+    # a 1-doc batch has ≤ 8 band keys -> ≤ 8 of the 64 pb dirs touched;
+    # the plan's partition filter pins the pruning
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted")
+    assert "pb#" in plan and "IN (" in plan
+    n_dirs = len([d for d in os.listdir(f"{buck}/bands/epoch=0")
+                  if d.startswith("pb=")])
+    assert n_dirs > 8  # the store genuinely has more dirs than touched
+
+
+def test_band_store_bucketed_compaction_preserves_layout(spark, tmp_path):
+    import os
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)]
+    epochs = [[(e * 100 + i,
+                " ".join(rng.choices(vocab, k=rng.randrange(6, 20))))
+               for i in range(10)] for e in range(3)]
+    store = _write_ref_store(spark, tmp_path, epochs, band_buckets=16)
+    new = spark.createDataFrame(
+        [(999, epochs[1][2][1] + " tail")], "doc_id long, text string")
+    before = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+              for r in D.cross_dup_pairs_stored(
+                  new, store, "doc_id", "text", threshold=0.5).collect()}
+    assert D.compact_band_store(spark, store, upto=3) is True
+    # compacted partition kept the pb sub-layout
+    subs = [d for d in os.listdir(f"{store}/bands/epoch=2")
+            if d.startswith("pb=")]
+    assert subs
+    after = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+             for r in D.cross_dup_pairs_stored(
+                 new, store, "doc_id", "text", threshold=0.5).collect()}
+    assert after == before
+
+
+def test_band_store_probe_pinned_lifecycle(spark, tmp_path):
+    store = _write_ref_store(spark, tmp_path, [_REF])
+    new = spark.createDataFrame(_NEW, "doc_id long, text string")
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_cached()
+    for _ in range(2):
+        pinned = []
+        D.cross_dup_pairs_stored(new, store, "doc_id", "text",
+                                 threshold=0.6, pinned=pinned).count()
+        assert pinned  # the probe handed its cached frames over
+        for p in pinned:
+            p.unpersist()
+    assert n_cached() == base

@@ -134,3 +134,13 @@ def test_pq_index_celled_prunes_and_matches_replay(planted, spark,
     cos = X @ q / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
     want = sorted(cand, key=lambda i: (-cos[i], i))[:5]
     assert [r.vec_id for r in out.collect()] == want
+
+
+def test_pq_index_nprobe_on_flat_index_raises_clearly(planted, spark,
+                                                      tmp_path):
+    X, df = planted
+    path = str(tmp_path / "pqidx_flat")
+    S.build_pq_index(df, "embedding", "vec_id", path,
+                     m=M, k=16, sample=512, seed=7)
+    with pytest.raises(ValueError, match="not celled"):
+        S.pq_index_topk(spark, path, X[0], k=5, nprobe=2)

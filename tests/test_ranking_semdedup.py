@@ -172,12 +172,11 @@ def test_bm25_indexed_bitexact_and_pruned(spark, tmp_path):
     idx = str(tmp_path / "idx")
     R.write_text_index(df, idx, "doc_id", "text", term_buckets=16)
     flat = R.bm25_topk(df, "doc_id", "text", terms, k=15).collect()
-    got = R.bm25_topk_indexed(spark, idx, terms, k=15,
-                              term_buckets=16).collect()
+    got = R.bm25_topk_indexed(spark, idx, terms, k=15).collect()
     assert [(r.doc_id, r.score) for r in got] \
         == [(r.doc_id, r.score) for r in flat]  # EXACT double equality
     # partition pruning: the scan's partition filter carries tb IN (…)
-    q = R.bm25_topk_indexed(spark, idx, terms, k=15, term_buckets=16)
+    q = R.bm25_topk_indexed(spark, idx, terms, k=15)
     plan = physical_plan(q)
     assert "PartitionFilters" in plan and "tb" in plan
     buckets = sorted({R._spark_term_bucket(t, 16) for t in terms})
@@ -212,3 +211,31 @@ def test_semantic_pairs_cell_cap_overflow(spark):
                                    threshold=0.99, cell_cap=3).collect()}
     # full pairs among head 3; overflow ids pair with head 0 only
     assert got == {(0, 1), (0, 2), (1, 2), (0, 3), (0, 4), (0, 5)}
+
+
+def test_indexed_query_reads_layout_from_stats_row(spark, tmp_path):
+    # the bucket count is pinned in the index — a query can never
+    # enumerate partitions with a mismatched layout (r6 ADVICE)
+    rows = _corpus(29, 40)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx_pin")
+    R.write_text_index(df, idx, "doc_id", "text", term_buckets=8)
+    srow = spark.read.parquet(f"{idx}/stats").first()
+    assert srow["term_buckets"] == 8
+    # identical to the flat path without the caller knowing the layout
+    terms = ["vector", "spark"]
+    flat = R.bm25_topk(df, "doc_id", "text", terms, k=5).collect()
+    got = R.bm25_topk_indexed(spark, idx, terms, k=5).collect()
+    assert [(r.doc_id, r.score) for r in got] \
+        == [(r.doc_id, r.score) for r in flat]
+    # an index whose stats row predates the pin is rejected loudly
+    # instead of silently dropping terms
+    legacy = str(tmp_path / "idx_legacy")
+    R.write_text_index(df, legacy, "doc_id", "text")
+    (spark.read.parquet(f"{legacy}/stats").drop("term_buckets")
+     .coalesce(1).write.mode("overwrite").parquet(f"{legacy}/stats2"))
+    import shutil
+    shutil.rmtree(f"{legacy}/stats")
+    shutil.move(f"{legacy}/stats2", f"{legacy}/stats")
+    with pytest.raises(ValueError, match="term_buckets"):
+        R.bm25_topk_indexed(spark, legacy, terms, k=5)
