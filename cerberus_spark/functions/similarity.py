@@ -511,17 +511,19 @@ def _kmeans_sample(X: np.ndarray, k: int, iters: int,
     return cent
 
 
-def train_pq_codebooks(df: DataFrame, emb_col: str, m: int = 8,
-                       k: int = 256, sample: int = 4096,
-                       iters: int = 5, seed: int = 42) -> np.ndarray:
-    """(m, k', dim/m) PQ codebooks from one seeded cross-partition
-    sample (same sampling/determinism contract as train_centroids:
-    rand(seed) top-k spans partitions; lexicographic sort makes the
-    result a function of the sample SET, not arrival order)."""
+def _sample_X(df: DataFrame, emb_col: str, sample: int,
+              seed: int) -> np.ndarray:
+    """Seeded cross-partition embedding sample, lexicographically
+    sorted so the result is a function of the sample SET, not arrival
+    order (the train_centroids determinism contract)."""
     rows = (df.select(emb_col).filter(F.col(emb_col).isNotNull())
             .orderBy(F.rand(seed)).limit(sample).collect())
     X = np.asarray([r[0] for r in rows], dtype=float)
-    X = X[np.lexsort(X.T[::-1])]
+    return X[np.lexsort(X.T[::-1])]
+
+
+def _train_pq_from_X(X: np.ndarray, m: int, k: int, iters: int,
+                     seed: int) -> np.ndarray:
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -529,6 +531,17 @@ def train_pq_codebooks(df: DataFrame, emb_col: str, m: int = 8,
     return np.stack([
         _kmeans_sample(X[:, j * dsub:(j + 1) * dsub], k, iters, seed + j)
         for j in range(m)])
+
+
+def train_pq_codebooks(df: DataFrame, emb_col: str, m: int = 8,
+                       k: int = 256, sample: int = 4096,
+                       iters: int = 5, seed: int = 42) -> np.ndarray:
+    """(m, k', dim/m) PQ codebooks from one seeded cross-partition
+    sample (same sampling/determinism contract as train_centroids:
+    rand(seed) top-k spans partitions; lexicographic sort makes the
+    result a function of the sample SET, not arrival order)."""
+    return _train_pq_from_X(_sample_X(df, emb_col, sample, seed),
+                            m, k, iters, seed)
 
 
 def pq_encode_udf(codebooks: np.ndarray) -> Column:
@@ -587,6 +600,71 @@ def pq_adc_scores_udf(codebooks: np.ndarray, query) -> Column:
     return _score
 
 
+def pq_encode_residual_udf(codebooks: np.ndarray,
+                           centroids: np.ndarray) -> Column:
+    """Factory: Arrow RESIDUAL PQ encoder over (embedding, cell) —
+    quantizes ``x − centroid(cell)`` instead of raw ``x``.  Residuals
+    concentrate around the origin far more tightly than the vectors
+    themselves, so the same (m, k) codebook budget spends its
+    centroids on a smaller-variance distribution — the standard
+    IVF-PQ accuracy lever (Jégou et al. 2011, §III-C)."""
+    CB = np.asarray(codebooks, dtype=np.float64)
+    CENT = np.asarray(centroids, dtype=np.float64)
+    m, _, dsub = CB.shape
+    cb_sq = (CB * CB).sum(2)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(emb: pd.Series, cell: pd.Series) -> pd.Series:
+        X, valid = _stack_valid(emb)
+        out = _null_row_series(len(valid))
+        if X is not None:
+            cells = cell.to_numpy()[valid].astype(np.int64)
+            R = X - CENT[cells]
+            codes = np.empty((len(R), m), dtype=np.int32)
+            for j in range(m):
+                S = R[:, j * dsub:(j + 1) * dsub]
+                d = -2.0 * (S @ CB[j].T) + cb_sq[j][None, :]
+                codes[:, j] = d.argmin(1)
+            vals = np.empty(len(codes), dtype=object)
+            vals[:] = [r.tolist() for r in codes]
+            out[valid] = vals
+        return pd.Series(out)
+
+    return _encode
+
+
+def pq_adc_scores_residual_udf(codebooks: np.ndarray, query,
+                               centroids: np.ndarray) -> Column:
+    """Factory: ADC inner-product scores for RESIDUAL codes over
+    (codes, cell): ``q·x ≈ q·centroid(cell) + q·residual`` — the cell
+    term is one gather from a precomputed (n_cells,) vector, the
+    residual term the same m-LUT gather as the raw scorer."""
+    CB = np.asarray(codebooks, dtype=np.float64)
+    CENT = np.asarray(centroids, dtype=np.float64)
+    m, _, dsub = CB.shape
+    q = np.asarray(query, dtype=np.float64)
+    if q.size != m * dsub:
+        raise ValueError(f"query dim {q.size} != codebook dim {m * dsub}")
+    lut = np.stack([CB[j] @ q[j * dsub:(j + 1) * dsub]
+                    for j in range(m)])
+    qc = CENT @ q  # (n_cells,)
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(codes: pd.Series, cell: pd.Series) -> pd.Series:
+        va = codes.to_numpy()
+        valid = np.fromiter((c is not None for c in va),
+                            dtype=bool, count=len(va))
+        out = _null_row_series(len(valid))
+        if valid.any():
+            C = np.vstack(va[valid]).astype(np.int64)
+            cells = cell.to_numpy()[valid].astype(np.int64)
+            out[valid] = (qc[cells]
+                          + lut[np.arange(m)[None, :], C].sum(1))
+        return pd.Series(out)
+
+    return _score
+
+
 def pq_topk(df: DataFrame, emb_col: str, query, codebooks: np.ndarray,
             k: int = 10, rerank: int = 100,
             id_col: str = "doc_id") -> DataFrame:
@@ -619,28 +697,53 @@ def pq_topk(df: DataFrame, emb_col: str, query, codebooks: np.ndarray,
 
 def build_pq_index(df: DataFrame, emb_col: str, id_col: str, path: str,
                    m: int = 8, k: int = 256, n_cells: int | None = None,
-                   sample: int = 4096, iters: int = 5,
-                   seed: int = 42) -> tuple[np.ndarray, np.ndarray | None]:
+                   sample: int = 4096, iters: int = 5, seed: int = 42,
+                   residual: bool = False) -> tuple[np.ndarray,
+                                                    np.ndarray | None]:
     """Train PQ (and optionally IVF) codebooks and persist the CODED
     corpus: ``(id_col, codes)`` — no raw embeddings in the index, the
     100-380× memory cut that makes a 10^12-vector corpus scannable.
     With ``n_cells`` the codes table is also partitioned by coarse
     cell, so a query prunes to nprobe partitions AND scores only
-    codes: the full IVF-PQ layout.  Codebooks persist as sidecars;
-    returns ``(pq_codebooks, centroids-or-None)``."""
-    pq = train_pq_codebooks(df, emb_col, m, k, sample, iters, seed)
-    enc = pq_encode_udf(pq)
+    codes: the full IVF-PQ layout.  With ``residual=True`` (celled
+    indexes only) each vector's RESIDUAL against its cell centroid is
+    what gets quantized — same (m, k) budget, tighter distribution,
+    strictly better ADC ranking on clustered data; the layout is
+    recorded in the index meta so queries decode correctly without
+    being told.  Codebooks persist as sidecars; returns
+    ``(pq_codebooks, centroids-or-None)``."""
+    if residual and not n_cells:
+        raise ValueError("residual=True needs a celled index "
+                         "(pass n_cells)")
     cent = None
-    coded = df.select(F.col(id_col), enc(F.col(emb_col)).alias("codes"),
-                      F.col(emb_col).alias("_e"))
     if n_cells:
         cent = train_centroids(df, emb_col, n_cells, sample, iters, seed)
+    if residual:
+        # train the PQ codebooks on residual samples: the same seeded
+        # sample protocol, cells assigned with the ivf_cell_udf
+        # distance form (ties identical to the Spark path)
+        X = _sample_X(df, emb_col, sample, seed)
+        d = -2.0 * (X @ cent.T) + (cent * cent).sum(1)[None, :]
+        pq = _train_pq_from_X(X - cent[d.argmin(1)], m, k, iters, seed)
+    else:
+        pq = train_pq_codebooks(df, emb_col, m, k, sample, iters, seed)
+    coded = df.select(F.col(id_col), F.col(emb_col).alias("_e"))
+    if n_cells:
         coded = coded.withColumn("cell", ivf_cell_udf(cent)(F.col("_e")))
-        (coded.drop("_e").repartition("cell").write.mode("overwrite")
+        enc_col = (pq_encode_residual_udf(pq, cent)(F.col("_e"),
+                                                    F.col("cell"))
+                   if residual else pq_encode_udf(pq)(F.col("_e")))
+        (coded.withColumn("codes", enc_col).drop("_e")
+         .repartition("cell").write.mode("overwrite")
          .partitionBy("cell").parquet(f"{path}/codes"))
     else:
-        coded.drop("_e").write.mode("overwrite").parquet(f"{path}/codes")
+        (coded.withColumn("codes", pq_encode_udf(pq)(F.col("_e")))
+         .drop("_e").write.mode("overwrite").parquet(f"{path}/codes"))
     spark = df.sparkSession
+    spark.createDataFrame(
+        [(m, k, int(n_cells or 0), bool(residual))],
+        "m int, k int, n_cells int, residual boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     mm, kk, dsub = pq.shape
     spark.createDataFrame(
         [(j, i, [float(x) for x in pq[j, i]])
@@ -675,12 +778,18 @@ def pq_index_topk(spark, path: str, query, k: int = 10,
     — exact-cosine-rerank those rows for exact-on-candidates results.
     Without ``raw`` the ADC scores rank directly (``score`` is then
     the approximate inner product; at 10^12 vectors the raw table may
-    live elsewhere, so the join-back is the caller's choice)."""
+    live elsewhere, so the join-back is the caller's choice).  The
+    residual-vs-raw code layout is read from the index meta (pre-meta
+    indexes decode as raw)."""
+    from ..plans.checkpoint import fs_exists
+
     pq = load_pq_codebooks(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
+    residual = False
+    if fs_exists(spark, f"{path}/meta"):
+        residual = bool(spark.read.parquet(f"{path}/meta")
+                        .first()["residual"])
     if nprobe:
-        from ..plans.checkpoint import fs_exists
-
         if not fs_exists(spark, f"{path}/codebook") \
                 or "cell" not in codes.columns:
             raise ValueError(
@@ -692,8 +801,13 @@ def pq_index_topk(spark, path: str, query, k: int = 10,
         q = np.asarray(query, dtype=np.float64)
         cells = [int(i) for i in ((cent - q) ** 2).sum(1).argsort()[:nprobe]]
         codes = codes.filter(F.col("cell").isin(cells))
-    adc = pq_adc_scores_udf(pq, query)
-    scored = (codes.select(F.col(id_col), adc(F.col("codes")).alias("score"))
+    if residual:
+        cent = load_ivf_codebook(spark, path)
+        score_col = pq_adc_scores_residual_udf(pq, query, cent)(
+            F.col("codes"), F.col("cell"))
+    else:
+        score_col = pq_adc_scores_udf(pq, query)(F.col("codes"))
+    scored = (codes.select(F.col(id_col), score_col.alias("score"))
               .filter(F.col("score").isNotNull())
               .orderBy(F.col("score").desc(), F.col(id_col).asc()))
     if raw is None:

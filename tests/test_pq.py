@@ -144,3 +144,97 @@ def test_pq_index_nprobe_on_flat_index_raises_clearly(planted, spark,
                      m=M, k=16, sample=512, seed=7)
     with pytest.raises(ValueError, match="not celled"):
         S.pq_index_topk(spark, path, X[0], k=5, nprobe=2)
+
+
+def _clustered(seed, n_per, n_clusters=4, dim=DIM, spread=0.15):
+    """Clustered corpus: residual quantization's home turf."""
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 3.0
+    X = np.vstack([c + spread * rng.standard_normal((n_per, dim))
+                   for c in centers])
+    return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
+def test_residual_index_matches_numpy_replay(spark, tmp_path):
+    X = _clustered(31, 60)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "pqres")
+    cb, cent = S.build_pq_index(df, "embedding", "vec_id", path,
+                                m=M, k=8, n_cells=4, sample=512, seed=7,
+                                residual=True)
+    assert bool(spark.read.parquet(f"{path}/meta").first()["residual"])
+    q = X[5]
+    got = [r.vec_id for r in
+           S.pq_index_topk(spark, path, q, k=8, id_col="vec_id").collect()]
+    # full numpy replay: cell assign (same -2x·c + |c|² argmin form),
+    # residual encode, ADC = q·cent[cell] + LUT sum
+    dsub = DIM // M
+    c_sq = (cent * cent).sum(1)
+    cells = (-2.0 * (X @ cent.T) + c_sq[None, :]).argmin(1)
+    R = X - cent[cells]
+    codes = np.stack([
+        [np.argmin(((cb[j] - R[i, j * dsub:(j + 1) * dsub]) ** 2).sum(1))
+         for j in range(M)] for i in range(len(X))])
+    lut = np.stack([cb[j] @ q[j * dsub:(j + 1) * dsub] for j in range(M)])
+    adc = (cent @ q)[cells] + lut[np.arange(M)[None, :], codes].sum(1)
+    want = sorted(range(len(X)), key=lambda i: (-adc[i], i))[:8]
+    assert got == want
+
+
+def test_residual_recall_at_least_raw(spark, tmp_path):
+    """Verdict r6 item 7 acceptance: candidate recall at equal (m, k)
+    for the residual index >= the non-residual one (and ADC score
+    fidelity strictly better).  Evaluated from the PERSISTED index
+    artifacts (codes + codebooks read back from disk) over 40 queries
+    so within-cluster near-ties average out."""
+    # the IVF-PQ home regime: many coarse cells vs a small per-subspace
+    # codebook (32 blob positions cannot fit in 8 codewords raw; the
+    # residuals after the coarse quantizer can)
+    X = _clustered(47, 16, n_clusters=32)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    raw_p = str(tmp_path / "raw")
+    res_p = str(tmp_path / "res")
+    cb_raw, cent_raw = S.build_pq_index(df, "embedding", "vec_id", raw_p,
+                                        m=M, k=8, n_cells=32, sample=1024,
+                                        seed=7)
+    cb_res, cent_res = S.build_pq_index(df, "embedding", "vec_id", res_p,
+                                        m=M, k=8, n_cells=32, sample=1024,
+                                        seed=7, residual=True)
+
+    def reconstruct(path, cb, cent, residual):
+        rows = spark.read.parquet(f"{path}/codes").collect()
+        rec = np.empty((len(X), DIM))
+        for r in rows:
+            v = np.concatenate([cb[j][r["codes"][j]] for j in range(M)])
+            if residual:
+                v = v + cent[r["cell"]]
+            rec[r["vec_id"]] = v
+        return rec
+
+    rec_raw = reconstruct(raw_p, cb_raw, cent_raw, False)
+    rec_res = reconstruct(res_p, cb_res, cent_res, True)
+    rng = np.random.RandomState(3)
+    hits_raw = hits_res = 0
+    err_raw = err_res = 0.0
+    for qi in rng.choice(len(X), 40, replace=False):
+        q = X[qi]
+        true = X @ q
+        want = set(np.argsort(-true)[:10])
+        sr, se = rec_raw @ q, rec_res @ q
+        hits_raw += len(want & set(np.argsort(-sr)[:10]))
+        hits_res += len(want & set(np.argsort(-se)[:10]))
+        err_raw += np.abs(sr - true).mean()
+        err_res += np.abs(se - true).mean()
+    assert hits_res >= hits_raw, (hits_res, hits_raw)
+    assert err_res < err_raw  # strictly better ADC fidelity
+    assert hits_res >= 200    # non-vacuous (>= half the 400 slots)
+
+
+def test_residual_requires_cells(spark, tmp_path):
+    df = spark.createDataFrame([(0, [0.0] * DIM)],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="n_cells"):
+        S.build_pq_index(df, "embedding", "vec_id",
+                         str(tmp_path / "x"), residual=True)
