@@ -1046,6 +1046,42 @@ def q_bm25_indexed_documents(spark, sf_dir):
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_plus_documents(spark, sf_dir):
+    """BM25+ (Lv & Zhai 2011): the flat scorer with the delta=1.0
+    lower bound on tf normalization — each MATCHING term's saturation
+    gets + delta so long documents cannot normalize an occurrence to
+    ~0 (functions/ranking.py bm25_scores).  Same single-projection
+    plan as q_bm25_documents; the twin adds the identical gated
+    constant per term."""
+    from cerberus_spark.functions import ranking as RK
+
+    docs = _read(spark, sf_dir, "documents")
+    top = RK.bm25_topk(docs, "doc_id", "text",
+                       ["vector", "hash", "spark"], k=10, delta=1.0)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_phrase_documents(spark, sf_dir):
+    """Phrase query through the POSITIONS index (functions/ranking.py
+    write_text_index(positions=True) / bm25_topk_indexed(phrase=True)):
+    only documents containing the adjacent token sequence
+    'fast table' rank, scored by the standard per-term BM25 sum.
+    Adjacency is checked on the per-term position arrays gathered in
+    the scoring pivot — no extra join, the corpus text never read at
+    query time.  The DuckDB twin checks the same adjacency with a
+    range/list predicate over the identical tokenization."""
+    import tempfile
+
+    from cerberus_spark.functions import ranking as RK
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_pos_idx_")
+    RK.write_text_index(docs, idx, "doc_id", "text", positions=True)
+    top = RK.bm25_topk_indexed(spark, idx, ["fast", "table"], k=10,
+                               phrase=True)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_dsir_documents(spark, sf_dir):
     """DSIR importance resampling (functions/dsir.py): hashed
     unigram+bigram features (md5 % 10k buckets), add-1 smoothed
@@ -1079,10 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_metrics_events": q_drift_metrics_events,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "pq_topk_embeddings": q_pq_topk_embeddings,
-        "token_stats_documents": q_token_stats_documents,
         "normalize_events": q_normalize_events,
         "stats_bounds_events": q_stats_bounds_events,
-        "topk_embeddings_cosine": q_topk_embeddings_cosine,
         # dedup/ANN family — oracled by exact all-pairs SQL twins
         "minhash_near_dups_documents": q_minhash_near_dups_documents,
         "near_dedup_documents": q_near_dedup_documents,
@@ -1126,10 +1160,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_documents": q_dsir_documents,
         "bm25_indexed_documents": q_bm25_indexed_documents,
         "chunk_documents": q_chunk_documents,
+        "bm25_plus_documents": q_bm25_plus_documents,
+        "bm25_phrase_documents": q_bm25_phrase_documents,
         # ---- rotation tail (driver adjudicates the first 50 entries;
         # these veterans were driver-green for 3+ consecutive rounds and
         # stay registered + check_entry-covered; see VERDICT r6 item 1)
         "dedup_exact_props": q_dedup_exact_props,
+        "token_stats_documents": q_token_stats_documents,
+        "topk_embeddings_cosine": q_topk_embeddings_cosine,
         "lang_id_documents": q_lang_id_documents,
         "quality_documents": q_quality_documents,
         "text_signals_documents": q_text_signals_documents,
@@ -1906,6 +1944,68 @@ SELECT doc_id, round(score, 4) AS score FROM sc WHERE hits > 0
 ORDER BY score DESC, doc_id LIMIT 10
 """
 
+#: BM25+ twin — the same expression tree with each MATCHING term's
+#: saturation lower-bounded by + 1.0 (delta), non-matching terms
+#: still contribute exactly 0 (ranking.py bm25_scores delta spec)
+_BM25_PLUS_SQL = """
+WITH t AS (SELECT doc_id, {words} AS ws FROM documents),
+s AS (SELECT count(*)::DOUBLE AS n, avg(len(ws)) AS avgdl,
+             sum((len(list_filter(ws, x -> x = 'vector')) > 0)::BIGINT)::DOUBLE AS df0,
+             sum((len(list_filter(ws, x -> x = 'hash')) > 0)::BIGINT)::DOUBLE AS df1,
+             sum((len(list_filter(ws, x -> x = 'spark')) > 0)::BIGINT)::DOUBLE AS df2
+      FROM t),
+tf AS (SELECT doc_id, len(ws) AS dl,
+              len(list_filter(ws, x -> x = 'vector'))::DOUBLE AS tf0,
+              len(list_filter(ws, x -> x = 'hash'))::DOUBLE AS tf1,
+              len(list_filter(ws, x -> x = 'spark'))::DOUBLE AS tf2
+       FROM t),
+sc AS (SELECT doc_id, tf0 + tf1 + tf2 AS hits,
+              0.0 + CASE WHEN tf0 > 0 THEN
+                      ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                      * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + 1.0)
+                    ELSE 0.0 END
+                  + CASE WHEN tf1 > 0 THEN
+                      ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                      * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + 1.0)
+                    ELSE 0.0 END
+                  + CASE WHEN tf2 > 0 THEN
+                      ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                      * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + 1.0)
+                    ELSE 0.0 END
+              AS score
+       FROM tf, s)
+SELECT doc_id, round(score, 4) AS score FROM sc WHERE hits > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+#: phrase twin — docs whose token list contains the ADJACENT sequence
+#: ('fast', 'table'), scored by the standard per-term BM25 sum over the
+#: two terms; adjacency via a range/list predicate on the identical
+#: tokenization (range(n) is 0-based, DuckDB lists 1-based)
+_BM25_PHRASE_SQL = """
+WITH t AS (SELECT doc_id, {words} AS ws FROM documents),
+s AS (SELECT count(*)::DOUBLE AS n, avg(len(ws)) AS avgdl,
+             sum((len(list_filter(ws, x -> x = 'fast')) > 0)::BIGINT)::DOUBLE AS df0,
+             sum((len(list_filter(ws, x -> x = 'table')) > 0)::BIGINT)::DOUBLE AS df1
+      FROM t),
+tf AS (SELECT doc_id, len(ws) AS dl,
+              len(list_filter(ws, x -> x = 'fast'))::DOUBLE AS tf0,
+              len(list_filter(ws, x -> x = 'table'))::DOUBLE AS tf1,
+              len(list_filter(range(greatest(len(ws) - 1, 0)),
+                  i -> ws[i + 1] = 'fast' AND ws[i + 2] = 'table')) > 0
+              AS has_phrase
+       FROM t),
+sc AS (SELECT doc_id, has_phrase,
+              0.0 + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                    * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                    * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+              AS score
+       FROM tf, s)
+SELECT doc_id, round(score, 4) AS score FROM sc WHERE has_phrase
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
 #: semantic-dedup twin (functions/dedup.py semantic_dedup spec): same
 #: planted corpus as the LSH/IVF oracles, anchors = vec_id<8, nearest
 #: anchor by L2 (ties -> lowest cell, matching np.argmin), drop rule =
@@ -2361,4 +2461,6 @@ def oracle_sql() -> dict[str, str]:
         "dsir_documents": _DSIR_SQL.format(words=_DUCK_WORDS),
         "bm25_indexed_documents": _BM25_SQL.format(words=_DUCK_WORDS),
         "chunk_documents": _CHUNK_SQL.format(words=_DUCK_WORDS),
+        "bm25_plus_documents": _BM25_PLUS_SQL.format(words=_DUCK_WORDS),
+        "bm25_phrase_documents": _BM25_PHRASE_SQL.format(words=_DUCK_WORDS),
     }

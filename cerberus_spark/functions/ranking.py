@@ -45,12 +45,19 @@ def _term_freq(toks: Column, term: str) -> Column:
 
 def bm25_scores(df: DataFrame, id_col: str, text_col: str,
                 terms: Sequence[str], k1: float = 1.2,
-                b: float = 0.75) -> DataFrame:
+                b: float = 0.75, delta: float = 0.0) -> DataFrame:
     """Score every document that matches ≥1 query term.
 
     Returns ``(id_col, score)`` — only matching docs (a zero score
     means no term hit, and at corpus scale emitting every non-matching
     row would be an antifeature).  NULL/empty text never matches.
+
+    ``delta > 0`` gives BM25+ (Lv & Zhai 2011, "Lower-bounding term
+    frequency normalization"): each MATCHING term's saturation gets a
+    constant ``+ delta``, so very long documents cannot normalize a
+    genuine occurrence below a floor.  A constant add in the same
+    expression tree — the per-term contribution stays gated on
+    ``tf > 0``, so non-matching terms still contribute exactly 0.
     """
     if not terms:
         raise ValueError("bm25 needs at least one query term")
@@ -72,10 +79,16 @@ def bm25_scores(df: DataFrame, id_col: str, text_col: str,
             + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
             / (F.col(f"_df{i}") + F.lit(0.5)))
         tf = F.col(f"_tf{i}").cast("double")
-        score = score + idf * (
-            tf * F.lit(k1 + 1.0)
-            / (tf + F.lit(k1) * (F.lit(1.0 - b)
-                                 + F.lit(b) * F.col("_dl") / F.col("_avgdl"))))
+        sat = (tf * F.lit(k1 + 1.0)
+               / (tf + F.lit(k1) * (F.lit(1.0 - b)
+                                    + F.lit(b) * F.col("_dl")
+                                    / F.col("_avgdl"))))
+        if delta:
+            # BM25+ lower bound applies to MATCHING terms only
+            score = score + F.when(tf > 0, idf * (sat + F.lit(delta))) \
+                .otherwise(F.lit(0.0))
+        else:
+            score = score + idf * sat
     matched = sum((F.col(f"_tf{i}") for i in range(len(terms))),
                   F.lit(0))
     return (scored.filter(matched > 0)
@@ -84,14 +97,14 @@ def bm25_scores(df: DataFrame, id_col: str, text_col: str,
 
 def bm25_topk(df: DataFrame, id_col: str, text_col: str,
               terms: Sequence[str], k: int = 10, k1: float = 1.2,
-              b: float = 0.75) -> DataFrame:
+              b: float = 0.75, delta: float = 0.0) -> DataFrame:
     """Top-k BM25 ranking, deterministic (ties break on ascending id).
 
     ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — a
     per-partition bounded heap and a k-row driver merge; nothing
     resembling a full sort or collect at any corpus size.
     """
-    s = bm25_scores(df, id_col, text_col, terms, k1=k1, b=b)
+    s = bm25_scores(df, id_col, text_col, terms, k1=k1, b=b, delta=delta)
     return s.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -122,7 +135,8 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
 
 def write_text_index(df: DataFrame, path: str, id_col: str = "doc_id",
                      text_col: str = "text",
-                     term_buckets: int = 256) -> None:
+                     term_buckets: int = 256,
+                     positions: bool = False) -> None:
     """Build the inverted index (two corpus scans — postings and the
     stats row — and one shuffle; build-time cost, amortized across
     every query served from the index).
@@ -131,16 +145,30 @@ def write_text_index(df: DataFrame, path: str, id_col: str = "doc_id",
     ``partitionBy(term)`` would mint one directory per vocabulary
     type — 10^8-10^9 dirs at corpus scale, a filesystem DoS); 256-4096
     buckets keep listings cheap while still pruning ~all I/O for
-    few-term queries."""
+    few-term queries.
+
+    ``positions=True`` adds each posting's sorted token-position array
+    (``pos``) — the payload phrase queries need.  Roughly doubles the
+    posting row; leave it off unless phrases are served.  Recorded in
+    the stats row alongside term_buckets."""
     toks = words(F.col(text_col))
     base = df.select(F.col(id_col).alias("doc_id"),
                      toks.alias("_toks"), F.size(toks).alias("dl"))
-    postings = (base.select("doc_id", "dl",
-                            F.explode("_toks").alias("term"))
-                .groupBy("doc_id", "dl", "term")
-                .agg(F.count(F.lit(1)).alias("tf"))
-                .withColumn("tb", F.pmod(F.xxhash64("term"),
-                                         F.lit(term_buckets))))
+    if positions:
+        postings = (base.select("doc_id", "dl",
+                                F.posexplode("_toks").alias("p", "term"))
+                    .groupBy("doc_id", "dl", "term")
+                    .agg(F.count(F.lit(1)).alias("tf"),
+                         F.sort_array(F.collect_list("p")).alias("pos"))
+                    .withColumn("tb", F.pmod(F.xxhash64("term"),
+                                             F.lit(term_buckets))))
+    else:
+        postings = (base.select("doc_id", "dl",
+                                F.explode("_toks").alias("term"))
+                    .groupBy("doc_id", "dl", "term")
+                    .agg(F.count(F.lit(1)).alias("tf"))
+                    .withColumn("tb", F.pmod(F.xxhash64("term"),
+                                             F.lit(term_buckets))))
     (postings.write.mode("overwrite").partitionBy("tb")
      .parquet(f"{path}/postings"))
     # term_buckets is PINNED in the stats row: a query must enumerate
@@ -150,17 +178,29 @@ def write_text_index(df: DataFrame, path: str, id_col: str = "doc_id",
     # meta-pinning guard as the band/embedding stores)
     (base.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
      .withColumn("term_buckets", F.lit(term_buckets))
+     .withColumn("positions", F.lit(bool(positions)))
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
 
 
 def bm25_topk_indexed(spark, path: str, terms: Sequence[str],
                       k: int = 10, k1: float = 1.2,
-                      b: float = 0.75) -> DataFrame:
+                      b: float = 0.75, delta: float = 0.0,
+                      phrase: bool = False) -> DataFrame:
     """Top-k BM25 from a :func:`write_text_index` index — identical
     output (bit-for-bit doubles) to :func:`bm25_topk` on the indexed
     corpus, at per-query cost ∝ the terms' posting lists.  The
     partition layout (``term_buckets``) comes from the index's own
-    stats row, so queries can never enumerate the wrong partitions."""
+    stats row, so queries can never enumerate the wrong partitions.
+
+    ``delta`` is the BM25+ lower bound (see :func:`bm25_scores`) —
+    postings exist only for matching terms, so the pivot gates it
+    naturally.  ``phrase=True`` treats ``terms`` as an ORDERED,
+    ADJACENT phrase: only documents containing the exact token
+    sequence are ranked (df/idf statistics stay per-term — the
+    standard phrase-query semantics).  Needs a positions index
+    (``write_text_index(..., positions=True)``); adjacency is checked
+    on the per-term position arrays gathered in the same pivot that
+    collects the score columns — no extra join, no text touched."""
     if not terms:
         raise ValueError("bm25 needs at least one query term")
     srow = spark.read.parquet(f"{path}/stats").first()
@@ -170,6 +210,14 @@ def bm25_topk_indexed(spark, path: str, terms: Sequence[str],
             f"text index at {path} has no term_buckets in its stats "
             f"row (pre-layout-pin index) — rebuild with "
             f"write_text_index")
+    if phrase:
+        if len(terms) < 2:
+            raise ValueError("a phrase needs at least two terms")
+        if not srow.asDict().get("positions"):
+            raise ValueError(
+                f"text index at {path} has no positions payload — "
+                f"rebuild with write_text_index(..., positions=True) "
+                f"to serve phrase queries")
     buckets = sorted({_spark_term_bucket(t, int(tb)) for t in terms})
     p = (spark.read.parquet(f"{path}/postings")
          .filter(F.col("tb").isin(buckets) & F.col("term").isin(list(terms))))
@@ -185,13 +233,32 @@ def bm25_topk_indexed(spark, path: str, terms: Sequence[str],
     idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + F.lit(0.5))
                 / (F.col("_df") + F.lit(0.5)))
     tf = F.col("tf").cast("double")
-    contrib = idf * (tf * F.lit(k1 + 1.0)
-                     / (tf + F.lit(k1) * (F.lit(1.0 - b)
-                                          + F.lit(b) * F.col("dl")
-                                          / F.col("_avgdl"))))
-    per_doc = scored.groupBy("doc_id").agg(
-        *[F.sum(F.when(F.col("term") == t, contrib)).alias(f"_c{i}")
-          for i, t in enumerate(terms)])
+    sat = (tf * F.lit(k1 + 1.0)
+           / (tf + F.lit(k1) * (F.lit(1.0 - b)
+                                + F.lit(b) * F.col("dl")
+                                / F.col("_avgdl"))))
+    contrib = idf * (sat + F.lit(delta)) if delta else idf * sat
+    aggs = [F.sum(F.when(F.col("term") == t, contrib)).alias(f"_c{i}")
+            for i, t in enumerate(terms)]
+    if phrase:
+        aggs += [F.first(F.when(F.col("term") == t, F.col("pos")),
+                         ignorenulls=True).alias(f"_p{i}")
+                 for i, t in enumerate(terms)]
+    per_doc = scored.groupBy("doc_id").agg(*aggs)
+    if phrase:
+        # exists p in pos(term0) with p+i in pos(term_i) for all i —
+        # evaluated on the gathered int arrays, pure Column algebra
+        def _adj(p0):
+            cond = F.lit(True)
+            for i in range(1, len(terms)):
+                cond = cond & F.array_contains(F.col(f"_p{i}"),
+                                               p0 + F.lit(i))
+            return cond
+
+        match = F.exists(F.col("_p0"), _adj)
+        for i in range(len(terms)):
+            match = F.col(f"_p{i}").isNotNull() & match
+        per_doc = per_doc.filter(match)
     score = F.lit(0.0)
     for i in range(len(terms)):
         score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))

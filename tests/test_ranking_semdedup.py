@@ -239,3 +239,81 @@ def test_indexed_query_reads_layout_from_stats_row(spark, tmp_path):
     shutil.move(f"{legacy}/stats2", f"{legacy}/stats")
     with pytest.raises(ValueError, match="term_buckets"):
         R.bm25_topk_indexed(spark, legacy, terms, k=5)
+
+
+def test_bm25_plus_delta_lower_bound(spark):
+    rows = _corpus(37, 60)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["vector", "spark"]
+    base = {r.doc_id: r.score for r in
+            R.bm25_scores(df, "doc_id", "text", terms).collect()}
+    plus = {r.doc_id: r.score for r in
+            R.bm25_scores(df, "doc_id", "text", terms,
+                          delta=1.0).collect()}
+    # same matching-doc set; every score strictly larger (delta applies
+    # to >= 1 matching term) and by exactly sum(idf_t) over matched
+    # terms — check the per-doc delta is one of the 3 possible idf sums
+    assert set(base) == set(plus)
+    import math
+    texts = dict(rows)
+    n = len(rows)
+    dfs = {t: sum(1 for _, x in rows
+                  if t in (x or "").lower().split()) for t in terms}
+    idf = {t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+           for t in terms}
+    for i, s in base.items():
+        toks = (texts[i] or "").lower().split()
+        want = sum(idf[t] for t in terms if t in toks)
+        assert abs((plus[i] - s) - want) < 1e-9
+
+
+def test_bm25_plus_indexed_matches_flat(spark, tmp_path):
+    rows = _corpus(41, 70)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "plusidx")
+    R.write_text_index(df, idx, "doc_id", "text", term_buckets=16)
+    terms = ["vector", "hash", "spark"]
+    flat = R.bm25_topk(df, "doc_id", "text", terms, k=12,
+                       delta=1.0).collect()
+    got = R.bm25_topk_indexed(spark, idx, terms, k=12,
+                              delta=1.0).collect()
+    assert [(r.doc_id, r.score) for r in got] \
+        == [(r.doc_id, r.score) for r in flat]  # exact double equality
+
+
+def test_phrase_query_filters_to_adjacent_sequence(spark, tmp_path):
+    rows = _corpus(43, 80)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "posidx")
+    R.write_text_index(df, idx, "doc_id", "text", term_buckets=16,
+                       positions=True)
+    terms = ["vector", "hash"]
+    got = R.bm25_topk_indexed(spark, idx, terms, k=50, phrase=True)
+    ids = [r.doc_id for r in got.collect()]
+    texts = dict(rows)
+    with_phrase = {i for i, t in rows
+                   if "vector hash" in " ".join((t or "").lower().split())}
+    assert set(ids) <= with_phrase and ids  # only true adjacencies
+    # every phrase doc inside the top-50 cut is present (k exceeds the
+    # phrase-doc count in this fixture)
+    assert set(ids) == with_phrase
+    # scores equal the plain 2-term BM25 scores for those docs
+    flat = {r.doc_id: r.score for r in
+            R.bm25_scores(df, "doc_id", "text", terms).collect()}
+    for r in R.bm25_topk_indexed(spark, idx, terms, k=50,
+                                 phrase=True).collect():
+        assert r.score == flat[r.doc_id]
+
+
+def test_phrase_guards(spark, tmp_path):
+    rows = _corpus(45, 20)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "noposidx")
+    R.write_text_index(df, idx, "doc_id", "text", term_buckets=16)
+    with pytest.raises(ValueError, match="positions"):
+        R.bm25_topk_indexed(spark, idx, ["vector", "hash"], phrase=True)
+    idx2 = str(tmp_path / "posidx2")
+    R.write_text_index(df, idx2, "doc_id", "text", term_buckets=16,
+                       positions=True)
+    with pytest.raises(ValueError, match="two terms"):
+        R.bm25_topk_indexed(spark, idx2, ["vector"], phrase=True)
