@@ -1359,7 +1359,9 @@ FROM documents
 def _pii_oracle_sql() -> str:
     from cerberus_spark.functions.pii import PII_PATTERNS
 
-    ctes = [f"aug AS ({_PII_AUG_SQL})"]
+    ctes = [f"aug AS (SELECT doc_id, t0, "
+            f"regexp_matches(t0, '[0-9@]') AS g "
+            f"FROM ({_PII_AUG_SQL}))"]
     prev_tbl, prev_txt = "aug", "t0"
     for i, (_, pat, repl) in enumerate(PII_PATTERNS, 1):
         ctes.append(
@@ -1368,11 +1370,15 @@ def _pii_oracle_sql() -> str:
             f"FROM {prev_tbl})"
         )
         prev_tbl, prev_txt = f"s{i}", f"t{i}"
-    # counts = literal tag occurrences in the redacted output (the
-    # engine's pii_counts spec — see functions/pii.py)
+    # counts = literal tag occurrences in the redacted output, gated on
+    # the engine's [0-9@] short-circuit guard (the pii_counts spec —
+    # see functions/pii.py: a row without digits/@ can match no
+    # pattern and skips the chain, counting 0 even for pre-existing
+    # literal tags)
     counts = ", ".join(
+        f"(CASE WHEN g THEN "
         f"((length({prev_txt}) - length(replace({prev_txt}, '{repl}', '')))"
-        f" / {len(repl)})::BIGINT AS n_{name}"
+        f" / {len(repl)}) ELSE 0 END)::BIGINT AS n_{name}"
         for name, _, repl in PII_PATTERNS
     )
     return (

@@ -390,3 +390,26 @@ def test_chunk_documents_edges_and_plan(spark):
         P.chunk_documents(df, chunk_tokens=4, overlap=4)
     rep = plan_report(P.chunk_documents(df, chunk_tokens=2))
     assert rep["n_exchanges"] == 0 and not rep["python_workers"]
+
+
+def test_pii_guard_short_circuit_is_transparent(spark):
+    from cerberus_spark.functions import pii as P
+    rows = [(0, "no digits here at all"),
+            (1, "mail me a@b.io"),
+            (2, "literal <EMAIL> tag but clean"),        # guard: count 0
+            (3, "literal <EMAIL> tag and digit 7"),      # counted (caveat)
+            (4, None),
+            (5, "ssn 123-45-6789 call (415)-555-0133")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = P.pii_signals(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(k) for k, c in sig.items()]).collect()}
+    assert out[0]["redacted"] == "no digits here at all"
+    assert out[1]["redacted"] == "mail me <EMAIL>" and out[1]["n_email"] == 1
+    assert out[2]["redacted"] == "literal <EMAIL> tag but clean"
+    assert out[2]["n_email"] == 0      # guarded out: no digit/@
+    # doc 3 has a digit -> chain runs, no @ so nothing is replaced,
+    # but the literal tag inflates the count by 1 (documented caveat)
+    assert out[3]["n_email"] == 1
+    assert out[4]["redacted"] == "" and out[4]["n_phone"] == 0
+    assert out[5]["n_ssn"] == 1 and out[5]["n_phone"] == 1
