@@ -652,7 +652,8 @@ def _check_store_meta(spark, store_dir: str, k: int, num_perm: int,
         raise ValueError(f"no band store at {store_dir} (missing meta)")
 
 
-def _read_epochs(spark, table_dir: str, max_epoch: int | None):
+def _read_epochs(spark, table_dir: str, max_epoch: int | None,
+                 subdirs: set[str] | None = None):
     """Read an epoch-partitioned store table by EXPLICIT epoch-dir
     paths (listed at plan time) instead of a bare parent-dir scan.
 
@@ -665,7 +666,14 @@ def _read_epochs(spark, table_dir: str, max_epoch: int | None):
     the plan, so stale entries can never sameResult-match.
     (2) ``max_epoch`` becomes PATH pruning — retried half-written
     epochs are never even listed, let alone filtered.  Returns None
-    when no matching epoch exists."""
+    when no matching epoch exists.
+
+    ``subdirs`` (e.g. ``{'pb=3', 'pb=17'}``) restricts the read to
+    those sub-partition dirs of each epoch — the path set is the
+    intersection with what each epoch actually contains, so both the
+    LISTING and the READ scale with the touched set, not the store
+    (one fs_list per epoch to discover presence; epochs are few after
+    compaction)."""
     from ..plans.checkpoint import fs_list
 
     names = [n for n in fs_list(spark, table_dir) if n.startswith("epoch=")]
@@ -674,8 +682,17 @@ def _read_epochs(spark, table_dir: str, max_epoch: int | None):
                  if int(n.split("=", 1)[1]) < max_epoch]
     if not names:
         return None
-    return (spark.read.option("basePath", table_dir)
-            .parquet(*[f"{table_dir}/{n}" for n in sorted(names)]))
+    if subdirs is None:
+        paths = [f"{table_dir}/{n}" for n in sorted(names)]
+    else:
+        paths = []
+        for n in sorted(names):
+            present = fs_list(spark, f"{table_dir}/{n}")
+            paths += [f"{table_dir}/{n}/{d}" for d in sorted(present)
+                      if d in subdirs]
+        if not paths:
+            return None
+    return (spark.read.option("basePath", table_dir).parquet(*paths))
 
 
 def write_band_store(df: DataFrame, store_dir: str, epoch: int,
@@ -760,12 +777,15 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
     spark = new.sparkSession
     store_bb = _check_store_meta(spark, store_dir, k, num_perm, bands,
                                  create=False)
-    ref_bands = _read_epochs(spark, f"{store_dir}/bands", max_epoch)
     ref_hashes = _read_epochs(spark, f"{store_dir}/hashes", max_epoch)
-    if ref_bands is None or ref_hashes is None:
+
+    def _empty():
         id_type = dict(new.dtypes)[id_col]
         return spark.createDataFrame(
             [], f"id_new {id_type}, id_ref {id_type}, jaccard double")
+
+    if ref_hashes is None:
+        return _empty()
 
     nf = new.filter(F.size(words(F.col(text_col))) > 0)
     sh64_new = _sh64_df(nf, id_col, text_col, k)
@@ -783,16 +803,24 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
             pinned.extend([sh64_new, bands_new])
 
     if store_bb > 0:
-        # static partition pruning: the batch's touched pb set (≤
+        # pruning by EXPLICIT PATHS: the batch's touched pb set (≤
         # band_buckets ints, collected from the batch-sized — and by
-        # default persisted — bands frame) prunes the store READ to
-        # the touched ``pb=`` dirs before any join runs
-        touched_pb = [r[0] for r in
+        # default persisted — bands frame) restricts the store read's
+        # path list itself, so dir listing AND bytes read scale with
+        # the touched set, not the store
+        touched_pb = {r[0] for r in
                       bands_new.select(
                           F.pmod(F.col("bhash"), F.lit(store_bb))
-                          .cast("int").alias("pb")).distinct().collect()]
-        ref_bands = ref_bands.filter(F.col("pb").isin(touched_pb)) \
-            .drop("pb")
+                          .cast("int").alias("pb")).distinct().collect()}
+        ref_bands = _read_epochs(
+            spark, f"{store_dir}/bands", max_epoch,
+            subdirs={f"pb={p}" for p in touched_pb})
+        if ref_bands is not None:
+            ref_bands = ref_bands.drop("pb")
+    else:
+        ref_bands = _read_epochs(spark, f"{store_dir}/bands", max_epoch)
+    if ref_bands is None:
+        return _empty()
 
     # the store is scanned (columnar longs — no text, no UDF, no
     # signature agg) and filtered by the batch's bucket keys; the small

@@ -321,12 +321,19 @@ def test_compact_recovery_rolls_forward_committed(spark, tmp_path):
     new = spark.createDataFrame(_NEW, "doc_id long, text string")
     before = _stored_pairs(spark, store, new)
 
-    # phase 1 by hand: full tmp + committed marker, no finalize
+    # phase 1 by hand (mirroring compact_epoch_store's writes, incl.
+    # the pb sub-layout of the bands table): full tmp + committed
+    # marker, no finalize
     upto = 2
     for table in ("bands", "hashes"):
-        (spark.read.parquet(f"{store}/{table}")
-         .filter(F.col("epoch") < upto).drop("epoch")
-         .write.parquet(f"{store}/_compact_tmp/{table}"))
+        src = (spark.read.parquet(f"{store}/{table}")
+               .filter(F.col("epoch") < upto).drop("epoch"))
+        if "pb" in src.columns:
+            (src.repartition(4, "pb").sortWithinPartitions("bhash")
+             .write.partitionBy("pb")
+             .parquet(f"{store}/_compact_tmp/{table}"))
+        else:
+            src.write.parquet(f"{store}/_compact_tmp/{table}")
     spark.createDataFrame([(upto,)], "upto int") \
         .coalesce(1).write.parquet(f"{store}/_compact")
     # simulate a crash midway through phase 2: bands already swapped
@@ -440,13 +447,14 @@ def test_band_store_probe_prunes_to_touched_pb_dirs(spark, tmp_path):
     assert got == want and got  # identical, non-empty
 
     # a 1-doc batch has ≤ 8 band keys -> ≤ 8 of the 64 pb dirs touched;
-    # the plan's partition filter pins the pruning
-    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
-        pairs._jdf.queryExecution(), "formatted")
-    assert "pb#" in plan and "IN (" in plan
+    # pruning is by EXPLICIT PATHS, so the probe's input-file set is a
+    # strict subset of the store's band files (the r6 verdict
+    # acceptance shape)
+    band_files = [f for f in pairs.inputFiles() if "/bands/" in f]
+    touched_dirs = {f.split("/pb=")[1].split("/")[0] for f in band_files}
     n_dirs = len([d for d in os.listdir(f"{buck}/bands/epoch=0")
                   if d.startswith("pb=")])
-    assert n_dirs > 8  # the store genuinely has more dirs than touched
+    assert band_files and len(touched_dirs) <= 8 < n_dirs
 
 
 def test_band_store_bucketed_compaction_preserves_layout(spark, tmp_path):
