@@ -975,12 +975,15 @@ def compact_epoch_store(spark, store_dir: str, tables: tuple[str, ...],
         if src is None:
             continue
         if "pb" in src.columns:
-            # preserve the bhash-bucketed layout (and the in-file bhash
+            # preserve the hash-bucketed layout (and the in-file key
             # sort) through compaction — probes prune the same way
-            # before and after
+            # before and after; sort key matches the table's writer
+            # (bands: bhash; embedding buckets: tbl, bkt)
+            sort_cols = [c for c in ("bhash", "tbl", "bkt")
+                         if c in src.columns]
             (src.drop("epoch")
              .repartition(target_partitions, "pb")
-             .sortWithinPartitions("bhash")
+             .sortWithinPartitions(*sort_cols)
              .write.mode("overwrite").partitionBy("pb")
              .parquet(f"{tmp}/{table}"))
         else:
@@ -1224,12 +1227,18 @@ def _emb_bucket_rows(df: DataFrame, id_col: str, emb_col: str,
 def write_embedding_store(df: DataFrame, store_dir: str, epoch: int,
                           id_col: str, emb_col: str, n_bits: int = 12,
                           n_tables: int = 4, seed: int = 42,
-                          dim: int | None = None) -> None:
+                          dim: int | None = None,
+                          pb_buckets: int = 256) -> None:
     """Append one epoch's survivors' LSH bucket ids to the embedding
     store ({store_dir}/buckets/epoch=N + a one-row meta pinning
-    (n_bits, n_tables, seed, dim) so every later write/probe hashes
-    into the identical bucket space).  NULL embeddings carry no
-    similarity evidence and are not stored."""
+    (n_bits, n_tables, seed, dim, pb_buckets) so every later
+    write/probe hashes into the identical bucket space).  NULL
+    embeddings carry no similarity evidence and are not stored.
+
+    ``pb_buckets`` sub-partitions the buckets table by
+    ``pmod(xxhash64(tbl, bkt), pb_buckets)`` — the band store's probe
+    pruning layout, mirrored: probes read only the batch's touched
+    ``pb=`` dirs by explicit path."""
     from ..plans.checkpoint import fs_exists
     from .similarity import hyperplanes
 
@@ -1253,6 +1262,13 @@ def write_embedding_store(df: DataFrame, store_dir: str, epoch: int,
                 f"embedding store at {store_dir} pinned dim={m['dim']}, "
                 f"write requested dim={dim}")
         dim = m["dim"]
+        stored_pb = m.asDict().get("pb_buckets", 0) or 0
+        if stored_pb != pb_buckets:
+            raise ValueError(
+                f"embedding store at {store_dir} is laid out with "
+                f"pb_buckets={stored_pb}, write requested {pb_buckets} "
+                f"— appending a different sub-partition layout would "
+                f"break probe-side pruning")
     else:
         if dim is None:
             probe = df.select(emb_col).first()
@@ -1260,12 +1276,22 @@ def write_embedding_store(df: DataFrame, store_dir: str, epoch: int,
                 return  # nothing to store; meta pins on first real write
             dim = len(probe[0])
         spark.createDataFrame(
-            [(n_bits, n_tables, seed, dim)],
-            "n_bits int, n_tables int, seed int, dim int"
+            [(n_bits, n_tables, seed, dim, pb_buckets)],
+            "n_bits int, n_tables int, seed int, dim int, pb_buckets int"
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
     planes = [hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
-    (_emb_bucket_rows(df, id_col, emb_col, planes, dim, n_bits, n_tables)
-     .write.mode("overwrite").parquet(f"{store_dir}/buckets/epoch={epoch}"))
+    rows = _emb_bucket_rows(df, id_col, emb_col, planes, dim, n_bits,
+                            n_tables)
+    if pb_buckets > 0:
+        (rows.withColumn("pb", F.pmod(F.xxhash64("tbl", "bkt"),
+                                      F.lit(pb_buckets)).cast("int"))
+         .repartition(pb_buckets, "pb")
+         .sortWithinPartitions("tbl", "bkt")
+         .write.mode("overwrite").partitionBy("pb")
+         .parquet(f"{store_dir}/buckets/epoch={epoch}"))
+    else:
+        rows.write.mode("overwrite").parquet(
+            f"{store_dir}/buckets/epoch={epoch}")
     # see write_band_store: invalidate cached parent-path scans
     spark.catalog.refreshByPath(store_dir)
 
@@ -1301,7 +1327,21 @@ def embedding_dups_against_store(new: DataFrame, ref: DataFrame,
                              n_tables)
             .select(F.col("_id").alias("id_new"), "tbl", "bkt")
             .persist(StorageLevel.MEMORY_AND_DISK))
-    store = _read_epochs(spark, f"{store_dir}/buckets", max_epoch)
+    store_pb = m.asDict().get("pb_buckets", 0) or 0
+    if store_pb > 0:
+        # explicit-path pruning, mirroring cross_dup_pairs_stored:
+        # listing and bytes read scale with the batch's touched set
+        touched_pb = {r[0] for r in
+                      newb.select(F.pmod(F.xxhash64("tbl", "bkt"),
+                                         F.lit(store_pb))
+                                  .cast("int").alias("pb"))
+                      .distinct().collect()}
+        store = _read_epochs(spark, f"{store_dir}/buckets", max_epoch,
+                             subdirs={f"pb={p}" for p in touched_pb})
+        if store is not None:
+            store = store.drop("pb")
+    else:
+        store = _read_epochs(spark, f"{store_dir}/buckets", max_epoch)
     if store is None:
         id_type = dict(new.dtypes)[id_col]
         return spark.createDataFrame(

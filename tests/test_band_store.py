@@ -497,3 +497,46 @@ def test_band_store_probe_pinned_lifecycle(spark, tmp_path):
         for p in pinned:
             p.unpersist()
     assert n_cached() == base
+
+
+def test_embedding_store_pb_layout_prunes_and_matches_flat(spark,
+                                                           tmp_path):
+    import os
+    rng = random.Random(53)
+    dim = 12
+    ref_rows = [(i, v) for i, v in enumerate(_vecs(rng, 40, dim))]
+    new_rows = [(900, [x + rng.gauss(0, 0.005) for x in ref_rows[7][1]])]
+    ref = spark.createDataFrame(ref_rows, "vec_id long, emb array<double>")
+    new = spark.createDataFrame(new_rows, "vec_id long, emb array<double>")
+    flat = str(tmp_path / "emb_flat")
+    buck = str(tmp_path / "emb_buck")
+    D.write_embedding_store(ref, flat, 0, "vec_id", "emb",
+                            n_bits=6, n_tables=4, pb_buckets=0)
+    D.write_embedding_store(ref, buck, 0, "vec_id", "emb",
+                            n_bits=6, n_tables=4, pb_buckets=64)
+    assert spark.read.parquet(f"{buck}/meta").first()["pb_buckets"] == 64
+    subs = [d for d in os.listdir(f"{buck}/buckets/epoch=0")
+            if d.startswith("pb=")]
+    assert subs
+
+    def probe(store):
+        return {(r.id_new, r.id_ref, round(r.cosine, 9))
+                for r in D.embedding_dups_against_store(
+                    new, ref, store, "vec_id", "emb",
+                    threshold=0.98).collect()}
+
+    want = probe(flat)
+    got_df = D.embedding_dups_against_store(new, ref, buck, "vec_id",
+                                            "emb", threshold=0.98)
+    got = {(r.id_new, r.id_ref, round(r.cosine, 9))
+           for r in got_df.collect()}
+    assert got == want and got
+    # 1 new vector -> <= 4 table buckets -> <= 4 touched pb dirs; the
+    # probe's input-file set is a strict subset of the store's files
+    bfiles = [f for f in got_df.inputFiles() if "/buckets/" in f]
+    touched = {f.split("/pb=")[1].split("/")[0] for f in bfiles}
+    assert bfiles and len(touched) <= 4 < len(subs)
+    # mismatched layout append rejected
+    with pytest.raises(ValueError, match="pb_buckets"):
+        D.write_embedding_store(ref, buck, 1, "vec_id", "emb",
+                                n_bits=6, n_tables=4, pb_buckets=32)
