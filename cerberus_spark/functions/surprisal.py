@@ -46,7 +46,8 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from .text import words
 
-__all__ = ["unigram_model", "surprisal_report", "ngram_surprisal_report"]
+__all__ = ["unigram_model", "surprisal_report", "ngram_surprisal_report",
+           "write_ngram_model", "ngram_surprisal_report_stored"]
 
 _Q = 1_000_000.0
 
@@ -268,6 +269,18 @@ def ngram_surprisal_report(df: DataFrame, id_col: str = "doc_id",
 
     c1 = _counts("_k1")
     c2 = _counts("_k2")
+    c3 = _counts("_k3") if order == 3 else None
+    return _join_and_score(df, id_col, dpos, c1, c2, c3, order,
+                           alpha, lam, broadcast_model)
+
+
+def _join_and_score(df: DataFrame, id_col: str, dpos: DataFrame,
+                    c1: DataFrame, c2: DataFrame,
+                    c3: DataFrame | None, order: int, alpha: float,
+                    lam: float, broadcast_model: bool) -> DataFrame:
+    """The shared scoring tail: join the per-doc keyed-gram frame
+    against (_k, _c) count tables, apply the quantized backoff
+    expression, re-attach every input row."""
     stats = c1.agg(F.sum("_c").alias("total"),
                    F.count(F.lit(1)).alias("v"))
     if broadcast_model:
@@ -281,7 +294,6 @@ def ngram_surprisal_report(df: DataFrame, id_col: str = "doc_id",
          .join(c2.select(F.col("_k").alias("_k2"),
                          F.col("_c").alias("_c2")), "_k2", "left"))
     if order == 3:
-        c3 = _counts("_k3")
         if broadcast_model:
             c3 = F.broadcast(c3)
         s = (s.join(c2.select(F.col("_k").alias("_k2c"),
@@ -317,3 +329,77 @@ def ngram_surprisal_report(df: DataFrame, id_col: str = "doc_id",
                     F.coalesce(
                         (-F.col("_sum_q")) / F.col("n_tok") / F.lit(_Q),
                         F.lit(0.0)).alias("surprisal")))
+
+
+def _keyed_dpos(df: DataFrame, id_col: str, text_col: str,
+                order: int) -> DataFrame:
+    pos = _hashed_keys(_position_tuples(df, id_col, text_col),
+                       order, [F.col("_id")])
+    key_cols = ["_k1", "_k1p", "_k2"] + (["_k2c", "_k3"]
+                                         if order == 3 else [])
+    return pos.groupBy("_id", *key_cols).agg(F.count(F.lit(1)).alias("_n"))
+
+
+def write_ngram_model(train: DataFrame, path: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      order: int = 3) -> None:
+    """Persist the n-gram COUNT TABLES as a reusable model artifact:
+    ``{path}/c1``, ``{path}/c2`` (and ``c3`` for order 3) as
+    (_k bigint, _c bigint) parquet plus a one-row ``meta`` pinning the
+    order — the band-store pattern applied to the language model.  A
+    per-epoch scoring loop then reads counts instead of re-tokenizing
+    and re-aggregating the training corpus every batch
+    (:func:`ngram_surprisal_report_stored`).  ``alpha``/``lam`` are
+    score-time parameters, deliberately NOT baked into the counts;
+    the (total, v) stats row is a two-value aggregate of c1, cheaper
+    to recompute at read than to keep consistent on disk."""
+    if order not in (2, 3):
+        raise ValueError("order must be 2 or 3")
+    kt = _hashed_keys(_position_tuples(train, id_col, text_col),
+                      order, [])
+
+    def _counts(key):
+        return (kt.filter(F.col(key).isNotNull()) if key != "_k1" else kt) \
+            .groupBy(F.col(key).alias("_k")) \
+            .agg(F.count(F.lit(1)).alias("_c"))
+
+    spark = train.sparkSession
+    _counts("_k1").write.mode("overwrite").parquet(f"{path}/c1")
+    _counts("_k2").write.mode("overwrite").parquet(f"{path}/c2")
+    if order == 3:
+        _counts("_k3").write.mode("overwrite").parquet(f"{path}/c3")
+    spark.createDataFrame([(order,)], "order int") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    spark.catalog.refreshByPath(path)
+
+
+def ngram_surprisal_report_stored(df: DataFrame, path: str,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  alpha: float = 1.0, lam: float = 0.4,
+                                  broadcast_model: bool = False,
+                                  persist_pos: bool = True,
+                                  pinned: list | None = None) -> DataFrame:
+    """Score a batch against a :func:`write_ngram_model` artifact —
+    bit-identical to ``ngram_surprisal_report(df, train=the model's
+    corpus)`` (pinned by test), at per-batch cost ∝ batch +
+    count-table joins: the training corpus is never re-read.  The
+    model's order comes from its meta (no drift possible).  Loop
+    callers pass ``pinned`` (or ``persist_pos=False``) exactly as in
+    the in-memory form."""
+    spark = df.sparkSession
+    from ..plans.checkpoint import fs_exists
+
+    if not fs_exists(spark, f"{path}/meta"):
+        raise ValueError(f"no ngram model at {path} (missing meta)")
+    order = int(spark.read.parquet(f"{path}/meta").first()["order"])
+    dpos = _keyed_dpos(df, id_col, text_col, order)
+    if persist_pos:
+        dpos = dpos.persist()
+        if pinned is not None:
+            pinned.append(dpos)
+    c1 = spark.read.parquet(f"{path}/c1")
+    c2 = spark.read.parquet(f"{path}/c2")
+    c3 = spark.read.parquet(f"{path}/c3") if order == 3 else None
+    return _join_and_score(df, id_col, dpos, c1, c2, c3, order,
+                           alpha, lam, broadcast_model)

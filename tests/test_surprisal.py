@@ -277,3 +277,51 @@ def test_ngram_scoring_joins_ride_hashed_long_keys(spark):
     for col in ("hashpartitioning(w", "hashpartitioning(p1",
                 "hashpartitioning(p2"):
         assert col not in plan
+
+
+def test_stored_ngram_model_matches_inmemory(spark, tmp_path):
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(12)]
+    train_rows = [(1000 + i, " ".join(rng.choices(vocab, k=rng.randrange(1, 15))))
+                  for i in range(50)]
+    score_rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(0, 12))))
+                  for i in range(30)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    df = spark.createDataFrame(score_rows, "doc_id long, text string")
+    for order in (2, 3):
+        path = str(tmp_path / f"ngm{order}")
+        S.write_ngram_model(train, path, order=order)
+        want = {r.doc_id: (r.n_tok, r.surprisal)
+                for r in S.ngram_surprisal_report(
+                    df, train=train, order=order).collect()}
+        got = {r.doc_id: (r.n_tok, r.surprisal)
+               for r in S.ngram_surprisal_report_stored(
+                   df, path).collect()}
+        assert got == want, order  # bit-identical (micro-nat BIGINTs)
+    with pytest.raises(ValueError, match="no ngram model"):
+        S.ngram_surprisal_report_stored(df, str(tmp_path / "nope"))
+
+
+def test_stored_ngram_model_loop_lifecycle(spark, tmp_path):
+    rng = random.Random(37)
+    vocab = [f"w{i}" for i in range(8)]
+    train = spark.createDataFrame(
+        [(100 + i, " ".join(rng.choices(vocab, k=8))) for i in range(20)],
+        "doc_id long, text string")
+    df = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=6))) for i in range(10)],
+        "doc_id long, text string")
+    path = str(tmp_path / "ngm_loop")
+    S.write_ngram_model(train, path)
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_cached()
+    for _ in range(3):
+        pinned = []
+        S.ngram_surprisal_report_stored(df, path, pinned=pinned).count()
+        assert pinned
+        for p in pinned:
+            p.unpersist()
+    assert n_cached() == base
