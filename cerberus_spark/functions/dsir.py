@@ -70,7 +70,7 @@ from .decontam import _words
 from .text import words as _words_col
 
 __all__ = ["dsir_feature_counts", "dsir_logratio", "dsir_report",
-           "dsir_resample"]
+           "dsir_resample", "write_dsir_model", "dsir_report_stored"]
 
 DSIR_BUCKETS = 10_000
 _Q = 1_000_000.0
@@ -179,6 +179,22 @@ def _lp_q6(count: Column, total: Column, alpha: float,
     ).cast("long")
 
 
+def _logratio_from_counts(tc: DataFrame, rc: DataFrame, alpha: float,
+                          n_buckets: int) -> DataFrame:
+    """(b, lr_q6) from (b, _tc) / (b, _rc) bucket-count tables —
+    shared by the in-memory and stored-model paths."""
+    both = tc.join(rc, "b", "full_outer")
+    tt = tc.agg(F.sum("_tc").alias("_tt"))
+    rt = rc.agg(F.sum("_rc").alias("_rt"))
+    return (both.crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(rt))
+            .select(
+                "b",
+                (_lp_q6(F.coalesce("_tc", F.lit(0)), F.col("_tt"),
+                        alpha, n_buckets)
+                 - _lp_q6(F.coalesce("_rc", F.lit(0)), F.col("_rt"),
+                          alpha, n_buckets)).alias("lr_q6")))
+
+
 def dsir_logratio(target_feats: DataFrame, raw_feats: DataFrame,
                   alpha: float = 1.0,
                   n_buckets: int = DSIR_BUCKETS) -> DataFrame:
@@ -192,16 +208,7 @@ def dsir_logratio(target_feats: DataFrame, raw_feats: DataFrame,
     it so a foreign corpus scores correctly."""
     tc = _bucket_totals(target_feats).withColumnRenamed("_c", "_tc")
     rc = _bucket_totals(raw_feats).withColumnRenamed("_c", "_rc")
-    both = tc.join(rc, "b", "full_outer")
-    tt = target_feats.agg(F.sum("n").alias("_tt"))
-    rt = raw_feats.agg(F.sum("n").alias("_rt"))
-    return (both.crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(rt))
-            .select(
-                "b",
-                (_lp_q6(F.coalesce("_tc", F.lit(0)), F.col("_tt"),
-                        alpha, n_buckets)
-                 - _lp_q6(F.coalesce("_rc", F.lit(0)), F.col("_rt"),
-                          alpha, n_buckets)).alias("lr_q6")))
+    return _logratio_from_counts(tc, rc, alpha, n_buckets)
 
 
 def dsir_report(df: DataFrame, target: DataFrame,
@@ -250,6 +257,72 @@ def dsir_report(df: DataFrame, target: DataFrame,
         (_lp_q6(F.lit(0), F.col("_tt"), alpha, n_buckets)
          - _lp_q6(F.lit(0), F.col("_rt"), alpha, n_buckets))
         .alias("_lr0")))
+    scored = (feats.join(F.broadcast(ratio), "b", "left")
+              .crossJoin(F.broadcast(lr0))
+              .groupBy(id_col)
+              .agg(F.sum(F.coalesce("lr_q6", F.col("_lr0"))
+                         * F.col("n")).alias("logw_q6"),
+                   F.sum("n").alias("n_feat")))
+    return (df.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_feat", F.lit(0)).alias("n_feat"),
+                    F.coalesce("logw_q6", F.lit(0)).alias("logw_q6"),
+                    (F.coalesce("logw_q6", F.lit(0)) / F.lit(_Q))
+                    .alias("logw")))
+
+
+def write_dsir_model(target: DataFrame, raw: DataFrame, path: str,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = DSIR_BUCKETS, seed: str = "dsir",
+                     hash: str = "md5") -> None:
+    """Persist the DSIR bucket-count tables as a reusable model:
+    ``{path}/tc`` (target) and ``{path}/rc`` (raw) as (b, _c) parquet
+    plus a one-row meta pinning (n_buckets, seed, hash) — featurize
+    the target sample and raw corpus ONCE, then score any number of
+    batches from the artifact (:func:`dsir_report_stored`).  ``alpha``
+    stays a score-time parameter (counts are stored raw, the ratio
+    table is a ≤ n_buckets-row recompute at read)."""
+    tf_ = dsir_feature_counts(target, id_col, text_col, n_buckets,
+                              seed, hash)
+    rf = dsir_feature_counts(raw, id_col, text_col, n_buckets, seed,
+                             hash)
+    spark = target.sparkSession
+    _bucket_totals(tf_).write.mode("overwrite").parquet(f"{path}/tc")
+    _bucket_totals(rf).write.mode("overwrite").parquet(f"{path}/rc")
+    spark.createDataFrame([(n_buckets, seed, hash)],
+                          "n_buckets int, seed string, hash string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    spark.catalog.refreshByPath(path)
+
+
+def dsir_report_stored(df: DataFrame, path: str,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       alpha: float = 1.0) -> DataFrame:
+    """Importance weights against a :func:`write_dsir_model` artifact —
+    identical output to ``dsir_report(df, target, raw=raw)`` over the
+    model's corpora (pinned by test), at per-batch cost of ONE
+    featurize pass over the batch plus the broadcast ratio join.  All
+    featurization parameters come from the model meta — no drift
+    possible.  Nothing persists (the batch feature frame has exactly
+    one plan consumer), so loop callers accumulate no cache."""
+    spark = df.sparkSession
+    from ..plans.checkpoint import fs_exists
+
+    if not fs_exists(spark, f"{path}/meta"):
+        raise ValueError(f"no dsir model at {path} (missing meta)")
+    m = spark.read.parquet(f"{path}/meta").first()
+    n_buckets, seed, hash_ = m["n_buckets"], m["seed"], m["hash"]
+    tc = spark.read.parquet(f"{path}/tc").withColumnRenamed("_c", "_tc")
+    rc = spark.read.parquet(f"{path}/rc").withColumnRenamed("_c", "_rc")
+    ratio = _logratio_from_counts(tc, rc, alpha, n_buckets)
+    tt = tc.agg(F.sum("_tc").alias("_tt"))
+    rt = rc.agg(F.sum("_rc").alias("_rt"))
+    lr0 = (tt.crossJoin(rt).select(
+        (_lp_q6(F.lit(0), F.col("_tt"), alpha, n_buckets)
+         - _lp_q6(F.lit(0), F.col("_rt"), alpha, n_buckets))
+        .alias("_lr0")))
+    feats = dsir_feature_counts(df, id_col, text_col, n_buckets, seed,
+                                hash_)
     scored = (feats.join(F.broadcast(ratio), "b", "left")
               .crossJoin(F.broadcast(lr0))
               .groupBy(id_col)

@@ -228,3 +228,33 @@ def test_report_loop_with_persist_disabled_pins_nothing(spark):
         dsir.dsir_report(df, tgt, n_buckets=B, seed=SEED,
                          persist_feats=False).count()
     assert n_cached() == base
+
+
+def test_stored_dsir_model_matches_inmemory(spark, tmp_path):
+    rng = random.Random(43)
+    raw = _gen(rng, 70)
+    target = [(1000 + i, t) for i, t in
+              _gen(rng, 15, bias=["spark", "vector", "index"])]
+    batch = _gen(rng, 25)
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    for mode in ("md5", "xxhash64"):
+        path = str(tmp_path / f"dsirm_{mode}")
+        dsir.write_dsir_model(tdf, rdf, path, n_buckets=B, seed=SEED,
+                              hash=mode)
+        want = {r["doc_id"]: (r["n_feat"], r["logw_q6"]) for r in
+                dsir.dsir_report(bdf, tdf, raw=rdf, n_buckets=B,
+                                 seed=SEED, hash=mode).collect()}
+        got = {r["doc_id"]: (r["n_feat"], r["logw_q6"]) for r in
+               dsir.dsir_report_stored(bdf, path).collect()}
+        assert got == want, mode
+    # alpha stays a score-time knob on the SAME stored counts
+    w05 = {r["doc_id"]: r["logw_q6"] for r in
+           dsir.dsir_report_stored(bdf, path, alpha=0.5).collect()}
+    exp = {r["doc_id"]: r["logw_q6"] for r in
+           dsir.dsir_report(bdf, tdf, raw=rdf, alpha=0.5, n_buckets=B,
+                            seed=SEED, hash="xxhash64").collect()}
+    assert w05 == exp
+    with pytest.raises(ValueError, match="no dsir model"):
+        dsir.dsir_report_stored(bdf, str(tmp_path / "nope"))
