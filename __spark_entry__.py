@@ -1082,6 +1082,48 @@ def q_bm25_phrase_documents(spark, sf_dir):
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_ngram_model_stored_documents(spark, sf_dir):
+    """The PERSISTED-MODEL form of ngram_surprisal_documents
+    (functions/surprisal.py: write_ngram_model /
+    ngram_surprisal_report_stored — the band-store pattern applied to
+    the language model): the hashed count tables are written once and
+    the batch scores against the artifact, never re-tokenizing the
+    training corpus.  Training on the scored corpus itself makes the
+    output bit-identical to the self-scored query, so the SAME DuckDB
+    twin certifies the stored path end-to-end."""
+    import tempfile
+
+    from cerberus_spark.functions import surprisal as SP
+
+    docs = _read(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="ngram_model_oracle_")
+    SP.write_ngram_model(docs, path, "doc_id", "text", order=3)
+    return SP.ngram_surprisal_report_stored(docs, path, "doc_id", "text")
+
+
+def q_dsir_model_stored_documents(spark, sf_dir):
+    """The PERSISTED-MODEL form of dsir_documents (functions/dsir.py:
+    write_dsir_model / dsir_report_stored): target/raw bucket counts
+    persist once, batches score against the artifact with one
+    featurize pass + a broadcast ratio join.  Same corpora as
+    q_dsir_documents and the same content-addressed Gumbel top-25, so
+    the SAME DuckDB twin certifies the stored path."""
+    import tempfile
+
+    from cerberus_spark.functions import dsir as DS
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "de")
+    path = tempfile.mkdtemp(prefix="dsir_model_oracle_")
+    DS.write_dsir_model(target, docs, path)
+    rep = DS.dsir_report_stored(docs, path)
+    key = DS.gumbel_key(F.col("doc_id"), F.col("logw_q6"), "g")
+    top = (rep.select("doc_id", "logw", key.alias("_key"))
+           .orderBy(F.col("_key").desc(), F.col("doc_id").asc())
+           .limit(25))
+    return docs.join(top, "doc_id").select("doc_id", "logw")
+
+
 def q_dsir_documents(spark, sf_dir):
     """DSIR importance resampling (functions/dsir.py): hashed
     unigram+bigram features (md5 % 10k buckets), add-1 smoothed
@@ -1116,7 +1158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         "normalize_events": q_normalize_events,
-        "stats_bounds_events": q_stats_bounds_events,
         # dedup/ANN family — oracled by exact all-pairs SQL twins
         "minhash_near_dups_documents": q_minhash_near_dups_documents,
         "near_dedup_documents": q_near_dedup_documents,
@@ -1129,7 +1170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_events": q_asof_purchase_events,
         "sessionize_events": q_sessionize_events,
         "session_stats_events": q_session_stats_events,
-        "range_join_purchase_windows": q_range_join_purchase_windows,
         "rollup_events_daily": q_rollup_events_daily,
         # conversation-sequence grammar (transcripts fixture)
         "sequence_violations_transcripts": q_sequence_violations_transcripts,
@@ -1162,9 +1202,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "bm25_plus_documents": q_bm25_plus_documents,
         "bm25_phrase_documents": q_bm25_phrase_documents,
+        "ngram_model_stored_documents": q_ngram_model_stored_documents,
+        "dsir_model_stored_documents": q_dsir_model_stored_documents,
         # ---- rotation tail (driver adjudicates the first 50 entries;
         # these veterans were driver-green for 3+ consecutive rounds and
         # stay registered + check_entry-covered; see VERDICT r6 item 1)
+        "stats_bounds_events": q_stats_bounds_events,
+        "range_join_purchase_windows": q_range_join_purchase_windows,
         "dedup_exact_props": q_dedup_exact_props,
         "token_stats_documents": q_token_stats_documents,
         "topk_embeddings_cosine": q_topk_embeddings_cosine,
@@ -2469,4 +2513,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _CHUNK_SQL.format(words=_DUCK_WORDS),
         "bm25_plus_documents": _BM25_PLUS_SQL.format(words=_DUCK_WORDS),
         "bm25_phrase_documents": _BM25_PHRASE_SQL.format(words=_DUCK_WORDS),
+        "ngram_model_stored_documents": _NGRAM_SURPRISAL_SQL.format(
+            words=_DUCK_WORDS, lnlam=repr(math.log(0.4))),
+        "dsir_model_stored_documents": _DSIR_SQL.format(words=_DUCK_WORDS),
     }
