@@ -116,6 +116,15 @@ def main():
     # ---- r5 re-shingle path (for contrast) ----
     shutil.rmtree(f"{work}/kept")
     for e in range(EPOCHS):
+        # the ref is re-read by PARENT path each epoch; without this,
+        # the probe's own persisted ref-side frames from earlier epochs
+        # are sameResult-substituted for the new (larger) scan and the
+        # arm silently measures a stale 1-epoch ref — flat walls, and
+        # correct-looking drops only because the planted dups all
+        # target epoch-0 content (caught live in r7; the SHIPPED stored
+        # path is immune by explicit-path reads, this arm is the
+        # contrast harness)
+        spark.catalog.clearCache()
         batch = spark.read.parquet(f"{work}/batch/epoch={e}")
         t0 = time.time()
         if e == 0:
