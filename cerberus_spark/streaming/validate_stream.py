@@ -413,13 +413,24 @@ def corpus_ingest_foreach_batch(
     dedup_kw: dict | None = None,
     record_stats: bool = True,
     compact_every: int | None = None,
+    surprisal_model: str | None = None,
+    surprisal_max: float | None = None,
 ):
     """Streaming corpus ingest: every micro-batch of new documents runs
     the full acceptance gate — rule validation, benchmark
-    decontamination, quality bounds, within-batch near-dedup, and
-    near-dedup AGAINST EVERYTHING ALREADY KEPT — and the survivors are
-    appended to the corpus, which is itself the dedup reference for
-    every later batch.
+    decontamination, quality bounds, optional LM-surprisal gate,
+    within-batch near-dedup, and near-dedup AGAINST EVERYTHING ALREADY
+    KEPT — and the survivors are appended to the corpus, which is
+    itself the dedup reference for every later batch.
+
+    ``surprisal_model`` (a :func:`~cerberus_spark.functions.surprisal.
+    write_ngram_model` artifact path) + ``surprisal_max`` add the
+    CCNet-style LM-quality gate: rows whose mean n-gram surprisal
+    against the stored model exceeds the threshold drop at the 'lm'
+    funnel stage.  The model is a persisted count-table artifact —
+    scoring a batch never re-reads the training corpus, and nothing
+    pins across epochs (``persist_pos=False`` inside the loop).
+    Tokenless rows score 0.0 and pass (no evidence ⇒ no drop).
 
     Statelessness/state split mirrors ``dataset_checks_foreach_batch``:
 
@@ -483,7 +494,8 @@ def corpus_ingest_foreach_batch(
     probe_kw = {p: kw[p]
                 for p in ("k", "num_perm", "bands", "bucket_cap",
                           "persist_shingles") if p in kw}
-    _FLAGS = ["_ok_valid", "_contam", "_ok_q", "_dup_within", "_dup_cross"]
+    _FLAGS = ["_ok_valid", "_contam", "_ok_q", "_ok_lm", "_dup_within",
+              "_dup_cross"]
 
     def _run(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -513,9 +525,24 @@ def corpus_ingest_foreach_batch(
                   .withColumn("_ok_q", F.coalesce("_ok_q", F.lit(False))))
         else:
             df = df.withColumn("_ok_q", F.lit(True))
+        if surprisal_model is not None and surprisal_max is not None:
+            from ..functions.surprisal import ngram_surprisal_report_stored
+
+            lm = ngram_surprisal_report_stored(
+                df.select(id_col, text_col), surprisal_model,
+                id_col, text_col, persist_pos=False)
+            df = (df.join(lm.select(id_col, "surprisal"), id_col, "left")
+                  .withColumn("_ok_lm",
+                              F.coalesce(F.col("surprisal")
+                                         <= F.lit(surprisal_max),
+                                         F.lit(True)))
+                  .drop("surprisal"))
+        else:
+            df = df.withColumn("_ok_lm", F.lit(True))
 
         # ---- relational gates: dedup drop-id lists over survivors ----
-        pre_ok = (F.col("_ok_valid") & ~F.col("_contam") & F.col("_ok_q"))
+        pre_ok = (F.col("_ok_valid") & ~F.col("_contam") & F.col("_ok_q")
+                  & F.col("_ok_lm"))
         if dedup_threshold is not None:
             surv = df.filter(pre_ok).persist()
             pinned.append(surv)
@@ -555,6 +582,7 @@ def corpus_ingest_foreach_batch(
         stage = (F.when(~F.col("_ok_valid"), F.lit("valid"))
                  .when(F.col("_contam"), F.lit("clean"))
                  .when(~F.col("_ok_q"), F.lit("quality"))
+                 .when(~F.col("_ok_lm"), F.lit("lm"))
                  .when(F.col("_dup_within"), F.lit("unique"))
                  .when(F.col("_dup_cross"), F.lit("cross"))
                  .otherwise(F.lit("kept")))
@@ -583,6 +611,9 @@ def corpus_ingest_foreach_batch(
             c = c & F.col("_ok_q")
             if quality_bounds:
                 aggs.append(F.sum(c.cast("long")).alias("n_quality"))
+            c = c & F.col("_ok_lm")
+            if surprisal_model is not None and surprisal_max is not None:
+                aggs.append(F.sum(c.cast("long")).alias("n_lm"))
             if dedup_threshold is not None:
                 c = c & ~F.col("_dup_within")
                 aggs.append(F.sum(c.cast("long")).alias("n_unique"))

@@ -277,3 +277,54 @@ def test_vector_ingest_multi_epoch(spark, tmp_path):
     assert stats[0] == (4, 3, 3)
     assert stats[1] == (2, 2, 1)
     assert stats[2] == (3, 3, 2)
+
+
+def test_corpus_ingest_lm_surprisal_gate(spark, tmp_path):
+    """The stored-ngram-model LM gate: a document whose token stream
+    is gibberish under the model drops at the 'lm' stage; in-model
+    text passes; tokenless rows pass (no evidence => no drop)."""
+    from cerberus_spark.functions.surprisal import (
+        ngram_surprisal_report_stored, write_ngram_model,
+    )
+
+    # train a model on natural-ish repeated text
+    train_rows = [(f"t{i}", " ".join(_BASE.split()[: 3 + i % 15]))
+                  for i in range(40)]
+    train = spark.createDataFrame(train_rows, "doc_id string, text string")
+    model = str(tmp_path / "ngm")
+    write_ngram_model(train, model, "doc_id", "text", order=3)
+
+    rows = [
+        ("in1", "en", "alpha beta gamma delta epsilon zeta"),  # in-model
+        ("odd1", "en", "zzq qqz xyzzy frobnitz quux zork grue plugh"),
+        ("empty1", "en", "   "),                               # tokenless
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, "
+                                     "text string")
+    # pick a threshold between the two observed scores
+    sc = {r.doc_id: r.surprisal for r in ngram_surprisal_report_stored(
+        df, model, "doc_id", "text").collect()}
+    assert sc["odd1"] > sc["in1"]
+    thr = (sc["odd1"] + sc["in1"]) / 2
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    df.coalesce(1).write.mode("append").parquet(src)
+    cb = corpus_ingest_foreach_batch(
+        out, id_col="doc_id", text_col="text", dedup_threshold=None,
+        surprisal_model=model, surprisal_max=float(thr))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream.writeStream.foreachBatch(cb).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = {r.doc_id for r in
+            spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept == {"in1", "empty1"}
+    stats = spark.read.parquet(f"{out}/ingest_stats").first()
+    assert stats["n_in"] == 3 and stats["n_lm"] == 2 \
+        and stats["n_kept"] == 2
