@@ -47,7 +47,8 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 from .text import words
 
 __all__ = ["unigram_model", "surprisal_report", "ngram_surprisal_report",
-           "write_ngram_model", "ngram_surprisal_report_stored"]
+           "write_ngram_model", "ngram_surprisal_report_stored",
+           "write_unigram_model", "surprisal_report_stored"]
 
 _Q = 1_000_000.0
 
@@ -108,6 +109,12 @@ def surprisal_report(df: DataFrame, id_col: str = "doc_id",
         model, stats = _model_from_counts(counts, alpha)
     else:
         model, stats = unigram_model(train, text_col, alpha)
+    return _unigram_score(df, id_col, dt, model, stats, broadcast_model)
+
+
+def _unigram_score(df: DataFrame, id_col: str, dt: DataFrame,
+                   model: DataFrame, stats: DataFrame,
+                   broadcast_model: bool) -> DataFrame:
     if broadcast_model:
         model = F.broadcast(model)
     scored = (dt.join(model, "tok", "left")
@@ -123,6 +130,39 @@ def surprisal_report(df: DataFrame, id_col: str = "doc_id",
                     F.coalesce(
                         (-F.col("_sum_q")) / F.col("n_tok") / F.lit(_Q),
                         F.lit(0.0)).alias("surprisal")))
+
+
+def write_unigram_model(train: DataFrame, path: str,
+                        text_col: str = "text") -> None:
+    """Persist the unigram token-count table ``{path}/counts`` as
+    (tok, _c) parquet — the model-artifact form of the unigram tier
+    (``alpha`` stays score-time; smoothing and the stats row are a
+    cheap recompute at read, same contract as the n-gram and DSIR
+    artifacts)."""
+    toks = train.select(F.explode(words(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    counts.write.mode("overwrite").parquet(f"{path}/counts")
+    train.sparkSession.catalog.refreshByPath(path)
+
+
+def surprisal_report_stored(df: DataFrame, path: str,
+                            id_col: str = "doc_id",
+                            text_col: str = "text", alpha: float = 1.0,
+                            broadcast_model: bool = False) -> DataFrame:
+    """Score a batch against a :func:`write_unigram_model` artifact —
+    bit-identical to ``surprisal_report(df, train=the model's
+    corpus)``, never re-reading the training corpus.  Nothing persists
+    (the batch (id, tok) frame has one plan consumer) — loop-safe."""
+    spark = df.sparkSession
+    from ..plans.checkpoint import fs_exists
+
+    if not fs_exists(spark, f"{path}/counts"):
+        raise ValueError(f"no unigram model at {path} (missing counts)")
+    counts = spark.read.parquet(f"{path}/counts")
+    model, stats = _model_from_counts(counts, alpha)
+    dt = (df.select(id_col, F.explode(words(F.col(text_col))).alias("tok"))
+            .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("_n")))
+    return _unigram_score(df, id_col, dt, model, stats, broadcast_model)
 
 
 # ---------------------------------------------------------------------------

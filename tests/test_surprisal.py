@@ -325,3 +325,26 @@ def test_stored_ngram_model_loop_lifecycle(spark, tmp_path):
         for p in pinned:
             p.unpersist()
     assert n_cached() == base
+
+
+def test_stored_unigram_model_matches_inmemory(spark, tmp_path):
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(10)]
+    train = spark.createDataFrame(
+        [(100 + i, " ".join(rng.choices(vocab, k=rng.randrange(1, 12))))
+         for i in range(40)], "doc_id long, text string")
+    df = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab + ["oovtok"], k=6)))
+         for i in range(20)], "doc_id long, text string")
+    path = str(tmp_path / "ugm")
+    S.write_unigram_model(train, path)
+    for alpha in (1.0, 0.5):
+        want = {r.doc_id: (r.n_tok, r.surprisal)
+                for r in S.surprisal_report(df, train=train,
+                                            alpha=alpha).collect()}
+        got = {r.doc_id: (r.n_tok, r.surprisal)
+               for r in S.surprisal_report_stored(df, path,
+                                                  alpha=alpha).collect()}
+        assert got == want, alpha
+    with pytest.raises(ValueError, match="no unigram model"):
+        S.surprisal_report_stored(df, str(tmp_path / "nope"))
