@@ -1654,35 +1654,90 @@ def _semantic_pairs_from(e: DataFrame, assigned: DataFrame,
 
     ranked = assigned.withColumn(
         "_rn", F.row_number().over(W.partitionBy("cell").orderBy("_id")))
-    buckets = (ranked.filter(F.col("_rn") <= cell_cap)
-               .groupBy("cell")
-               .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-               .filter(F.size("ids") > 1))
-    pairs = buckets.select(
-        "cell",
-        F.explode(F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids) - i - 1), "
-            "y -> struct(x as id_a, y as id_b))))")).alias("p"),
-    ).select("cell", "p.id_a", "p.id_b")
+
+    # In-cap pairs: each cell's capped members are gathered once (one
+    # exchange of the embedding arrays keyed on cell — the same
+    # exchange shape the old row_number window already paid) and
+    # scored inside a per-cell Arrow pass with a blocked matmul.
+    # Candidates that survive the matmul prescreen (threshold − slack,
+    # far wider than dgemm-vs-pairwise-sum float drift) are re-scored
+    # with the IDENTICAL row-wise multiply-sum the pair UDF uses, so
+    # emitted cosines and threshold decisions are bit-for-bit
+    # unchanged.  Per-task memory is bounded by cell_cap rows plus a
+    # blk×cap score block; overflow members stay on the streaming join
+    # path below.
+    thr = float(threshold)
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort")
+        ids = pdf["_id"].to_numpy()
+        n = len(pdf)
+
+        def _empty() -> pd.DataFrame:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0],
+                 "cell": np.array([], dtype=np.int32),
+                 "cosine": np.array([], dtype=np.float64)})
+
+        if n < 2:
+            return _empty()
+        V = np.vstack(pdf["_emb"].to_numpy())
+        norms = np.linalg.norm(V, axis=1)
+        cell = int(pdf["cell"].iloc[0])
+        slack = 1e-6 if V.dtype == np.float64 else 1e-4
+        ia, ib = [], []
+        blk = 2048
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for lo in range(0, n - 1, blk):
+                hi = min(lo + blk, n)
+                G = V[lo:hi] @ V[lo:].T
+                denom = norms[lo:hi, None] * norms[None, lo:]
+                S = np.where(denom > 0, G / denom, 0.0)
+                r, c = np.nonzero(S >= thr - slack)
+                keep = c > r  # strict upper triangle: global j > i
+                ia.append(lo + r[keep])
+                ib.append(lo + c[keep])
+        A = np.concatenate(ia) if ia else np.array([], dtype=np.int64)
+        if not len(A):
+            return _empty()
+        B = np.concatenate(ib)
+        # exact rescore — same ops/dtype as cosine_pair_udf
+        X, Q = V[A], V[B]
+        nx = np.linalg.norm(X, axis=1) * np.linalg.norm(Q, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(nx > 0, (X * Q).sum(1) / nx, 0.0)
+        m = s >= thr
+        if not m.any():
+            return _empty()
+        return pd.DataFrame(
+            {"id_a": ids[A[m]], "id_b": ids[B[m]],
+             "cell": np.full(int(m.sum()), cell, dtype=np.int32),
+             "cosine": s[m].astype(np.float64)})
+
+    id_t = dict(e.dtypes)["_id"]
+    members = (ranked.filter(F.col("_rn") <= cell_cap)
+               .join(e, "_id")
+               .select("cell", "_id", "_rn", "_emb"))
+    inpairs = members.groupBy("cell").applyInPandas(
+        _cell_pairs,
+        f"id_a {id_t}, id_b {id_t}, cell int, cosine double")
+
+    # Overflow members (_rn > cell_cap) pair with the cell head only —
+    # kept on the old streaming join + pair-UDF path (usually empty;
+    # unbounded cells must not be materialized in one Arrow group).
     heads = ranked.filter(F.col("_rn") == 1).select(
         "cell", F.col("_id").alias("id_a"))
     overflow = (ranked.filter(F.col("_rn") > cell_cap)
                 .select("cell", F.col("_id").alias("id_b"))
                 .join(heads, "cell").select("cell", "id_a", "id_b"))
-    cand = pairs.unionByName(overflow).distinct()
     ea = e.select(F.col("_id").alias("id_a"), F.col("_emb").alias("emb_a"))
     eb = e.select(F.col("_id").alias("id_b"), F.col("_emb").alias("emb_b"))
-    # Arrow pair scorer even below COSINE_DIM_BUDGET: that budget was
-    # tuned for SCAN-vs-literal scoring; for post-join PAIR rows the
-    # Column HOF is CodegenFallback per candidate and measured 3×
-    # slower than the vectorized batch multiply-sum at dim=64 already
-    # (same doubles up to float summation order)
-    return (cand.join(ea, "id_a").join(eb, "id_b")
-            .withColumn("cos", cosine_pair_udf()(F.col("emb_a"),
-                                                 F.col("emb_b")))
-            .filter(F.col("cos") >= threshold)
-            .select("id_a", "id_b", "cell", F.col("cos").alias("cosine")))
+    opairs = (overflow.join(ea, "id_a").join(eb, "id_b")
+              .withColumn("cos", cosine_pair_udf()(F.col("emb_a"),
+                                                   F.col("emb_b")))
+              .filter(F.col("cos") >= threshold)
+              .select("id_a", "id_b", "cell", F.col("cos").alias("cosine")))
+    return inpairs.unionByName(opairs)
 
 
 def semantic_dedup(df: DataFrame, id_col: str, emb_col: str,
