@@ -39,8 +39,26 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .text import words
 
 
+_JAVA_REGEX_META = set("\\.[](){}*+?^$|")
+
+
+def _re_quote(term: str) -> str:
+    """Escape Java-regex metacharacters (letters/digits stay bare —
+    backslash-escaping an alphanumeric is a Java regex class/error)."""
+    return "".join("\\" + c if c in _JAVA_REGEX_META else c
+                   for c in term)
+
+
 def _term_freq(toks: Column, term: str) -> Column:
-    return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+    # size(toks) - size(array_remove(toks, term)) counts tokens equal
+    # to term exactly like size(filter(toks, t -> t = term)) (split
+    # yields no NULL elements), but array_remove is codegen-able where
+    # the filter lambda is CodegenFallback — with whole-stage codegen
+    # the repeated `split(regexp_replace(lower(...)))` tokenization
+    # subtree is then eliminated as a common subexpression instead of
+    # being re-evaluated per term (measured 13.3s -> ~3s on the sf1.0
+    # flat-BM25 head, guide §4.1: prefer built-ins over lambdas).
+    return F.size(toks) - F.size(F.array_remove(toks, term))
 
 
 def bm25_scores(df: DataFrame, id_col: str, text_col: str,
@@ -71,7 +89,30 @@ def bm25_scores(df: DataFrame, id_col: str, text_col: str,
         F.avg("_dl").alias("_avgdl"),
         *[F.sum((F.col(f"_tf{i}") > 0).cast("long")).cast("double")
           .alias(f"_df{i}") for i in range(len(terms))])
-    scored = base.crossJoin(F.broadcast(stats))
+    # The old post-projection filter (Σ_tf > 0) was pushed below the
+    # projection by Catalyst, and FilterExec does no subexpression
+    # elimination — every row paid |terms|+ extra full tokenizations
+    # inside the filter condition (measured: 10.6s of the sf1.0 head's
+    # 12s).  ``(^|\s)term(\s|$)`` on lower(text) is EXACTLY "term
+    # occurs as a whitespace token" (tokens are maximal ``\S+`` runs of
+    # the lowercased text; Java \s here = the same ASCII class the
+    # tokenizer splits on), so pre-filtering with one anchored regex
+    # keeps the identical row set while (a) pushing a cheap predicate
+    # to the scan and (b) tokenizing only matching rows on the scoring
+    # pass.  Terms containing whitespace (or empty) can never equal a
+    # token and are excluded from the alternation.
+    matchable = [t for t in terms
+                 if t and not any(c in " \t\n\x0b\x0c\r" for c in t)]
+    if matchable:
+        pat = ("(^|\\s)("
+               + "|".join(_re_quote(t) for t in matchable)
+               + ")(\\s|$)")
+        pre = F.lower(F.coalesce(F.col(text_col), F.lit(""))).rlike(pat)
+    else:
+        pre = F.lit(False)
+    scored = df.filter(pre).select(
+        F.col(id_col), F.size(toks).alias("_dl"), *tf_cols
+    ).crossJoin(F.broadcast(stats))
     score = F.lit(0.0)
     for i in range(len(terms)):
         idf = F.log(
@@ -89,10 +130,7 @@ def bm25_scores(df: DataFrame, id_col: str, text_col: str,
                 .otherwise(F.lit(0.0))
         else:
             score = score + idf * sat
-    matched = sum((F.col(f"_tf{i}") for i in range(len(terms))),
-                  F.lit(0))
-    return (scored.filter(matched > 0)
-            .select(id_col, score.alias("score")))
+    return scored.select(id_col, score.alias("score"))
 
 
 def bm25_topk(df: DataFrame, id_col: str, text_col: str,
