@@ -42,8 +42,34 @@ _DOC_LANGS = {
 }
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _read(spark: SparkSession, sf_dir: str, name: str,
+          fan_out: bool = True) -> DataFrame:
+    """Read one fixture table, fanning the scan out to the session's
+    parallelism when the file layout under-splits it.
+
+    The driver fixtures are single-row-group parquet files (e.g.
+    documents at sf1.0: 50k rows, ONE row group), and parquet can only
+    split at row-group boundaries — so every scan is 1 task no matter
+    what maxPartitionBytes says, and each downstream Arrow/regex pass
+    runs on one core until its first exchange (guide §2.5 "input
+    skew": one huge unsplittable file).  A round-robin repartition to
+    defaultParallelism (scale-adaptive, never a constant) fixes that
+    for a few MB of shuffle.  At real corpus scale the scan has more
+    splits than cores and the condition never fires — no exchange is
+    added on the 100 TB path.
+
+    ``fan_out=False`` opts a query out: measured net-negative where
+    the first real operator is a keyed exchange or a pure-JVM
+    aggregation anyway (asof/sessionize re-partition by key
+    immediately; the stats profile's distinct-agg expand pays the
+    round-robin's sortBeforeRepartition for nothing — 2.8 → 6.9 s at
+    sf1.0)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if fan_out:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -94,7 +120,7 @@ def q_stats_profile_lineitem(spark, sf_dir):
     """One aggregation pass, unpivoted to one row per column with
     ``stack`` — fully declarative (no driver collect + re-create; the
     whole profile is one Spark plan)."""
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read(spark, sf_dir, "lineitem", fan_out=False)
     aggs = []
     for c in _STATS_COLS:
         aggs += [
@@ -577,7 +603,7 @@ def q_asof_purchase_events(spark, sf_dir):
     window pass — a single hash exchange on user_id, never a
     key-equijoin × range-filter cross product (plan-pinned in
     tests/test_temporal.py)."""
-    ev = _read(spark, sf_dir, "events")
+    ev = _read(spark, sf_dir, "events", fan_out=False)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
@@ -601,7 +627,7 @@ def q_sessionize_events(spark, sf_dir):
     labeled with its 0-based session index.  lag + running sum share one
     per-key sort."""
     return temporal.sessionize(
-        _read(spark, sf_dir, "events"), "user_id", "ts", 900.0,
+        _read(spark, sf_dir, "events", fan_out=False), "user_id", "ts", 900.0,
         order_tie="event_id",
     ).select("event_id", "user_id", "session_idx")
 
@@ -611,7 +637,7 @@ def q_session_stats_events(spark, sf_dir):
     shuffle, map-side partial session merge) — the same operator the
     streaming path uses, so batch/streaming session semantics agree by
     construction.  Null-ts rows excluded (session_window drops them)."""
-    ev = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = _read(spark, sf_dir, "events", fan_out=False).filter(F.col("ts").isNotNull())
     return temporal.session_stats(ev, "user_id", "ts", 900.0).select(
         "user_id", "session_start", "session_end", "n_events"
     )
@@ -759,7 +785,7 @@ def q_contamination_documents(spark, sf_dir):
     exchange."""
     from cerberus_spark.functions import decontam as DC
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=False)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     rep = DC.contamination_report(corpus, bench, "doc_id", "text", n=3)
@@ -779,7 +805,7 @@ def q_excise_documents(spark, sf_dir):
     (broadcast gram set probed in one Arrow projection)."""
     from cerberus_spark.functions import decontam as DC
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=False)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return DC.excise_contamination(corpus, bench, "doc_id", "text", n=3)

@@ -66,28 +66,43 @@ def _signals(t: str | None, top_ns: Sequence[int],
         dup_line_frac = dup_line_char_frac = 0.0
 
     ws = [w for w in _WS_RE.split(_EDGE_RE.sub("", t)) if w]
-    joined_len = sum(len(w) for w in ws) + max(len(ws) - 1, 0)
-    word_chars = sum(len(w) for w in ws)
+    nw = len(ws)
+    wl = [len(w) for w in ws]
+    word_chars = sum(wl)
+    joined_len = word_chars + max(nw - 1, 0)
     out = [n_lines, dup_line_frac, dup_line_char_frac]
 
+    # Grams are counted as WORD TUPLES (" ".join is injective on
+    # whitespace-free words, so tuple equality == joined-string
+    # equality); joined strings are only materialized where the spec
+    # genuinely needs string semantics — the top-gram tie-break (byte
+    # order of the joined gram, which differs from tuple order when a
+    # word contains a control char < 0x20) and the gram length
+    # (recovered arithmetically from word lengths).  Same integers in
+    # every division, so the emitted doubles are bit-identical.
     for n in top_ns:
-        grams = Counter(
-            " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
-        if grams and joined_len:
-            g, cnt = min(grams.items(), key=lambda kv: (-kv[1], kv[0]))
-            out.append(cnt * len(g) / joined_len)
+        if nw >= n and joined_len:
+            grams = list(zip(*(ws[i:] for i in range(n))))
+            cnts = Counter(grams)
+            top = max(cnts.values())
+            g = min(" ".join(gr) for gr, c in cnts.items() if c == top)
+            out.append(top * len(g) / joined_len)
         else:
             out.append(0.0)
 
     for n in dup_ns:
-        grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
-        cnts = Counter(grams)
-        covered = set()
-        for i, g in enumerate(grams):
-            if cnts[g] > 1:
-                covered.update(range(i, i + n))
-        num = sum(len(ws[j]) for j in covered)
-        out.append(num / word_chars if word_chars else 0.0)
+        if nw >= n and word_chars:
+            grams = list(zip(*(ws[i:] for i in range(n))))
+            cnts = Counter(grams)
+            covered = bytearray(nw)
+            one = b"\x01" * n
+            for i, g in enumerate(grams):
+                if cnts[g] > 1:
+                    covered[i:i + n] = one
+            num = sum(l for l, c in zip(wl, covered) if c)
+            out.append(num / word_chars)
+        else:
+            out.append(0.0)
     return tuple(out)
 
 
