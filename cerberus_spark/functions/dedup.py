@@ -671,9 +671,10 @@ def _check_store_meta(spark, store_dir: str, k: int, num_perm: int,
                 f"layout would break probe-side pruning")
         return int(stored_bb)
     elif create:
-        spark.createDataFrame(
-            [(k, num_perm, bands, band_buckets)],
-            "k int, num_perm int, bands int, band_buckets int") \
+        from ..plans.checkpoint import one_row_df
+        one_row_df(spark,
+                   "k int, num_perm int, bands int, band_buckets int",
+                   (k, num_perm, bands, band_buckets)) \
             .coalesce(1).write.mode("overwrite").parquet(meta_path)
         return band_buckets
     else:
@@ -879,12 +880,16 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
                 .join(ref_heads, ["band", "bhash"])
                 .select("id_new", "id_ref"))
     cands = pairs.unionByName(overflow).distinct()
-    # three consumers below (ref/new id restrictions + the
-    # intersection join); the pair list is candidate-sized, so pin it
-    # rather than re-running the banding/window pipeline per consumer
-    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
-    if pinned is not None:
-        pinned.append(cands)
+    if persist_shingles:
+        # three consumers below (ref/new id restrictions + the
+        # intersection join); the pair list is candidate-sized, so pin
+        # it rather than re-running the banding/window pipeline per
+        # consumer.  Gated with the other caches: persist_shingles=False
+        # keeps the whole probe plan cache-free (and introspectable —
+        # inputFiles() sees through to the pruned store scan).
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+        if pinned is not None:
+            pinned.append(cands)
 
     # exact-Jaccard verify against the hash store restricted to the
     # candidate ref ids (left-semi: candidate-proportional agg)
@@ -1035,7 +1040,8 @@ def compact_epoch_store(spark, store_dir: str, tables: tuple[str, ...],
              .write.mode("overwrite").parquet(f"{tmp}/{table}"))
     # the _SUCCESS of this one-row write IS the commit point: before
     # it, recovery rolls back; after it, recovery rolls forward
-    spark.createDataFrame([(int(upto),)], "upto int") \
+    from ..plans.checkpoint import one_row_df
+    one_row_df(spark, "upto int", (int(upto),)) \
         .coalesce(1).write.mode("overwrite") \
         .parquet(f"{store_dir}/_compact")
     _compact_finalize(spark, store_dir, tables, upto)
@@ -1319,9 +1325,11 @@ def write_embedding_store(df: DataFrame, store_dir: str, epoch: int,
             if probe is None:
                 return  # nothing to store; meta pins on first real write
             dim = len(probe[0])
-        spark.createDataFrame(
-            [(n_bits, n_tables, seed, dim, pb_buckets)],
-            "n_bits int, n_tables int, seed int, dim int, pb_buckets int"
+        from ..plans.checkpoint import one_row_df
+        one_row_df(
+            spark,
+            "n_bits int, n_tables int, seed int, dim int, pb_buckets int",
+            (n_bits, n_tables, seed, dim, pb_buckets),
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
     planes = [hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
     rows = _emb_bucket_rows(df, id_col, emb_col, planes, dim, n_bits,

@@ -289,8 +289,9 @@ def write_dsir_model(target: DataFrame, raw: DataFrame, path: str,
     spark = target.sparkSession
     _bucket_totals(tf_).write.mode("overwrite").parquet(f"{path}/tc")
     _bucket_totals(rf).write.mode("overwrite").parquet(f"{path}/rc")
-    spark.createDataFrame([(n_buckets, seed, hash)],
-                          "n_buckets int, seed string, hash string") \
+    from ..plans.checkpoint import one_row_df
+    one_row_df(spark, "n_buckets int, seed string, hash string",
+               (n_buckets, seed, hash)) \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     spark.catalog.refreshByPath(path)
 

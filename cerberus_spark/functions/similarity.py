@@ -727,6 +727,17 @@ def build_pq_index(df: DataFrame, emb_col: str, id_col: str, path: str,
         pq = _train_pq_from_X(X - cent[d.argmin(1)], m, k, iters, seed)
     else:
         pq = train_pq_codebooks(df, emb_col, m, k, sample, iters, seed)
+    # meta BEFORE the codes table (the band-store ordering, r7 ADVICE):
+    # a crash between the writes then leaves meta-without-codes (the
+    # reader fails loudly on the missing table) instead of residual
+    # codes that pq_index_topk would silently decode as raw.  Built
+    # from JVM literals — a createDataFrame one-row write pays a
+    # Python-worker round-trip (~5 s on this sandbox).
+    from ..plans.checkpoint import one_row_df
+    spark = df.sparkSession
+    one_row_df(spark, "m int, k int, n_cells int, residual boolean",
+               (m, k, int(n_cells or 0), bool(residual))) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     coded = df.select(F.col(id_col), F.col(emb_col).alias("_e"))
     if n_cells:
         coded = coded.withColumn("cell", ivf_cell_udf(cent)(F.col("_e")))
@@ -739,11 +750,6 @@ def build_pq_index(df: DataFrame, emb_col: str, id_col: str, path: str,
     else:
         (coded.withColumn("codes", pq_encode_udf(pq)(F.col("_e")))
          .drop("_e").write.mode("overwrite").parquet(f"{path}/codes"))
-    spark = df.sparkSession
-    spark.createDataFrame(
-        [(m, k, int(n_cells or 0), bool(residual))],
-        "m int, k int, n_cells int, residual boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     mm, kk, dsub = pq.shape
     spark.createDataFrame(
         [(j, i, [float(x) for x in pq[j, i]])

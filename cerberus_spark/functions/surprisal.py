@@ -408,7 +408,8 @@ def write_ngram_model(train: DataFrame, path: str,
     _counts("_k2").write.mode("overwrite").parquet(f"{path}/c2")
     if order == 3:
         _counts("_k3").write.mode("overwrite").parquet(f"{path}/c3")
-    spark.createDataFrame([(order,)], "order int") \
+    from ..plans.checkpoint import one_row_df
+    one_row_df(spark, "order int", (order,)) \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     spark.catalog.refreshByPath(path)
 

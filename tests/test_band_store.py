@@ -437,6 +437,24 @@ def test_band_store_probe_prunes_to_touched_pb_dirs(spark, tmp_path):
                             band_buckets=64)
     new = spark.createDataFrame(new_rows, "doc_id long, text string")
 
+    # a 1-doc batch has ≤ 8 band keys -> ≤ 8 of the 64 pb dirs touched;
+    # pruning is by EXPLICIT PATHS, so the probe's input-file set is a
+    # strict subset of the store's band files (the r6 verdict
+    # acceptance shape).  Introspect BEFORE any cached probe of the
+    # same store: a persisted candidate frame from an earlier identical
+    # plan would be cache-substituted into this one and hide the store
+    # scan from inputFiles() — same files read either way, this order
+    # keeps the plan introspectable (persist_shingles=False likewise).
+    pairs_nocache = D.cross_dup_pairs_stored(
+        new, buck, "doc_id", "text", threshold=0.5,
+        persist_shingles=False)
+    band_files = [f for f in pairs_nocache.inputFiles()
+                  if "/bands/" in f]
+    touched_dirs = {f.split("/pb=")[1].split("/")[0] for f in band_files}
+    n_dirs = len([d for d in os.listdir(f"{buck}/bands/epoch=0")
+                  if d.startswith("pb=")])
+    assert band_files and len(touched_dirs) <= 8 < n_dirs
+
     want = {(r.id_new, r.id_ref, round(r.jaccard, 12))
             for r in D.cross_dup_pairs_stored(
                 new, flat, "doc_id", "text", threshold=0.5).collect()}
@@ -445,16 +463,6 @@ def test_band_store_probe_prunes_to_touched_pb_dirs(spark, tmp_path):
     got = {(r.id_new, r.id_ref, round(r.jaccard, 12))
            for r in pairs.collect()}
     assert got == want and got  # identical, non-empty
-
-    # a 1-doc batch has ≤ 8 band keys -> ≤ 8 of the 64 pb dirs touched;
-    # pruning is by EXPLICIT PATHS, so the probe's input-file set is a
-    # strict subset of the store's band files (the r6 verdict
-    # acceptance shape)
-    band_files = [f for f in pairs.inputFiles() if "/bands/" in f]
-    touched_dirs = {f.split("/pb=")[1].split("/")[0] for f in band_files}
-    n_dirs = len([d for d in os.listdir(f"{buck}/bands/epoch=0")
-                  if d.startswith("pb=")])
-    assert band_files and len(touched_dirs) <= 8 < n_dirs
 
 
 def test_band_store_bucketed_compaction_preserves_layout(spark, tmp_path):
