@@ -430,7 +430,7 @@ def q_conv_near_dups_transcripts(spark, sf_dir):
     conv = textmod.conversation_text(df, order_cols=("turn_idx", "ts", "role"))
     pairs = dedup.ngram_jaccard_pairs(conv, "conv_id", "text",
                                       threshold=0.42, num_perm=32, bands=32,
-                                      bucket_cap=1_000_000)
+                                      bucket_cap=None)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -472,11 +472,11 @@ def q_minhash_near_dups_documents(spark, sf_dir):
     banded-LSH candidate generation missed no true pair on the fixture
     (recall = 1 measured; the banding bound is 1-(1-j^4)^8) AND the
     verification matched the exact similarity bit-for-bit.  bucket_cap
-    is set above the corpus size so the capped path cannot drop pairs —
-    output ≡ ground truth, not ⊆."""
+    is None (cap disabled, no ranking window) so the capped path
+    cannot drop pairs — output ≡ ground truth, not ⊆."""
     docs = _read(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6,
-                                      bucket_cap=1_000_000)
+                                      bucket_cap=None)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -489,7 +489,7 @@ def q_near_dedup_documents(spark, sf_dir):
     end-to-end (pair detection + component formation + drop policy)."""
     docs = _read(spark, sf_dir, "documents")
     kept = dedup.dedup_near(docs, "doc_id", "text", threshold=0.6,
-                            bucket_cap=1_000_000)
+                            bucket_cap=None)
     return kept.select("doc_id")
 
 

@@ -100,7 +100,7 @@ def jaccard(a: Column, b: Column) -> Column:
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.8, k: int = 3,
                         num_perm: int = 32, bands: int = 8,
-                        bucket_cap: int = 200,
+                        bucket_cap: int | None = 200,
                         persist_shingles: bool = True) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via LSH candidates
     (never a full cross join).  Candidate recall is the banding
@@ -273,7 +273,7 @@ def _sig_from_sh64(sh64: DataFrame, num_perm: int) -> DataFrame:
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_perm: int = 32, bands: int = 8, k: int = 3,
-                           bucket_cap: int = 200,
+                           bucket_cap: int | None = 200,
                            _sh64: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -296,6 +296,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         _sh64 if _sh64 is not None else _sh64_df(df, id_col, text_col, k),
         num_perm,
     )
+    no_cap = bucket_cap is None
     band_structs = F.array(
         *[
             F.struct(
@@ -310,12 +311,23 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     banded = sig.select("_id", F.explode(band_structs).alias("bb")).select(
         "_id", "bb.band", "bb.bhash"
     )
-    ranked = banded.withColumn(
-        "_rn", F.row_number().over(W.partitionBy("band", "bhash").orderBy("_id"))
-    )
-    buckets = ranked.filter(F.col("_rn") <= bucket_cap).groupBy("band", "bhash").agg(
-        F.sort_array(F.collect_list("_id")).alias("ids"),
-    ).filter(F.size("ids") > 1)
+    if no_cap:
+        # bucket_cap=None: caller asserts no degenerate buckets (e.g.
+        # an oracle-pinned fixture where the cap must provably never
+        # bind) — skip the ranking window entirely; the groupBy's
+        # buffer is then bounded by the caller's assertion, not by us
+        buckets = banded.groupBy("band", "bhash").agg(
+            F.sort_array(F.collect_list("_id")).alias("ids"),
+        ).filter(F.size("ids") > 1)
+    else:
+        ranked = banded.withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("band", "bhash").orderBy("_id"))
+        )
+        buckets = ranked.filter(F.col("_rn") <= bucket_cap) \
+            .groupBy("band", "bhash").agg(
+                F.sort_array(F.collect_list("_id")).alias("ids"),
+            ).filter(F.size("ids") > 1)
     pairs = buckets.select(
         F.explode(
             F.expr(
@@ -324,6 +336,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b")
+    if no_cap:
+        return pairs.distinct()
     # overflow members (rank > cap) pair with the bucket head only: every
     # capped doc still surfaces as a candidate of the group exemplar, so
     # near-dup groups stay connected for union-find — no row-level agg
@@ -844,9 +858,18 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
                       bands_new.select(
                           F.pmod(F.col("bhash"), F.lit(store_bb))
                           .cast("int").alias("pb")).distinct().collect()}
-        ref_bands = _read_epochs(
-            spark, f"{store_dir}/bands", max_epoch,
-            subdirs={f"pb={p}" for p in touched_pb})
+        if len(touched_pb) >= store_bb:
+            # degenerate no-pruning case (a large batch touches every
+            # bucket): read the epoch dirs whole — same files, one
+            # listed path per epoch instead of store_bb explicit
+            # subdir paths (~0.7 s of sequential fs_list + file-index
+            # setup at B=256 on this sandbox)
+            ref_bands = _read_epochs(spark, f"{store_dir}/bands",
+                                     max_epoch)
+        else:
+            ref_bands = _read_epochs(
+                spark, f"{store_dir}/bands", max_epoch,
+                subdirs={f"pb={p}" for p in touched_pb})
         if ref_bands is not None:
             ref_bands = ref_bands.drop("pb")
     else:
