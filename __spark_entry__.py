@@ -858,7 +858,7 @@ def q_surprisal_documents(spark, sf_dir):
     construction (functions/surprisal.py spec)."""
     from cerberus_spark.functions import surprisal as SP
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=False)
     return SP.surprisal_report(docs, "doc_id", "text")
 
 
@@ -959,7 +959,7 @@ def q_mixture_resample_documents(spark, sf_dir):
     broadcast — no corpus shuffle (plan-pinned in tests)."""
     from cerberus_spark.operators import pipeline as P
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=False)
     out = P.mixture_resample(docs, "lang", "doc_id",
                              temperature=2.0, seed="mix")
     return out.select("doc_id", "lang", "mix_rate")
@@ -1160,7 +1160,7 @@ def q_dsir_documents(spark, sf_dir):
     returned weights are BIGINTs, so a hash match is exact."""
     from cerberus_spark.functions import dsir as DS
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=False)
     target = docs.filter(F.col("lang") == "de")
     out = DS.dsir_resample(docs, target, k=25)
     return out.select("doc_id", "logw")
