@@ -655,20 +655,35 @@ def _band_structs(num_perm: int, bands: int):
 
 def _check_store_meta(spark, store_dir: str, k: int, num_perm: int,
                       bands: int, create: bool,
-                      band_buckets: int = 256) -> int:
+                      band_buckets: int | None = None,
+                      hash_buckets: int | None = None) -> tuple[int, int]:
     """Band rows are only comparable under identical (k, num_perm,
     bands) — a probe with different parameters would silently miss
     every pair.  The store pins its parameters at creation; mismatch
-    raises.  Returns the store's ``band_buckets`` (the bands-table
-    sub-partition count, also pinned — the PROBE reads the layout from
-    meta rather than trusting a caller parameter, so a mismatched
-    caller can never silently prune the wrong dirs; 0 = legacy flat
-    layout)."""
+    raises.  Returns ``(band_buckets, hash_buckets)`` — the two
+    sub-partition counts (bands table by ``pmod(bhash, B)``, hashes
+    table by ``pmod(xxhash64(_id), H)``), also pinned: the PROBE reads
+    the layout from meta rather than trusting a caller parameter, so a
+    mismatched caller can never silently prune the wrong dirs; 0 =
+    flat (un-bucketed) layout.
+
+    On append (``create=True`` over an existing meta) a ``None``
+    bucket parameter ADOPTS the store's pinned layout — a resuming
+    ingest never has to restate the layout it created the store with;
+    an explicit value that CONFLICTS with the pinned one still raises.
+    At creation ``None`` resolves to the defaults (B=256, H=0)."""
     from ..plans.checkpoint import fs_exists
 
     meta_path = f"{store_dir}/meta"
     if fs_exists(spark, meta_path):
-        row = spark.read.parquet(meta_path).first()
+        # explicit schema: skips footer inference; a legacy meta row
+        # without band_buckets/hash_buckets reads as NULL (handled
+        # below — both degrade to the flat layout they were written
+        # with)
+        row = spark.read.schema(
+            "k int, num_perm int, bands int, band_buckets int, "
+            "hash_buckets int"
+        ).parquet(meta_path).first()
         got = (row["k"], row["num_perm"], row["bands"])
         if got != (k, num_perm, bands):
             raise ValueError(
@@ -676,27 +691,40 @@ def _check_store_meta(spark, store_dir: str, k: int, num_perm: int,
                 f"(k, num_perm, bands)={got}, probe/write requested "
                 f"{(k, num_perm, bands)} — band hashes are not "
                 f"comparable across parameter sets")
-        stored_bb = row.asDict().get("band_buckets", 0) or 0
-        if create and stored_bb != band_buckets:
+        stored_bb = int(row["band_buckets"] or 0)
+        stored_hb = int(row["hash_buckets"] or 0)
+        if create and band_buckets is not None \
+                and stored_bb != band_buckets:
             raise ValueError(
                 f"band store at {store_dir} is laid out with "
                 f"band_buckets={stored_bb}, write requested "
                 f"{band_buckets} — appending a different sub-partition "
                 f"layout would break probe-side pruning")
-        return int(stored_bb)
+        if create and hash_buckets is not None \
+                and stored_hb != hash_buckets:
+            raise ValueError(
+                f"band store at {store_dir} is laid out with "
+                f"hash_buckets={stored_hb}, write requested "
+                f"{hash_buckets} — appending a different sub-partition "
+                f"layout would break probe-side pruning")
+        return stored_bb, stored_hb
     elif create:
         from ..plans.checkpoint import one_row_df
+        bb = 256 if band_buckets is None else band_buckets
+        hb = 0 if hash_buckets is None else hash_buckets
         one_row_df(spark,
-                   "k int, num_perm int, bands int, band_buckets int",
-                   (k, num_perm, bands, band_buckets)) \
+                   "k int, num_perm int, bands int, band_buckets int, "
+                   "hash_buckets int",
+                   (k, num_perm, bands, bb, hb)) \
             .coalesce(1).write.mode("overwrite").parquet(meta_path)
-        return band_buckets
+        return bb, hb
     else:
         raise ValueError(f"no band store at {store_dir} (missing meta)")
 
 
 def _read_epochs(spark, table_dir: str, max_epoch: int | None,
-                 subdirs: set[str] | None = None):
+                 subdirs: set[str] | None = None,
+                 schema: str | None = None):
     """Read an epoch-partitioned store table by EXPLICIT epoch-dir
     paths (listed at plan time) instead of a bare parent-dir scan.
 
@@ -735,13 +763,21 @@ def _read_epochs(spark, table_dir: str, max_epoch: int | None,
                       if d in subdirs]
         if not paths:
             return None
-    return (spark.read.option("basePath", table_dir).parquet(*paths))
+    rd = spark.read.option("basePath", table_dir)
+    if schema is not None:
+        # callers that know the table's data schema (it is fixed by the
+        # store contract) pass it explicitly so the scan skips footer
+        # schema inference; partition columns (epoch=, pb=) are still
+        # discovered from the paths and appended
+        rd = rd.schema(schema)
+    return rd.parquet(*paths)
 
 
 def write_band_store(df: DataFrame, store_dir: str, epoch: int,
                      id_col: str, text_col: str, k: int = 3,
                      num_perm: int = 32, bands: int = 8,
-                     band_buckets: int = 256) -> None:
+                     band_buckets: int | None = None,
+                     hash_buckets: int | None = None) -> None:
     """Append one epoch's survivors to the band store (see the section
     comment above).  Idempotent per epoch — a retried epoch overwrites
     exactly its own partitions.  Ids must be unique across epochs (each
@@ -750,40 +786,80 @@ def write_band_store(df: DataFrame, store_dir: str, epoch: int,
     policy as the whole near-dup family.
 
     ``band_buckets`` sub-partitions the bands table by
-    ``pmod(bhash, band_buckets)`` so probes prune their scan to touched
-    dirs; it is pinned in meta at creation (appends must match)."""
+    ``pmod(bhash, band_buckets)`` so probes prune their candidate scan
+    to touched dirs; ``hash_buckets`` sub-partitions the HASHES table
+    by ``pmod(xxhash64(_id), hash_buckets)`` so the probe's
+    exact-verify read is pruned to the dirs holding candidate ref ids
+    — without it that read is corpus-proportional per epoch.  Both are
+    pinned in meta at creation; on APPEND ``None`` (the default)
+    adopts the store's pinned layout and only an explicitly
+    conflicting value raises.  Creation defaults: B=256, H=0 — the
+    flat hashes layout, because id-bucketing pays when the batch's
+    candidate set touches FEW of H dirs (trickle batches against a
+    large store: the streaming ingest regime, which opts in) and costs
+    a sub-partitioned write plus H-dir listings when it doesn't
+    (measured +0.3 s/epoch at bench scale, where a 42k-doc batch
+    touches every dir of any reasonable H)."""
     from pyspark import StorageLevel
 
     spark = df.sparkSession
-    _check_store_meta(spark, store_dir, k, num_perm, bands, create=True,
-                      band_buckets=band_buckets)
+    band_buckets, hash_buckets = _check_store_meta(
+        spark, store_dir, k, num_perm, bands, create=True,
+        band_buckets=band_buckets, hash_buckets=hash_buckets)
     sh64 = _sh64_df(df.filter(F.size(words(F.col(text_col))) > 0),
                     id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        sh64.write.mode("overwrite").parquet(
-            f"{store_dir}/hashes/epoch={epoch}")
-        sig = _sig_from_sh64(sh64, num_perm)
-        band_rows = (sig.select("_id",
-                                F.explode(_band_structs(num_perm, bands))
-                                .alias("bb"))
-                     .select("_id", "bb.band", "bb.bhash"))
-        if band_buckets > 0:
-            # partitionBy splits files by pb VALUE, so the layout is
-            # one file per touched pb regardless of task count — cap
-            # tasks at the session parallelism (256 single-file tasks
-            # measured ~2s of pure launch overhead per 30k-doc epoch)
-            n_tasks = max(1, min(band_buckets,
-                                 spark.sparkContext.defaultParallelism))
-            (band_rows
-             .withColumn("pb", F.pmod(F.col("bhash"),
-                                      F.lit(band_buckets)).cast("int"))
-             .repartition(n_tasks, "pb")
-             .sortWithinPartitions("pb", "bhash")
-             .write.mode("overwrite").partitionBy("pb")
-             .parquet(f"{store_dir}/bands/epoch={epoch}"))
-        else:
-            band_rows.write.mode("overwrite").parquet(
-                f"{store_dir}/bands/epoch={epoch}")
+        def _write_hashes():
+            if hash_buckets > 0:
+                n_tasks = max(1, min(hash_buckets,
+                                     spark.sparkContext.defaultParallelism))
+                (sh64
+                 .withColumn("ph", F.pmod(F.xxhash64("_id"),
+                                          F.lit(hash_buckets)).cast("int"))
+                 .repartition(n_tasks, "ph")
+                 .sortWithinPartitions("ph", "_id")
+                 .write.mode("overwrite").partitionBy("ph")
+                 .parquet(f"{store_dir}/hashes/epoch={epoch}"))
+            else:
+                sh64.write.mode("overwrite").parquet(
+                    f"{store_dir}/hashes/epoch={epoch}")
+
+        def _write_bands():
+            sig = _sig_from_sh64(sh64, num_perm)
+            band_rows = (sig.select("_id",
+                                    F.explode(_band_structs(num_perm, bands))
+                                    .alias("bb"))
+                         .select("_id", "bb.band", "bb.bhash"))
+            if band_buckets > 0:
+                # partitionBy splits files by pb VALUE, so the layout is
+                # one file per touched pb regardless of task count — cap
+                # tasks at the session parallelism (256 single-file tasks
+                # measured ~2s of pure launch overhead per 30k-doc epoch)
+                n_tasks = max(1, min(band_buckets,
+                                     spark.sparkContext.defaultParallelism))
+                (band_rows
+                 .withColumn("pb", F.pmod(F.col("bhash"),
+                                          F.lit(band_buckets)).cast("int"))
+                 .repartition(n_tasks, "pb")
+                 .sortWithinPartitions("pb", "bhash")
+                 .write.mode("overwrite").partitionBy("pb")
+                 .parquet(f"{store_dir}/bands/epoch={epoch}"))
+            else:
+                band_rows.write.mode("overwrite").parquet(
+                    f"{store_dir}/bands/epoch={epoch}")
+
+        # the two table writes are independent consumers of the pinned
+        # shingle relation — overlap their jobs from driver threads
+        # (guide §2.6; the BlockManager serves each cached partition to
+        # whichever job materializes it first, the other waits on the
+        # block instead of recomputing)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fh = pool.submit(_write_hashes)
+            fb = pool.submit(_write_bands)
+            fh.result()
+            fb.result()
     finally:
         sh64.unpersist()
     # Spark's write only refreshes the epoch=N child path; a cached
@@ -821,17 +897,14 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
     from pyspark import StorageLevel
 
     spark = new.sparkSession
-    store_bb = _check_store_meta(spark, store_dir, k, num_perm, bands,
-                                 create=False)
-    ref_hashes = _read_epochs(spark, f"{store_dir}/hashes", max_epoch)
+    store_bb, store_hb = _check_store_meta(spark, store_dir, k, num_perm,
+                                           bands, create=False)
+    id_type = dict(new.dtypes)[id_col]
+    hashes_schema = f"_id {id_type}, _sh64 bigint"
 
     def _empty():
-        id_type = dict(new.dtypes)[id_col]
         return spark.createDataFrame(
             [], f"id_new {id_type}, id_ref {id_type}, jaccard double")
-
-    if ref_hashes is None:
-        return _empty()
 
     nf = new.filter(F.size(words(F.col(text_col))) > 0)
     sh64_new = _sh64_df(nf, id_col, text_col, k)
@@ -848,14 +921,24 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
         if pinned is not None:
             pinned.extend([sh64_new, bands_new])
 
+    # the batch's distinct bucket keys drive BOTH the pb-path pruning
+    # below and the store semi-join — one aggregation, two consumers
+    # (previously two independent distincts over the full bands frame)
+    touched = bands_new.select("band", "bhash").distinct()
+    if persist_shingles:
+        touched = touched.persist(StorageLevel.MEMORY_AND_DISK)
+        if pinned is not None:
+            pinned.append(touched)
+
+    bands_schema = f"_id {id_type}, band int, bhash bigint"
     if store_bb > 0:
         # pruning by EXPLICIT PATHS: the batch's touched pb set (≤
-        # band_buckets ints, collected from the batch-sized — and by
-        # default persisted — bands frame) restricts the store read's
-        # path list itself, so dir listing AND bytes read scale with
-        # the touched set, not the store
+        # band_buckets ints, derived from the batch-sized — and by
+        # default persisted — distinct bucket keys) restricts the store
+        # read's path list itself, so dir listing AND bytes read scale
+        # with the touched set, not the store
         touched_pb = {r[0] for r in
-                      bands_new.select(
+                      touched.select(
                           F.pmod(F.col("bhash"), F.lit(store_bb))
                           .cast("int").alias("pb")).distinct().collect()}
         if len(touched_pb) >= store_bb:
@@ -865,22 +948,23 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
             # subdir paths (~0.7 s of sequential fs_list + file-index
             # setup at B=256 on this sandbox)
             ref_bands = _read_epochs(spark, f"{store_dir}/bands",
-                                     max_epoch)
+                                     max_epoch, schema=bands_schema)
         else:
             ref_bands = _read_epochs(
                 spark, f"{store_dir}/bands", max_epoch,
-                subdirs={f"pb={p}" for p in touched_pb})
+                subdirs={f"pb={p}" for p in touched_pb},
+                schema=bands_schema)
         if ref_bands is not None:
             ref_bands = ref_bands.drop("pb")
     else:
-        ref_bands = _read_epochs(spark, f"{store_dir}/bands", max_epoch)
+        ref_bands = _read_epochs(spark, f"{store_dir}/bands", max_epoch,
+                                 schema=bands_schema)
     if ref_bands is None:
         return _empty()
 
     # the store is scanned (columnar longs — no text, no UDF, no
     # signature agg) and filtered by the batch's bucket keys; the small
     # probe side broadcasts, so the store is NEVER shuffled
-    touched = bands_new.select("band", "bhash").distinct()
     ref_touched = ref_bands.join(F.broadcast(touched), ["band", "bhash"],
                                  "left_semi") \
         .select("band", "bhash", F.col("_id").alias("id_ref"))
@@ -917,13 +1001,45 @@ def cross_dup_pairs_stored(new: DataFrame, store_dir: str, id_col: str,
     # exact-Jaccard verify against the hash store restricted to the
     # candidate ref ids (left-semi: candidate-proportional agg)
     cand_ids = cands.select("id_ref").distinct()
+    if store_hb > 0:
+        # the hashes table is laid out by pmod(xxhash64(_id), H): prune
+        # the verify READ to the dirs that can hold a candidate ref id
+        # (same explicit-path machinery as the bands pb pruning above —
+        # without it this read is corpus-proportional per epoch).  The
+        # ph set is ≤ H ints collected from the candidate-sized — and
+        # by default persisted — pair list.
+        touched_ph = {r[0] for r in
+                      cand_ids.select(
+                          F.pmod(F.xxhash64("id_ref"), F.lit(store_hb))
+                          .cast("int").alias("ph")).distinct().collect()}
+        if len(touched_ph) >= store_hb:
+            # degenerate: candidates land in every dir — read the epoch
+            # dirs whole (same files, fewer listed paths)
+            ref_hashes = _read_epochs(spark, f"{store_dir}/hashes",
+                                      max_epoch, schema=hashes_schema)
+        else:
+            ref_hashes = _read_epochs(
+                spark, f"{store_dir}/hashes", max_epoch,
+                subdirs={f"ph={p}" for p in touched_ph},
+                schema=hashes_schema)
+        if ref_hashes is not None:
+            ref_hashes = ref_hashes.drop("ph")
+    else:
+        ref_hashes = _read_epochs(spark, f"{store_dir}/hashes", max_epoch,
+                                  schema=hashes_schema)
+    if ref_hashes is None:
+        return _empty()
     ref_cand = (ref_hashes
                 .join(F.broadcast(cand_ids),
                       ref_hashes["_id"] == cand_ids["id_ref"], "left_semi")
-                .select(F.col("_id").alias("id_ref"), "_sh64")
-                .persist(StorageLevel.MEMORY_AND_DISK))
-    if pinned is not None:
-        pinned.append(ref_cand)
+                .select(F.col("_id").alias("id_ref"), "_sh64"))
+    if persist_shingles:
+        # two consumers (the intersection join and the set-size agg);
+        # gated with the other caches so persist_shingles=False keeps
+        # the whole probe plan cache-free and introspectable
+        ref_cand = ref_cand.persist(StorageLevel.MEMORY_AND_DISK)
+        if pinned is not None:
+            pinned.append(ref_cand)
     # the NEW side is candidate-restricted too: na/inter only ever read
     # candidate ids, so the semi-join keeps the set-size agg and both
     # verify joins ∝ candidates instead of ∝ the whole batch's shingle
@@ -1046,17 +1162,20 @@ def compact_epoch_store(spark, store_dir: str, tables: tuple[str, ...],
         src = _read_epochs(spark, f"{store_dir}/{table}", upto)
         if src is None:
             continue
-        if "pb" in src.columns:
+        part_col = next((c for c in ("pb", "ph") if c in src.columns),
+                        None)
+        if part_col is not None:
             # preserve the hash-bucketed layout (and the in-file key
             # sort) through compaction — probes prune the same way
             # before and after; sort key matches the table's writer
-            # (bands: bhash; embedding buckets: tbl, bkt)
+            # (bands: bhash; embedding buckets: tbl, bkt; hashes: _id)
             sort_cols = [c for c in ("bhash", "tbl", "bkt")
-                         if c in src.columns]
+                         if c in src.columns] if part_col == "pb" \
+                else ["_id"]
             (src.drop("epoch")
-             .repartition(target_partitions, "pb")
+             .repartition(target_partitions, part_col)
              .sortWithinPartitions(*sort_cols)
-             .write.mode("overwrite").partitionBy("pb")
+             .write.mode("overwrite").partitionBy(part_col)
              .parquet(f"{tmp}/{table}"))
         else:
             (src.drop("epoch").repartition(target_partitions)

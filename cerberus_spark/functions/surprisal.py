@@ -299,6 +299,10 @@ def ngram_surprisal_report(df: DataFrame, id_col: str = "doc_id",
     tbase = (_hashed_keys(_position_tuples(train, id_col, text_col),
                           order, [])
              if train is not None else None)
+    if tbase is not None and persist_pos:
+        # three count tables + the stats row all aggregate this gram
+        # relation — unpinned, each one re-runs the train Arrow explode
+        tbase = tbase.persist()
 
     def _counts(key):
         src = tbase if tbase is not None else dpos
@@ -310,6 +314,14 @@ def ngram_surprisal_report(df: DataFrame, id_col: str = "doc_id",
     c1 = _counts("_k1")
     c2 = _counts("_k2")
     c3 = _counts("_k3") if order == 3 else None
+    if persist_pos:
+        # c1 feeds TWO scoring joins (_k1, _k1p) plus the vocabulary
+        # stats row, c2 two joins (_k2, _k2c) — without a pin Catalyst
+        # re-runs the full count aggregation per consumer (5-6
+        # aggregations over the gram relation instead of 3, measured
+        # in the sf0.1 plan).  c3 has one consumer; no pin.  Same
+        # lifecycle/gating story as dpos above.
+        c1, c2 = c1.persist(), c2.persist()
     return _join_and_score(df, id_col, dpos, c1, c2, c3, order,
                            alpha, lam, broadcast_model)
 
@@ -404,10 +416,28 @@ def write_ngram_model(train: DataFrame, path: str,
             .agg(F.count(F.lit(1)).alias("_c"))
 
     spark = train.sparkSession
-    _counts("_k1").write.mode("overwrite").parquet(f"{path}/c1")
-    _counts("_k2").write.mode("overwrite").parquet(f"{path}/c2")
-    if order == 3:
-        _counts("_k3").write.mode("overwrite").parquet(f"{path}/c3")
+    # the two/three count tables aggregate the SAME keyed-gram relation:
+    # pin it for the duration of the writes (otherwise each write
+    # re-runs the train Arrow explode — 3 full passes), and submit the
+    # independent writes from driver threads so their jobs overlap
+    # (guide §2.6); meta stays strictly LAST — the reader refuses a
+    # store without meta, so a crash mid-write fails loudly.
+    kt = kt.persist()
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        keys = ["_k1", "_k2"] + (["_k3"] if order == 3 else [])
+        with ThreadPoolExecutor(max_workers=len(keys)) as pool:
+            futs = [
+                pool.submit(
+                    lambda k=k: _counts(k).write.mode("overwrite")
+                    .parquet(f"{path}/c{k[-1]}"))
+                for k in keys
+            ]
+            for f in futs:
+                f.result()
+    finally:
+        kt.unpersist()
     from ..plans.checkpoint import one_row_df
     one_row_df(spark, "order int", (order,)) \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")

@@ -548,3 +548,88 @@ def test_embedding_store_pb_layout_prunes_and_matches_flat(spark,
     with pytest.raises(ValueError, match="pb_buckets"):
         D.write_embedding_store(ref, buck, 1, "vec_id", "emb",
                                 n_bits=6, n_tables=4, pb_buckets=32)
+
+
+def test_hashes_ph_layout_meta_pin_and_append_adopts(spark, tmp_path):
+    """hash_buckets pins the id-bucketed HASHES layout in meta; a
+    default (None) append ADOPTS the pinned layout — bucketed or
+    legacy-flat — and only an explicitly conflicting value raises."""
+    import os
+    store = _write_ref_store(spark, tmp_path, [_REF[:2]], hash_buckets=8)
+    meta = spark.read.parquet(f"{store}/meta").first()
+    assert meta["hash_buckets"] == 8 and meta["band_buckets"] == 256
+    subs = sorted(d for d in os.listdir(f"{store}/hashes/epoch=0")
+                  if d.startswith("ph="))
+    assert subs and all(0 <= int(d.split("=")[1]) < 8 for d in subs)
+    df = spark.createDataFrame(_REF[2:], "doc_id long, text string")
+    # default append adopts the pinned layout (the resume contract)
+    D.write_band_store(df, store, 1, "doc_id", "text")
+    assert any(d.startswith("ph=")
+               for d in os.listdir(f"{store}/hashes/epoch=1"))
+    with pytest.raises(ValueError, match="hash_buckets"):
+        D.write_band_store(df, store, 2, "doc_id", "text",
+                           hash_buckets=16)
+    # legacy-flat stores resume on default args too (r7 ADVICE: an
+    # explicit-only layout broke ingest resume on pre-layout stores)
+    flat = _write_ref_store(spark, tmp_path / "flat", [_REF[:2]],
+                            band_buckets=0)
+    D.write_band_store(df, flat, 1, "doc_id", "text")
+    assert not any(d.startswith("pb=")
+                   for d in os.listdir(f"{flat}/bands/epoch=1"))
+
+
+def test_probe_verify_prunes_to_touched_ph_dirs(spark, tmp_path):
+    """With the id-bucketed hashes layout the exact-verify READ lists a
+    strict subset of the hashes files (the dirs holding candidate ref
+    ids) — and pairs are identical to the flat layout."""
+    import os
+    rng = random.Random(919)
+    vocab = [f"w{i}" for i in range(40)]
+    ref_rows = [(i, " ".join(rng.choices(vocab, k=15))) for i in range(60)]
+    new_rows = [(100, ref_rows[3][1] + " extra")]  # tiny batch: 1 doc
+
+    flat = _write_ref_store(spark, tmp_path / "flat", [ref_rows],
+                            hash_buckets=0)
+    buck = _write_ref_store(spark, tmp_path / "buck", [ref_rows],
+                            hash_buckets=64)
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    pairs_nocache = D.cross_dup_pairs_stored(
+        new, buck, "doc_id", "text", threshold=0.5,
+        persist_shingles=False)
+    hfiles = [f for f in pairs_nocache.inputFiles() if "/hashes/" in f]
+    touched = {f.split("/ph=")[1].split("/")[0] for f in hfiles}
+    n_dirs = len([d for d in os.listdir(f"{buck}/hashes/epoch=0")
+                  if d.startswith("ph=")])
+    # 1 candidate new doc pairs with few ref ids -> few of 64 ph dirs
+    assert hfiles and len(touched) < n_dirs
+
+    want = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+            for r in D.cross_dup_pairs_stored(
+                new, flat, "doc_id", "text", threshold=0.5).collect()}
+    got = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+           for r in pairs_nocache.collect()}
+    assert got == want and got
+
+
+def test_hashes_ph_compaction_preserves_layout(spark, tmp_path):
+    import os
+    rng = random.Random(177)
+    vocab = [f"w{i}" for i in range(30)]
+    epochs = [[(e * 100 + i,
+                " ".join(rng.choices(vocab, k=rng.randrange(6, 20))))
+               for i in range(10)] for e in range(3)]
+    store = _write_ref_store(spark, tmp_path, epochs, hash_buckets=8)
+    new = spark.createDataFrame(
+        [(999, epochs[1][2][1] + " tail")], "doc_id long, text string")
+    before = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+              for r in D.cross_dup_pairs_stored(
+                  new, store, "doc_id", "text", threshold=0.5).collect()}
+    assert D.compact_band_store(spark, store, upto=3) is True
+    subs = [d for d in os.listdir(f"{store}/hashes/epoch=2")
+            if d.startswith("ph=")]
+    assert subs
+    after = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+             for r in D.cross_dup_pairs_stored(
+                 new, store, "doc_id", "text", threshold=0.5).collect()}
+    assert after == before
