@@ -633,3 +633,25 @@ def test_hashes_ph_compaction_preserves_layout(spark, tmp_path):
              for r in D.cross_dup_pairs_stored(
                  new, store, "doc_id", "text", threshold=0.5).collect()}
     assert after == before
+
+
+def test_bucket_cap_guard_fallback_matches_recompute(spark, tmp_path):
+    """When a touched bucket EXCEEDS the cap the occupancy guard must
+    fall back to the windowed plan: pairs (incl. overflow pairing with
+    the bucket head) stay identical to cross_dup_pairs with the same
+    cap."""
+    text = " ".join(f"tok{i}" for i in range(30))
+    ref_rows = [(i, text) for i in range(9)]          # 9 > cap=4 in-bucket
+    new_rows = [(100 + i, text) for i in range(7)]
+    store = _write_ref_store(spark, tmp_path, [ref_rows])
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    want = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+            for r in D.cross_dup_pairs(new, ref, "doc_id", "text",
+                                       threshold=0.9,
+                                       bucket_cap=4).collect()}
+    got = {(r.id_new, r.id_ref, round(r.jaccard, 12))
+           for r in D.cross_dup_pairs_stored(new, store, "doc_id",
+                                             "text", threshold=0.9,
+                                             bucket_cap=4).collect()}
+    assert got == want and got
