@@ -247,8 +247,15 @@ def dsir_report(df: DataFrame, target: DataFrame,
     else:
         raw_feats = dsir_feature_counts(raw, id_col, text_col,
                                         n_buckets, seed, hash)
+        if persist_feats:
+            # two consumers (the ratio table and the raw-total row) —
+            # unpinned, each re-runs the featurizer over the raw corpus
+            raw_feats = raw_feats.persist()
     tfeats = dsir_feature_counts(target, id_col, text_col,
                                  n_buckets, seed, hash)
+    if persist_feats:
+        # same two-consumer shape (ratio + target-total row)
+        tfeats = tfeats.persist()
     ratio = dsir_logratio(tfeats, raw_feats, alpha, n_buckets)
     # default ratio for buckets outside the table (one-row frame)
     tt = tfeats.agg(F.sum("n").alias("_tt"))

@@ -105,7 +105,10 @@ def surprisal_report(df: DataFrame, id_col: str = "doc_id",
         # The cached table is (id, tok)-distinct counts, far smaller
         # than the text it replaces, spillable (MEMORY_AND_DISK).
         dt = dt.persist()
-        counts = dt.groupBy("tok").agg(F.sum("_n").alias("_c"))
+        # counts feeds the stats row AND the model projection — pinned,
+        # each consumer reads the vocab-sized cache instead of
+        # re-aggregating dt (same lifecycle story as dt itself)
+        counts = dt.groupBy("tok").agg(F.sum("_n").alias("_c")).persist()
         model, stats = _model_from_counts(counts, alpha)
     else:
         model, stats = unigram_model(train, text_col, alpha)
