@@ -676,14 +676,15 @@ def _check_store_meta(spark, store_dir: str, k: int, num_perm: int,
 
     meta_path = f"{store_dir}/meta"
     if fs_exists(spark, meta_path):
-        # explicit schema: skips footer inference; a legacy meta row
-        # without band_buckets/hash_buckets reads as NULL (handled
-        # below — both degrade to the flat layout they were written
-        # with)
-        row = spark.read.schema(
-            "k int, num_perm int, bands int, band_buckets int, "
-            "hash_buckets int"
-        ).parquet(meta_path).first()
+        # driver-side one-row read (local fast path); the explicit
+        # schema means a legacy meta row without band_buckets/
+        # hash_buckets reads as NULL (handled below — both degrade to
+        # the flat layout they were written with)
+        from ..plans.checkpoint import read_one_row
+        row = read_one_row(
+            spark, meta_path,
+            schema="k int, num_perm int, bands int, band_buckets int, "
+                   "hash_buckets int")
         got = (row["k"], row["num_perm"], row["bands"])
         if got != (k, num_perm, bands):
             raise ValueError(
@@ -770,7 +771,9 @@ def _read_epochs(spark, table_dir: str, max_epoch: int | None,
         # schema inference; partition columns (epoch=, pb=) are still
         # discovered from the paths and appended
         rd = rd.schema(schema)
-    return rd.parquet(*paths)
+    from ..plans.checkpoint import sequential_listing
+    with sequential_listing(spark, table_dir):
+        return rd.parquet(*paths)
 
 
 def write_band_store(df: DataFrame, store_dir: str, epoch: int,
@@ -1153,7 +1156,8 @@ def recover_epoch_store(spark, store_dir: str,
         fs_delete(spark, tmp)
         fs_delete(spark, marker)
         return
-    upto = spark.read.parquet(marker).first()["upto"]
+    from ..plans.checkpoint import read_one_row
+    upto = read_one_row(spark, marker)["upto"]
     _compact_finalize(spark, store_dir, tables, int(upto))
 
 
@@ -1477,7 +1481,8 @@ def write_embedding_store(df: DataFrame, store_dir: str, epoch: int,
     df = df.filter(F.col(emb_col).isNotNull())
     meta_path = f"{store_dir}/meta"
     if fs_exists(spark, meta_path):
-        m = spark.read.parquet(meta_path).first()
+        from ..plans.checkpoint import read_one_row
+        m = read_one_row(spark, meta_path)
         if (m["n_bits"], m["n_tables"], m["seed"]) != (n_bits, n_tables, seed):
             raise ValueError(
                 f"embedding store at {store_dir} pinned "
@@ -1493,7 +1498,7 @@ def write_embedding_store(df: DataFrame, store_dir: str, epoch: int,
                 f"embedding store at {store_dir} pinned dim={m['dim']}, "
                 f"write requested dim={dim}")
         dim = m["dim"]
-        stored_pb = m.asDict().get("pb_buckets", 0) or 0
+        stored_pb = m.get("pb_buckets", 0) or 0
         if stored_pb != pb_buckets:
             raise ValueError(
                 f"embedding store at {store_dir} is laid out with "
@@ -1552,7 +1557,8 @@ def embedding_dups_against_store(new: DataFrame, ref: DataFrame,
     meta_path = f"{store_dir}/meta"
     if not fs_exists(spark, meta_path):
         raise ValueError(f"no embedding store at {store_dir} (missing meta)")
-    m = spark.read.parquet(meta_path).first()
+    from ..plans.checkpoint import read_one_row
+    m = read_one_row(spark, meta_path)
     n_bits, n_tables, seed, dim = (m["n_bits"], m["n_tables"],
                                    m["seed"], m["dim"])
     planes = [hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
@@ -1562,7 +1568,7 @@ def embedding_dups_against_store(new: DataFrame, ref: DataFrame,
                              n_tables)
             .select(F.col("_id").alias("id_new"), "tbl", "bkt")
             .persist(StorageLevel.MEMORY_AND_DISK))
-    store_pb = m.asDict().get("pb_buckets", 0) or 0
+    store_pb = m.get("pb_buckets", 0) or 0
     if store_pb > 0:
         # explicit-path pruning, mirroring cross_dup_pairs_stored:
         # listing and bytes read scale with the batch's touched set

@@ -318,7 +318,8 @@ def dsir_report_stored(df: DataFrame, path: str,
 
     if not fs_exists(spark, f"{path}/meta"):
         raise ValueError(f"no dsir model at {path} (missing meta)")
-    m = spark.read.parquet(f"{path}/meta").first()
+    from ..plans.checkpoint import read_one_row
+    m = read_one_row(spark, f"{path}/meta")
     n_buckets, seed, hash_ = m["n_buckets"], m["seed"], m["hash"]
     tc = spark.read.parquet(f"{path}/tc").withColumnRenamed("_c", "_tc")
     rc = spark.read.parquet(f"{path}/rc").withColumnRenamed("_c", "_rc")

@@ -793,8 +793,8 @@ def pq_index_topk(spark, path: str, query, k: int = 10,
     codes = spark.read.parquet(f"{path}/codes")
     residual = False
     if fs_exists(spark, f"{path}/meta"):
-        residual = bool(spark.read.parquet(f"{path}/meta")
-                        .first()["residual"])
+        from ..plans.checkpoint import read_one_row
+        residual = bool(read_one_row(spark, f"{path}/meta")["residual"])
     if nprobe:
         if not fs_exists(spark, f"{path}/codebook") \
                 or "cell" not in codes.columns:

@@ -466,7 +466,8 @@ def ngram_surprisal_report_stored(df: DataFrame, path: str,
 
     if not fs_exists(spark, f"{path}/meta"):
         raise ValueError(f"no ngram model at {path} (missing meta)")
-    order = int(spark.read.parquet(f"{path}/meta").first()["order"])
+    from ..plans.checkpoint import read_one_row
+    order = int(read_one_row(spark, f"{path}/meta")["order"])
     dpos = _keyed_dpos(df, id_col, text_col, order)
     if persist_pos:
         dpos = dpos.persist()

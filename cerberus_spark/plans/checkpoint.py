@@ -53,6 +53,79 @@ def one_row_df(spark: SparkSession, schema: str, values):
     return spark.range(1).select(*cols)
 
 
+def read_one_row(spark: SparkSession, path: str,
+                 schema: str | None = None) -> dict | None:
+    """Read a ONE-ROW parquet artifact (store/model meta rows, commit
+    markers) as a plain dict.
+
+    On a local filesystem the row is read driver-side with pyarrow —
+    a Spark job for one row costs ~0.1 s of pure scheduling (measured;
+    the store probe pays it on every call).  Any other scheme, a
+    multi-file dir, or a multi-row file falls back to the normal Spark
+    read.  With ``schema`` (a DDL string), columns the file lacks come
+    back as None — the same contract as a schema'd Spark read.
+    Returns None for an empty artifact."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.getUri().getScheme() == "file":
+        parts = [n for n in fs_list(spark, path) if n.endswith(".parquet")]
+        if len(parts) == 1:
+            local = path
+            if local.startswith("file://"):
+                local = local[len("file://"):]
+            elif local.startswith("file:"):
+                local = local[len("file:"):]
+            import pyarrow.parquet as pq
+            rows = pq.read_table(f"{local}/{parts[0]}").to_pylist()
+            if len(rows) == 1:
+                d = rows[0]
+                if schema is not None:
+                    names = [s.strip().split(None, 1)[0]
+                             for s in schema.split(",")]
+                    d = {n: d.get(n) for n in names}
+                return d
+    rd = spark.read if schema is None else spark.read.schema(schema)
+    r = rd.parquet(path).first()
+    return None if r is None else r.asDict()
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def sequential_listing(spark: SparkSession, path: str):
+    """Force parquet partition discovery under ``path`` to list
+    sequentially on the driver while the context is open — ONLY when
+    the path's filesystem is local.  Spark switches to a distributed
+    listing job above ``spark.sql.sources.parallelPartitionDiscovery.
+    threshold`` (default 32) paths, which is right for high-latency
+    object stores but costs a whole job's scheduling overhead to list
+    a few hundred local dirs (measured 0.42 s vs 0.05 s for a 256-dir
+    bucketed store table).  Not thread-safe: flips a session-level SQL
+    conf for the duration (single-threaded probe/compaction paths
+    only)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.getUri().getScheme() != "file":
+        yield
+        return
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "1000000")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def fs_exists(spark: SparkSession, path: str) -> bool:
     """Existence probe via the Hadoop FileSystem bound to ``path``'s
     scheme — correct for local, file:, hdfs:, s3a:, abfs:, gs: alike."""
