@@ -202,7 +202,22 @@ def surprisal_report_stored(df: DataFrame, path: str,
 # text.  AQE skew-splits stopword keys; broadcast_model opt-in for
 # known-small vocabularies.  The DuckDB oracle keeps raw string keys
 # (hash-free) — identical quantized results pin that the hash rewrite
-# changed the plan, not the semantics.
+# changed the plan, not the semantics at any tested scale.
+#
+# 64-BIT KEY COLLISION CONTRACT: two distinct grams that collide under
+# xxhash64 merge their counts in c1/c2/c3 AND on the scoring keys (the
+# collided gram scores as the pooled pair, biasing its surprisal
+# slightly LOW).  Expected collisions among G distinct grams are
+# ≈ G²/2^65: negligible through ~10^8 types (<3·10^-4 expected pairs),
+# ~3% probability of a single colliding pair at 10^9, and certain —
+# though still a vanishing fraction of mass — at the 10^11-10^12 types
+# a 100 TB corpus holds.  No filtering threshold moves at any of these
+# rates, but for collision-free bookkeeping at 10^11+ types widen the
+# keys: hash each gram with TWO independent seeds
+# (xxhash64(cols), xxhash64(lit(seed2), cols)) and use the pair as the
+# join/count key — effective 128 bits; every expression below extends
+# mechanically.  The DuckDB twin is string-keyed (collision-free), so
+# a widened-key path can be oracle-pinned the same way this one is.
 
 
 def ngram_tuples_udf() -> Column:
