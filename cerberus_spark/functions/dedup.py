@@ -710,14 +710,13 @@ def _check_store_meta(spark, store_dir: str, k: int, num_perm: int,
                 f"layout would break probe-side pruning")
         return stored_bb, stored_hb
     elif create:
-        from ..plans.checkpoint import one_row_df
+        from ..plans.checkpoint import write_one_row
         bb = 256 if band_buckets is None else band_buckets
         hb = 0 if hash_buckets is None else hash_buckets
-        one_row_df(spark,
-                   "k int, num_perm int, bands int, band_buckets int, "
-                   "hash_buckets int",
-                   (k, num_perm, bands, bb, hb)) \
-            .coalesce(1).write.mode("overwrite").parquet(meta_path)
+        write_one_row(spark, meta_path,
+                      "k int, num_perm int, bands int, band_buckets int, "
+                      "hash_buckets int",
+                      (k, num_perm, bands, bb, hb))
         return bb, hb
     else:
         raise ValueError(f"no band store at {store_dir} (missing meta)")
@@ -1511,12 +1510,11 @@ def write_embedding_store(df: DataFrame, store_dir: str, epoch: int,
             if probe is None:
                 return  # nothing to store; meta pins on first real write
             dim = len(probe[0])
-        from ..plans.checkpoint import one_row_df
-        one_row_df(
-            spark,
+        from ..plans.checkpoint import write_one_row
+        write_one_row(
+            spark, meta_path,
             "n_bits int, n_tables int, seed int, dim int, pb_buckets int",
-            (n_bits, n_tables, seed, dim, pb_buckets),
-        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+            (n_bits, n_tables, seed, dim, pb_buckets))
     planes = [hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
     rows = _emb_bucket_rows(df, id_col, emb_col, planes, dim, n_bits,
                             n_tables)
@@ -1888,9 +1886,6 @@ def _semantic_pairs_from(e: DataFrame, assigned: DataFrame,
                          threshold: float, cell_cap: int) -> DataFrame:
     from .similarity import cosine_pair_udf
 
-    ranked = assigned.withColumn(
-        "_rn", F.row_number().over(W.partitionBy("cell").orderBy("_id")))
-
     # In-cap pairs: each cell's capped members are gathered once (one
     # exchange of the embedding arrays keyed on cell — the same
     # exchange shape the old row_number window already paid) and
@@ -1905,7 +1900,10 @@ def _semantic_pairs_from(e: DataFrame, assigned: DataFrame,
     thr = float(threshold)
 
     def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_rn", kind="mergesort")
+        # rank order ≡ id order within a cell (the rank window orders
+        # by _id); the guard's no-window path ships no _rn column
+        pdf = pdf.sort_values("_rn" if "_rn" in pdf.columns else "_id",
+                              kind="mergesort")
         ids = pdf["_id"].to_numpy()
         n = len(pdf)
 
@@ -1951,12 +1949,27 @@ def _semantic_pairs_from(e: DataFrame, assigned: DataFrame,
              "cosine": s[m].astype(np.float64)})
 
     id_t = dict(e.dtypes)["_id"]
+    out_schema = f"id_a {id_t}, id_b {id_t}, cell int, cosine double"
+
+    # cell_cap guard (the stored-probe pattern, §cross_dup_pairs_stored):
+    # when NO cell exceeds the cap, the rank window and the overflow
+    # subplan provably cannot change the output (every rank ≤ occupancy
+    # ≤ cap ⟹ nothing filtered, overflow empty) — one map-side-
+    # aggregated pass over the persisted 2-int assignment decides.
+    occ = (assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_c"))
+           .agg(F.max("_c")).first()[0])
+    if occ is None or occ <= cell_cap:
+        members = assigned.join(e, "_id").select("cell", "_id", "_emb")
+        return members.groupBy("cell").applyInPandas(_cell_pairs,
+                                                     out_schema)
+
+    ranked = assigned.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("cell").orderBy("_id")))
     members = (ranked.filter(F.col("_rn") <= cell_cap)
                .join(e, "_id")
                .select("cell", "_id", "_rn", "_emb"))
-    inpairs = members.groupBy("cell").applyInPandas(
-        _cell_pairs,
-        f"id_a {id_t}, id_b {id_t}, cell int, cosine double")
+    inpairs = members.groupBy("cell").applyInPandas(_cell_pairs,
+                                                    out_schema)
 
     # Overflow members (_rn > cell_cap) pair with the cell head only —
     # kept on the old streaming join + pair-UDF path (usually empty;

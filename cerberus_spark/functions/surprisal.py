@@ -456,9 +456,8 @@ def write_ngram_model(train: DataFrame, path: str,
                 f.result()
     finally:
         kt.unpersist()
-    from ..plans.checkpoint import one_row_df
-    one_row_df(spark, "order int", (order,)) \
-        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    from ..plans.checkpoint import write_one_row
+    write_one_row(spark, f"{path}/meta", "order int", (order,))
     spark.catalog.refreshByPath(path)
 
 

@@ -90,6 +90,53 @@ def read_one_row(spark: SparkSession, path: str,
     return None if r is None else r.asDict()
 
 
+def write_one_row(spark: SparkSession, path: str, schema: str,
+                  values) -> None:
+    """Write a ONE-ROW parquet artifact (store/model meta rows) with
+    the exact column types the DDL ``schema`` names.
+
+    On a local filesystem the row is written driver-side with pyarrow
+    (tmp file + rename; a Spark job for one row costs ~0.12 s of pure
+    scheduling) — the file parquet-identical in schema to the
+    ``one_row_df`` Spark write, so either reader works on either
+    artifact.  Non-local schemes and types outside the scalar set fall
+    back to the Spark write.  NOT for commit markers: those rely on
+    the Spark committer's ``_SUCCESS`` as the commit point."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.getUri().getScheme() == "file":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        _PA = {"int": pa.int32(), "integer": pa.int32(),
+               "bigint": pa.int64(), "long": pa.int64(),
+               "double": pa.float64(), "float": pa.float32(),
+               "string": pa.string(), "boolean": pa.bool_()}
+        names, types = [], []
+        for spec in schema.split(","):
+            name, typ = spec.strip().split(None, 1)
+            names.append(name)
+            types.append(_PA.get(typ.strip().lower()))
+        if all(t is not None for t in types):
+            local = path
+            if local.startswith("file://"):
+                local = local[len("file://"):]
+            elif local.startswith("file:"):
+                local = local[len("file:"):]
+            import os
+            import uuid
+            fs_delete(spark, path)
+            os.makedirs(local, exist_ok=True)
+            tbl = pa.table({n: pa.array([v], type=t)
+                            for n, t, v in zip(names, types, values)})
+            tmp = f"{local}/.part-{uuid.uuid4().hex[:12]}.tmp"
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, f"{local}/part-00000.parquet")
+            return
+    one_row_df(spark, schema, values) \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
 from contextlib import contextmanager
 
 
