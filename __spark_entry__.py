@@ -117,27 +117,32 @@ _STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 
 def q_stats_profile_lineitem(spark, sf_dir):
-    """One aggregation pass, unpivoted to one row per column with
-    ``stack`` — fully declarative (no driver collect + re-create; the
-    whole profile is one Spark plan)."""
+    """One UNION branch per column, each a single-distinct aggregation
+    — still fully declarative (one Spark plan, no driver collect).
+
+    Shape rationale (guide §2.2): N distinct aggregates in ONE agg
+    force an Expand of every input row ×(N+1) (2.4M rows through the
+    hash aggregate at sf0.1, the head's dominant cost), because the
+    plan must tag which distinct each copy feeds.  ONE distinct per
+    aggregation takes Spark's planAggregateWithOneDistinct path — the
+    distinct column rides the partial agg's grouping, no Expand at all
+    — and the three branches are independent AQE query stages over
+    column-pruned scans, so they run concurrently in the same job.
+    Output rows/values are identical (same aggregates, same casts)."""
     li = _read(spark, sf_dir, "lineitem", fan_out=False)
-    aggs = []
+    parts = []
     for c in _STATS_COLS:
-        aggs += [
-            F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__nr"),
-            F.countDistinct(c).alias(f"{c}__nd"),
-            F.min(c).cast("double").alias(f"{c}__min"),
-            F.max(c).cast("double").alias(f"{c}__max"),
-        ]
-    wide = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', `{c}__nr`, CAST(`{c}__nd` AS BIGINT), `{c}__min`, `{c}__max`"
-        for c in _STATS_COLS
-    )
-    return wide.selectExpr(
-        f"stack({len(_STATS_COLS)}, {stack_args}) AS "
-        "(col_name, null_rate, n_distinct, min_v, max_v)"
-    )
+        parts.append(li.agg(
+            F.avg(F.col(c).isNull().cast("double")).alias("null_rate"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            F.min(c).cast("double").alias("min_v"),
+            F.max(c).cast("double").alias("max_v"),
+        ).select(F.lit(c).alias("col_name"), "null_rate", "n_distinct",
+                 "min_v", "max_v"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_ordering_events(spark, sf_dir):

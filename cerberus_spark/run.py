@@ -23,6 +23,11 @@ Resume correctness invariants:
   ``part_id`` with DYNAMIC partition overwrite — a resumed run that
   processes only pending partitions replaces only those partition
   directories; previously committed partitions' data is untouched.
+  A FRESH single-wave run (nothing committed, one wave = all
+  partitions) instead writes flat with ``part_id`` as a data column —
+  identical schema to readers, none of the partitioned write's
+  small-files/commit overhead; the selective-overwrite machinery only
+  engages when there is prior committed state to preserve.
 * checkpoint rows are committed per WAVE (``RunConfig.waves`` groups of
   partitions), each wave only after its outputs are durable — a killed
   job restarts from the last completed wave, never re-trusting
@@ -51,7 +56,7 @@ from . import errors as E
 from .engine import SparkValidator
 from .operators import dataset as D
 from .plans.checkpoint import (CheckpointStore, fs_delete, fs_exists,
-                               part_id_col, snapshot_id)
+                               part_id_col, read_local_rows, snapshot_id)
 
 
 @dataclass
@@ -195,17 +200,33 @@ class ValidationRun:
         # this run's and previously committed ones alike).  An empty
         # input writes no summary part files (a partitioned write of
         # zero rows leaves only _SUCCESS), so fall back to zeros.
-        try:
-            summary = spark.read.parquet(self._path("summary"))
-            if "lineage" in summary.columns:
-                summary = summary.filter(F.col("lineage") == lineage)
+        # Local out_dirs sum the ≤ n_parts summary rows driver-side
+        # (see _run_validation_waves — same rationale, same fallback).
+        summary_rows = read_local_rows(
+            spark, self._path("summary"),
+            columns=["lineage", "n_rows", "n_failed", "n_violations"])
+        if summary_rows is not None:
+            if summary_rows and "lineage" in summary_rows[0]:
+                summary_rows = [r for r in summary_rows
+                                if r["lineage"] == lineage]
             totals = (
-                summary
-                .agg(F.sum("n_rows"), F.sum("n_failed"), F.sum("n_violations"))
-                .first()
+                sum(r["n_rows"] or 0 for r in summary_rows),
+                sum(r["n_failed"] or 0 for r in summary_rows),
+                sum(r["n_violations"] or 0 for r in summary_rows),
             )
-        except Exception:
-            totals = (0, 0, 0)
+        else:
+            try:
+                summary = spark.read.parquet(self._path("summary"))
+                if "lineage" in summary.columns:
+                    summary = summary.filter(F.col("lineage") == lineage)
+                totals = (
+                    summary
+                    .agg(F.sum("n_rows"), F.sum("n_failed"),
+                         F.sum("n_violations"))
+                    .first()
+                )
+            except Exception:
+                totals = (0, 0, 0)
         return RunReport(
             n_turns=int(totals[0] or 0),
             n_failed=int(totals[1] or 0),
@@ -227,6 +248,22 @@ class ValidationRun:
         n_waves = max(1, min(cfg.waves, len(pending)))
         chunk = -(-len(pending) // n_waves)  # ceil
         waves = [pending[i:i + chunk] for i in range(0, len(pending), chunk)]
+
+        # Fresh single-wave runs (nothing committed, one wave covering
+        # every pending partition — the common batch case) write their
+        # outputs FLAT: the part_id-dir layout exists so a RESUMED or
+        # WAVED run can replace only its own partitions via dynamic
+        # overwrite, but with done=[] and one wave that machinery cannot
+        # trigger, and the partitioned write costs n_parts tiny files
+        # plus a per-dir commit-rename pass (measured ~1 s of the wave
+        # wall at 64 parts — guide §6's small-files anti-pattern).  The
+        # flat write keeps part_id as a DATA column, so readers see the
+        # identical schema either way.  Correctness of the mix: commit
+        # is atomic (one appended file), so a later run sees either
+        # done=[] (output dirs are cleared up front) or done=committed
+        # (its waves carry rows only for never-committed — empty —
+        # partitions, and the dynamic path writes nothing for them).
+        single_fresh = not done and len(waves) == 1
 
         for wave_parts in waves:
             # prune to this wave's partitions; on a file source the
@@ -257,6 +294,13 @@ class ValidationRun:
                 ).select(*keys, "part_id", "v.*")
 
                 def _write_violations():
+                    if single_fresh:
+                        # no repartition either: the flat write streams
+                        # straight from the scan tasks (the exchange
+                        # existed to align tasks with part dirs)
+                        viol.write.mode("overwrite").parquet(
+                            self._path("violations"))
+                        return
                     (viol.repartition("part_id")
                          .write.mode("overwrite")
                          .option("partitionOverwriteMode", "dynamic")
@@ -274,6 +318,10 @@ class ValidationRun:
                 ).withColumn("lineage", F.lit(lineage))
 
                 def _write_summary():
+                    if single_fresh:
+                        summary.write.mode("overwrite").parquet(
+                            self._path("summary"))
+                        return
                     (summary.write.mode("overwrite")
                             .option("partitionOverwriteMode", "dynamic")
                             .partitionBy("part_id")
@@ -302,18 +350,41 @@ class ValidationRun:
                 # A wave with zero rows writes no readable part files;
                 # nothing to commit (the empty partitions cost nothing to
                 # revisit).
-                committed = None
-                try:
-                    committed = (
-                        spark.read.parquet(self._path("summary"))
-                        .filter(F.col("part_id").isin(wave_parts))
-                    )
-                    if "lineage" in committed.columns:
-                        committed = committed.filter(F.col("lineage") == lineage)
-                except Exception:
-                    pass
-                if committed is not None:
-                    store.commit(committed, snap, shash, predicate_set)
+                # Local out_dirs take the driver-side path: the summary
+                # is ≤ n_parts one-row files, so the Spark read costs a
+                # partition-discovery job + a scan job and the commit a
+                # write job — ~0.7 s of scheduling around a few KB
+                # (guide §5: no cluster jobs for driver-sized data).
+                # Any non-local scheme falls back to the Spark plan.
+                committed_rows = read_local_rows(
+                    spark, self._path("summary"),
+                    columns=["part_id", "lineage", "n_rows", "n_failed",
+                             "n_violations"])
+                done_driver_side = False
+                if committed_rows is not None:
+                    wset = set(wave_parts)
+                    has_lineage = bool(committed_rows) \
+                        and "lineage" in committed_rows[0]
+                    rows = [r for r in committed_rows
+                            if r["part_id"] in wset
+                            and (not has_lineage
+                                 or r["lineage"] == lineage)]
+                    done_driver_side = (not rows) or store.commit_rows(
+                        rows, snap, shash, predicate_set)
+                if not done_driver_side:
+                    committed = None
+                    try:
+                        committed = (
+                            spark.read.parquet(self._path("summary"))
+                            .filter(F.col("part_id").isin(wave_parts))
+                        )
+                        if "lineage" in committed.columns:
+                            committed = committed.filter(
+                                F.col("lineage") == lineage)
+                    except Exception:
+                        pass
+                    if committed is not None:
+                        store.commit(committed, snap, shash, predicate_set)
             finally:
                 if cfg.persist:
                     annotated.unpersist()
