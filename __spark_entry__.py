@@ -42,6 +42,25 @@ _DOC_LANGS = {
 }
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp whose tree is removed at interpreter exit (atexit).
+
+    Entry queries that exercise persisted-store/model paths build their
+    artifact in a temp dir; the returned DataFrame is LAZY, so the dir
+    must outlive the query function (the driver/noop sink evaluates it
+    later) and cannot be removed inline.  Registering removal at exit
+    keeps /tmp clean across the many bench/gate invocations of a round
+    (previously ~6 leaked artifact trees per full sweep — r7 VERDICT
+    item 6) without touching the timed path."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str,
           fan_out: bool = True) -> DataFrame:
     """Read one fixture table, fanning the scan out to the session's
@@ -907,14 +926,12 @@ def q_cross_dedup_stored_documents(spark, sf_dir):
     quadratic-ingest flag).  Shares cross_dedup_documents' exact
     all-bipartite-pairs DuckDB twin: a hash match certifies the
     stored path end-to-end under the driver gate."""
-    import tempfile
-
     from cerberus_spark.functions import dedup as DD
 
     docs = _read(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 10 < 3)
     new = docs.filter(F.col("doc_id") % 10 >= 3)
-    store = tempfile.mkdtemp(prefix="band_store_oracle_")
+    store = _scratch_dir("band_store_oracle_")
     DD.write_band_store(ref, store, epoch=0, id_col="doc_id",
                         text_col="text")
     pairs = DD.cross_dup_pairs_stored(new, store, "doc_id", "text",
@@ -1065,12 +1082,10 @@ def q_bm25_indexed_documents(spark, sf_dir):
     onto the posting row (no corpus-sized join), per-term pivot sums
     in caller order.  Bit-identical doubles to the flat path, so the
     SAME DuckDB twin certifies both."""
-    import tempfile
-
     from cerberus_spark.functions import ranking as RK
 
     docs = _read(spark, sf_dir, "documents")
-    idx = tempfile.mkdtemp(prefix="bm25_idx_")
+    idx = _scratch_dir("bm25_idx_")
     RK.write_text_index(docs, idx, "doc_id", "text")
     top = RK.bm25_topk_indexed(spark, idx, ["vector", "hash", "spark"],
                                k=10)
@@ -1101,12 +1116,10 @@ def q_bm25_phrase_documents(spark, sf_dir):
     the scoring pivot — no extra join, the corpus text never read at
     query time.  The DuckDB twin checks the same adjacency with a
     range/list predicate over the identical tokenization."""
-    import tempfile
-
     from cerberus_spark.functions import ranking as RK
 
     docs = _read(spark, sf_dir, "documents")
-    idx = tempfile.mkdtemp(prefix="bm25_pos_idx_")
+    idx = _scratch_dir("bm25_pos_idx_")
     RK.write_text_index(docs, idx, "doc_id", "text", positions=True)
     top = RK.bm25_topk_indexed(spark, idx, ["fast", "table"], k=10,
                                phrase=True)
@@ -1122,12 +1135,10 @@ def q_ngram_model_stored_documents(spark, sf_dir):
     training corpus.  Training on the scored corpus itself makes the
     output bit-identical to the self-scored query, so the SAME DuckDB
     twin certifies the stored path end-to-end."""
-    import tempfile
-
     from cerberus_spark.functions import surprisal as SP
 
     docs = _read(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="ngram_model_oracle_")
+    path = _scratch_dir("ngram_model_oracle_")
     SP.write_ngram_model(docs, path, "doc_id", "text", order=3)
     return SP.ngram_surprisal_report_stored(docs, path, "doc_id", "text")
 
@@ -1139,13 +1150,11 @@ def q_dsir_model_stored_documents(spark, sf_dir):
     featurize pass + a broadcast ratio join.  Same corpora as
     q_dsir_documents and the same content-addressed Gumbel top-25, so
     the SAME DuckDB twin certifies the stored path."""
-    import tempfile
-
     from cerberus_spark.functions import dsir as DS
 
     docs = _read(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "de")
-    path = tempfile.mkdtemp(prefix="dsir_model_oracle_")
+    path = _scratch_dir("dsir_model_oracle_")
     DS.write_dsir_model(target, docs, path)
     rep = DS.dsir_report_stored(docs, path)
     key = DS.gumbel_key(F.col("doc_id"), F.col("logw_q6"), "g")
